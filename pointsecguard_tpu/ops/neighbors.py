@@ -1,0 +1,137 @@
+"""Neighborhood search: kNN, ball query, dilated kNN graphs.
+
+TPU-native replacement for three reference implementations:
+- nanoflann KD-tree batched kNN (`RandLA-Net/utils/nearest_neighbors/knn_.cxx:21-271`,
+  OpenMP host code) → one distance matmul + ``lax.top_k`` on device,
+- sort-based ball query (`PointNet/models/pointnet_util.py:87-107`),
+- dense dilated kNN graph (`ResGCN/gcn_lib/dense/torch_edge.py:45-79`).
+
+For clouds that do not fit a dense [N, M] distance matrix in memory
+(RandLA's 40960-point inputs), ``knn`` tiles the query axis with
+``lax.map`` so peak memory is [B, tile, M].
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from pointsecguard_tpu.ops.distance import square_distance
+
+
+def knn(
+    query: jnp.ndarray,
+    points: jnp.ndarray,
+    k: int,
+    *,
+    tile: int | None = None,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """k nearest neighbors of each query point among `points`.
+
+    Args:
+      query: [B, S, C] query positions.
+      points: [B, N, C] reference positions.
+      k: number of neighbors (static).
+      tile: if set, process the query axis in chunks of this size to bound
+        the [B, tile, N] distance-matrix working set (needed at N=40960).
+
+    Returns:
+      (sq_dists [B, S, k], idx [B, S, k] int32), sorted nearest-first.
+    """
+    if tile is None or tile >= query.shape[1]:
+        d = square_distance(query, points)
+        neg, idx = jax.lax.top_k(-d, k)
+        return -neg, idx.astype(jnp.int32)
+
+    S = query.shape[1]
+    if S % tile != 0:
+        raise ValueError(f"query length {S} not divisible by tile {tile}")
+
+    def chunk(q):
+        d = square_distance(q, points)
+        neg, idx = jax.lax.top_k(-d, k)
+        return -neg, idx.astype(jnp.int32)
+
+    q_tiles = jnp.reshape(
+        jnp.swapaxes(query, 0, 1), (S // tile, tile, query.shape[0], query.shape[2])
+    )
+    q_tiles = jnp.swapaxes(q_tiles, 1, 2)  # [T, B, tile, C]
+    dists, idx = jax.lax.map(chunk, q_tiles)
+    # [T, B, tile, k] -> [B, S, k]
+    dists = jnp.reshape(jnp.swapaxes(dists, 0, 1), (query.shape[0], S, k))
+    idx = jnp.reshape(jnp.swapaxes(idx, 0, 1), (query.shape[0], S, k))
+    return dists, idx
+
+
+def ball_query(
+    radius: float, nsample: int, xyz: jnp.ndarray, new_xyz: jnp.ndarray
+) -> jnp.ndarray:
+    """Fixed-radius neighborhood query with the reference's exact semantics.
+
+    Matches `pointnet_util.py:87-107`: candidates are points with squared
+    distance ≤ radius²; the *lowest-index* ``nsample`` candidates are kept
+    (index-sorted, not distance-sorted!), and groups with fewer than
+    ``nsample`` candidates repeat the first candidate. Implemented as a
+    top-k over index values instead of a full [B,S,N] sort.
+
+    Args:
+      radius: ball radius.
+      nsample: group size (static).
+      xyz: [B, N, 3] all points.
+      new_xyz: [B, S, 3] query centers.
+
+    Returns:
+      [B, S, nsample] int32 group indices.
+    """
+    N = xyz.shape[1]
+    sqr = square_distance(new_xyz, xyz)  # [B, S, N]
+    arange = jax.lax.broadcasted_iota(jnp.int32, sqr.shape, 2)
+    idx_val = jnp.where(sqr > radius * radius, N, arange)
+    if nsample > N:  # degenerate tiny clouds: pad candidates with sentinel N
+        pad = jnp.full(idx_val.shape[:2] + (nsample - N,), N, idx_val.dtype)
+        idx_val = jnp.concatenate([idx_val, pad], axis=-1)
+    # smallest nsample index values == reference's sort()[:nsample]
+    neg_top, _ = jax.lax.top_k(-idx_val, nsample)
+    group_idx = -neg_top
+    first = group_idx[:, :, :1]
+    return jnp.where(group_idx == N, first, group_idx).astype(jnp.int32)
+
+
+def dense_knn_graph(x: jnp.ndarray, k: int, *, tile: int | None = None) -> jnp.ndarray:
+    """Self-kNN graph over feature space (ResGCN `dense_knn_matrix:45-59`).
+
+    Args:
+      x: [B, N, C] features.
+      k: neighbors per node.
+
+    Returns:
+      [B, N, k] int32 neighbor indices (nearest-first; the self point is
+      included, matching the reference's topk over the full distance row).
+    """
+    _, idx = knn(x, x, k, tile=tile)
+    return idx
+
+
+def dilate_neighbors(
+    idx: jnp.ndarray,
+    dilation: int,
+    *,
+    stochastic: bool = False,
+    epsilon: float = 0.0,
+    key: jax.Array | None = None,
+) -> jnp.ndarray:
+    """Dilated neighbor selection (ResGCN `DenseDilated:6-29`).
+
+    Given [B, N, k*dilation] candidates, keep every ``dilation``-th, or —
+    with probability ``epsilon`` during stochastic training — a random
+    subset of k.
+    """
+    k = idx.shape[-1] // max(dilation, 1)
+    strided = idx[..., ::dilation] if dilation > 1 else idx
+    if not stochastic or key is None:
+        return strided
+    ku, kp = jax.random.split(key)
+    use_random = jax.random.uniform(ku, ()) < epsilon
+    perm = jax.random.permutation(kp, idx.shape[-1])[:k]
+    random_sel = jnp.take(idx, perm, axis=-1)
+    return jnp.where(use_random, random_sel, strided)

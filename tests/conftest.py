@@ -1,0 +1,25 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding tests use
+XLA's host-platform device virtualization instead, which exercises the
+same GSPMD partitioner and collectives.
+"""
+
+import os
+
+# Force CPU even when the environment pins a TPU platform (e.g. axon):
+# the unit suite must be fast and exercise the virtual 8-device mesh.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.RandomState(0)
