@@ -1,0 +1,144 @@
+"""Shared attack machinery: color slicing, losses, projections, metrics.
+
+One engine serves all three reference attack harnesses (PyTorch
+torchattacks forks in `PointNet/attacks/` and
+`ResGCN/sem_seg_dense/attacks/`, and the TF1 ares fork in
+`RandLA-Net/ares/`); the differences between them are captured as loss /
+step / coefficient configuration, not separate code paths.
+
+Attacks perturb ONLY the RGB color channels (slice 3:6 of the feature
+axis); XYZ is never touched — the defining property of the paper's
+color-perturbation threat model.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+COLOR_SLICE = slice(3, 6)
+
+
+class AttackResult(NamedTuple):
+    """Outcome of one batched attack run (all fields on device)."""
+
+    points_adv: jnp.ndarray  # [B, N, C] adversarial inputs
+    steps: jnp.ndarray  # [] int32 — iterations actually executed
+    acc: jnp.ndarray  # [] adversarial overall point accuracy
+    success_rate: jnp.ndarray  # [] targeted success rate (0 if untargeted)
+    l2_dist: jnp.ndarray  # [B] L2 distortion of the color channels
+
+
+def get_color(points: jnp.ndarray) -> jnp.ndarray:
+    return points[..., COLOR_SLICE]
+
+
+def set_color(points: jnp.ndarray, color: jnp.ndarray) -> jnp.ndarray:
+    return points.at[..., COLOR_SLICE].set(color)
+
+
+def per_point_ce(outputs: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Cross-entropy treating ``outputs`` as logits — matching the
+    reference's use of ``nn.CrossEntropyLoss`` directly on whatever the
+    model returns (log-probs for PointNet++, raw logits for ResGCN/RandLA;
+    `nontarget.py:34`, `colper.py:25-37`)."""
+    lp = jax.nn.log_softmax(outputs, axis=-1)
+    return -jnp.take_along_axis(lp, labels[..., None], axis=-1)[..., 0]
+
+
+def hinge_logit_loss(
+    outputs: jnp.ndarray, ys: jnp.ndarray, num_classes: int
+) -> jnp.ndarray:
+    """ares `colperloss` (`bim.py:110-116`): per-point
+    max(0, max_other_logit − y_logit), summed over points → [B]."""
+    one_hot = jax.nn.one_hot(ys, num_classes, dtype=outputs.dtype)
+    real = jnp.sum(one_hot * outputs, axis=-1)
+    other = jnp.max((1.0 - one_hot) * outputs, axis=-1)
+    return jnp.sum(jnp.maximum(0.0, other - real), axis=-1)
+
+
+def cw_f_prob(
+    outputs: jnp.ndarray, labels: jnp.ndarray, kappa: float, num_classes: int
+) -> jnp.ndarray:
+    """The C&W f on softmax probabilities (`nontarget.py:120-128`):
+    clamp(p_true − max_other_p, min=−κ) per point."""
+    probs = jax.nn.softmax(outputs, axis=-1)
+    one_hot = jax.nn.one_hot(labels, num_classes, dtype=probs.dtype)
+    j = jnp.sum(one_hot * probs, axis=-1)
+    i = jnp.max((1.0 - one_hot) * probs, axis=-1)
+    return jnp.maximum(j - i, -kappa)
+
+
+def cw_f_targeted(
+    outputs: jnp.ndarray,
+    target: jnp.ndarray | int,
+    kappa: float,
+    num_classes: int,
+) -> jnp.ndarray:
+    """Targeted C&W f on raw outputs (`tcolper.py:155-163` direction):
+    clamp(max_other − target_out, min=−κ) per point — minimizing drives the
+    target class above all others. (The PointNet fork's `tar_f` has this
+    sign inverted, `target.py:159-167`; we implement the working direction
+    used by the ResGCN fork and the paper.)"""
+    tgt = jnp.full(outputs.shape[:-1], target, jnp.int32)
+    one_hot = jax.nn.one_hot(tgt, num_classes, dtype=outputs.dtype)
+    i = jnp.sum(one_hot * outputs, axis=-1)
+    j = jnp.max((1.0 - one_hot) * outputs, axis=-1)
+    return jnp.maximum(j - i, -kappa)
+
+
+def color_smoothness(
+    adv_color: jnp.ndarray, ref_color: jnp.ndarray, k: int
+) -> jnp.ndarray:
+    """kNN color-space smoothness term (`nontarget.py:130-135`): for each
+    point, the sum of its k smallest color-space distances to the reference
+    cloud. Returns [B]."""
+    # [B, N, N] color-space distance matrix; top_k of the negated row.
+    d2 = (
+        jnp.sum(adv_color**2, -1)[:, :, None]
+        - 2.0
+        * jnp.einsum(
+            "bnc,bmc->bnm",
+            adv_color,
+            ref_color,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        + jnp.sum(ref_color**2, -1)[:, None, :]
+    )
+    # clamp before sqrt: the self-pair distance starts at ~0 and sqrt'(0)=∞
+    # would poison the gradient (torch.cdist defines a zero subgradient)
+    d = jnp.sqrt(jnp.maximum(d2, 1e-12))
+    neg_top, _ = jax.lax.top_k(-d, k)
+    return jnp.sum(-neg_top, axis=(1, 2))
+
+
+def color_l2(points_a: jnp.ndarray, points_b: jnp.ndarray) -> jnp.ndarray:
+    """Per-cloud L2 distance over the color channels → [B]."""
+    diff = (get_color(points_a) - get_color(points_b)).reshape(
+        points_a.shape[0], -1
+    )
+    return jnp.linalg.norm(diff, axis=1)
+
+
+def point_accuracy(
+    outputs: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Overall (or masked) point accuracy."""
+    pred = jnp.argmax(outputs, axis=-1)
+    correct = (pred == labels).astype(jnp.float32)
+    if mask is None:
+        return jnp.mean(correct)
+    m = mask.astype(jnp.float32)
+    return jnp.sum(correct * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def make_target_labels(
+    labels: jnp.ndarray, origin: int, target: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Targeted-attack label remap (`bim.py:436-440`,
+    `NB_target_test_semseg.py:172`): mask = (label == origin); ys_target
+    replaces origin labels with the target class."""
+    mask = labels == origin
+    return jnp.where(mask, target, labels), mask

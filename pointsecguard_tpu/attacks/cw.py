@@ -1,0 +1,218 @@
+"""NU / tar_NU: norm-unbounded (C&W) color attacks, fused on device.
+
+One implementation covering the reference's three C&W harnesses:
+
+- PyTorch untargeted `NU_attack` (`PointNet/attacks/.../nontarget.py:44-135`,
+  `ResGCN/.../colper.py:42-120`): tanh-space color variable, Adam, cost =
+  f(softmax) + smooth-kNN + L2 with per-fork coefficients, early stop at
+  acc < 1/13.
+- PyTorch targeted `tar_NU_attack` (`target.py:52-175`, `tcolper.py:51-170`):
+  masked tanh variable, targeted f on the masked points, success exit at
+  target accuracy > 0.9, Adam lr halving (with moment reset) every 50 steps.
+- ares `NUattack` / `tar_NUattack` (`RandLA-Net/ares/ares/attack/
+  NUattack.py:12-320`, `tar_NUattack.py:12-244`): delta-in-atanh-space
+  variable, cost = L2-norm + c·hinge(logits), success exits acc<1/13 /
+  sr>0.95.
+
+Sign notes (deviations from reference quirks, both documented at the use
+site): the untargeted ares hinge and the PointNet-fork targeted f have
+inverted signs in the committed code that would *strengthen* the model
+instead of attacking it; this engine implements the working directions
+(the ones the ResGCN fork uses and the paper reports results for).
+
+The optimizer (Adam with torch semantics, supporting mid-run lr halving
+with moment reset) runs inside a single ``lax.while_loop``; a 1000-step
+C&W run is one device program instead of 1000 host round-trips.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pointsecguard_tpu.attacks.common import (
+    AttackResult,
+    color_l2,
+    color_smoothness,
+    cw_f_prob,
+    cw_f_targeted,
+    get_color,
+    point_accuracy,
+    set_color,
+)
+
+_TANH_BOUND = 1.0 - 1e-6  # ares `_scale_to_tanh` clamp (`NUattack.py:115-119`)
+
+
+@dataclasses.dataclass(frozen=True)
+class CWConfig:
+    """C&W attack configuration. Coefficients (f/smooth/l2) encode the
+    per-fork cost formulas:
+
+    - PointNet NU / tar_NU:  1·f + c·smooth + c·L2  (`nontarget.py:84`)
+    - ResGCN NU:             c·f + 1e-4·smooth + 1·L2  (`colper.py:79`)
+    - ResGCN tar_NU:         1·f + 1e-4·smooth + c·L2  (`tcolper.py:99`)
+    - ares (flavor="ares"):  L2norm + c·hinge  (`NUattack.py:58`)
+    """
+
+    steps: int = 1000
+    lr: float = 0.01
+    kappa: float = 0.0
+    flavor: str = "torch"  # "torch" | "ares"
+    f_coeff: float = 1.0
+    smooth_coeff: float = 0.1
+    l2_coeff: float = 0.1
+    smooth_k: int = 10  # 10 untargeted, 5 targeted (`nontarget.py:57`, `target.py:64`)
+    targeted: bool = False
+    target: int = -1
+    num_classes: int = 13
+    success_acc: float = 1.0 / 13.0  # untargeted early exit (`nontarget.py:95`)
+    success_sr: float = 0.9  # targeted early exit (`target.py:120`)
+    lr_halve_every: int = 0  # 50 for torch targeted (`target.py:123-125`)
+    adam_b1: float = 0.9
+    adam_b2: float = 0.999
+    adam_eps: float = 1e-8
+
+
+class _AdamState(NamedTuple):
+    m: jnp.ndarray
+    v: jnp.ndarray
+    t: jnp.ndarray
+    lr: jnp.ndarray
+
+
+def _atanh(x):
+    return 0.5 * jnp.log((1 + x) / (1 - x))
+
+
+def cw_color_attack(
+    outputs_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    points: jnp.ndarray,
+    labels: jnp.ndarray,
+    cfg: CWConfig,
+    *,
+    mask: jnp.ndarray | None = None,
+) -> AttackResult:
+    """Run the C&W color attack on a batch (see PGD docstring for args)."""
+    color0 = get_color(points)
+    B, N = labels.shape
+    m = None if mask is None else mask.astype(points.dtype)[..., None]
+
+    clipped0 = jnp.clip(color0, (1 - _TANH_BOUND) / 2, (1 + _TANH_BOUND) / 2)
+    if cfg.flavor == "torch":
+        # variable IS the tanh-space color (`nontarget.py:61`)
+        w0 = _atanh(clipped0 * 2.0 - 1.0)
+    else:
+        # variable is a delta added in atanh space (`NUattack.py:32-34`)
+        w0 = jnp.zeros_like(color0)
+        ws_base = _atanh((clipped0 * 2.0 - 1.0) * _TANH_BOUND)
+
+    def adv_color_of(w):
+        if cfg.flavor == "torch":
+            c = 0.5 * (jnp.tanh(w) + 1.0)
+        else:
+            c = 0.5 * (jnp.tanh(ws_base + w) + 1.0)
+        if m is not None:
+            c = m * c + (1 - m) * color0
+        return c
+
+    def cost_fn(w):
+        c = adv_color_of(w)
+        adv = set_color(points, c)
+        outputs = outputs_fn(adv)
+        if cfg.flavor == "ares":
+            # L2 *norm* per cloud + c·hinge(logits) (`NUattack.py:52-58`)
+            dist = jnp.linalg.norm((c - color0).reshape(B, -1), axis=1)
+            if cfg.targeted:
+                f = jnp.sum(
+                    cw_f_targeted(outputs, cfg.target, cfg.kappa, cfg.num_classes)
+                    * (m[..., 0] if m is not None else 1.0)
+                )
+            else:
+                # working untargeted direction: hinge of the true-class margin
+                f = jnp.sum(
+                    jnp.maximum(
+                        0.0,
+                        _true_margin(outputs, labels, cfg.num_classes) + cfg.kappa,
+                    )
+                )
+            cost = jnp.sum(dist) + cfg.f_coeff * f
+        else:
+            l2 = jnp.sum((c - color0) ** 2)  # squared MSE-sum (`nontarget.py:79-81`)
+            if cfg.targeted:
+                per_pt = cw_f_targeted(outputs, cfg.target, cfg.kappa, cfg.num_classes)
+                f = jnp.sum(per_pt * (m[..., 0] if m is not None else 1.0))
+            else:
+                f = jnp.sum(cw_f_prob(outputs, labels, cfg.kappa, cfg.num_classes))
+            cost = cfg.f_coeff * f + cfg.l2_coeff * l2
+            if cfg.smooth_coeff:  # skip the [N,N] matrix when disabled
+                cost = cost + cfg.smooth_coeff * jnp.sum(
+                    color_smoothness(c, color0, cfg.smooth_k)
+                )
+        return cost, outputs
+
+    grad_fn = jax.value_and_grad(cost_fn, has_aux=True)
+
+    def adam_step(w, g, st: _AdamState):
+        t = st.t + 1
+        mm = cfg.adam_b1 * st.m + (1 - cfg.adam_b1) * g
+        vv = cfg.adam_b2 * st.v + (1 - cfg.adam_b2) * g * g
+        mhat = mm / (1 - cfg.adam_b1**t)
+        vhat = vv / (1 - cfg.adam_b2**t)
+        w = w - st.lr * mhat / (jnp.sqrt(vhat) + cfg.adam_eps)
+        return w, _AdamState(mm, vv, t, st.lr)
+
+    def body(carry):
+        i, w, st, _, _, _ = carry
+        (cost, outputs), g = grad_fn(w)
+        acc = point_accuracy(outputs, labels)
+        if cfg.targeted:
+            sr = point_accuracy(outputs, jnp.full_like(labels, cfg.target), mask)
+        else:
+            sr = jnp.zeros(())
+        w_new, st_new = adam_step(w, g, st)
+        if cfg.lr_halve_every > 0:
+            # `target.py:123-125`: fresh Adam at half lr every 50 steps
+            halve = jnp.logical_and(i > 0, (i + 1) % cfg.lr_halve_every == 0)
+            st_new = _AdamState(
+                jnp.where(halve, 0.0, st_new.m),
+                jnp.where(halve, 0.0, st_new.v),
+                jnp.where(halve, 0, st_new.t),
+                jnp.where(halve, st_new.lr * 0.5, st_new.lr),
+            )
+        return i + 1, w_new, st_new, adv_color_of(w), acc, sr
+
+    def cond(carry):
+        i, _, _, _, acc, sr = carry
+        running = i < cfg.steps
+        if cfg.targeted:
+            not_success = jnp.logical_or(i == 0, sr <= cfg.success_sr)
+        else:
+            not_success = jnp.logical_or(i == 0, acc >= cfg.success_acc)
+        return jnp.logical_and(running, not_success)
+
+    st0 = _AdamState(
+        jnp.zeros_like(w0),
+        jnp.zeros_like(w0),
+        jnp.zeros((), jnp.int32),
+        jnp.asarray(cfg.lr),
+    )
+    steps, _, _, best_color, acc, sr = jax.lax.while_loop(
+        cond,
+        body,
+        (jnp.zeros((), jnp.int32), w0, st0, color0, jnp.ones(()), jnp.zeros(())),
+    )
+    adv = set_color(points, best_color)
+    return AttackResult(adv, steps, acc, sr, color_l2(adv, points))
+
+
+def _true_margin(outputs, labels, num_classes):
+    """logit(true) − max_other_logit per point (for the ares untargeted
+    hinge, working direction — see module docstring)."""
+    one_hot = jax.nn.one_hot(labels, num_classes, dtype=outputs.dtype)
+    real = jnp.sum(one_hot * outputs, axis=-1)
+    other = jnp.max((1.0 - one_hot) * outputs - 1e9 * one_hot, axis=-1)
+    return real - other

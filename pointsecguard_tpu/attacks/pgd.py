@@ -1,0 +1,177 @@
+"""NB / tar_NB: norm-bounded (PGD/BIM) color attacks, fused on device.
+
+One implementation covering the reference's three PGD harnesses:
+
+- PyTorch untargeted `NB_attack` (`PointNet/attacks/.../nontarget.py:10-42`,
+  `ResGCN/.../colper.py:9-39`): CE loss, sign step, L∞ ε-ball, [0,1] clip.
+- PyTorch targeted `tar_NB_attack` (`target.py:7-45`, `tcolper.py:7-46`):
+  CE toward a constant target label, masked update, gradient descent.
+- ares `BIM`/`NBattack`/`TBIM` (`RandLA-Net/ares/ares/attack/bim.py:10-530`,
+  `NBattack.py`): per-point hinge logit loss, L2 unit-gradient step with
+  ε-norm projection, optional uniform random init, targeted early exit at
+  success rate > 0.9.
+
+The whole attack — forward, input gradient, step, projection, clipping,
+masking, success test — is a single ``lax.while_loop`` inside one XLA
+program. The reference pays a host↔device round-trip per iteration
+(`bim.py:216-237`, python loop `nontarget.py:28-39`); this is where the
+≥5× iterations/sec/chip target is won.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from pointsecguard_tpu.attacks.common import (
+    AttackResult,
+    color_l2,
+    get_color,
+    hinge_logit_loss,
+    per_point_ce,
+    point_accuracy,
+    set_color,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class PGDConfig:
+    """Norm-bounded attack configuration (one preset per reference driver —
+    see BASELINE.md 'Attack budgets')."""
+
+    eps: float
+    alpha: float
+    iters: int
+    loss: str = "ce"  # "ce" (torch forks) | "hinge" (ares colperloss)
+    step_norm: str = "linf"  # "linf" sign step | "l2" unit-gradient step
+    ce_reduction: str = "sum_over_points"  # NB `nontarget.py:34` | "mean" tar_NB
+    targeted: bool = False
+    target: int = -1
+    num_classes: int = 13
+    rand_init_eps: float = 0.0  # ares NBattack random start magnitude
+    early_exit_sr: float = 0.0  # >0 ⇒ stop when targeted sr exceeds (TBIM `:508`)
+
+
+def pgd_color_attack(
+    outputs_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    points: jnp.ndarray,
+    labels: jnp.ndarray,
+    cfg: PGDConfig,
+    *,
+    mask: jnp.ndarray | None = None,
+    key: jax.Array | None = None,
+) -> AttackResult:
+    """Run the attack on a batch.
+
+    Args:
+      outputs_fn: jittable closure points[B,N,C] → model outputs [B,N,K]
+        (log-probs or logits — CE is applied on top either way, matching
+        the reference's behavior per model).
+      points: [B, N, C] clean inputs, colors in channels 3:6, range [0,1].
+      labels: [B, N] int ground truth.
+      cfg: attack budget.
+      mask: [B, N] bool — points allowed to change (targeted attacks);
+        None = all points.
+      key: PRNG key for the random init (required if rand_init_eps > 0).
+    """
+    color0 = get_color(points)
+    B = points.shape[0]
+    m = None if mask is None else mask.astype(points.dtype)[..., None]
+
+    if cfg.targeted:
+        ys = jnp.full_like(labels, cfg.target)
+    else:
+        ys = labels
+
+    def attack_loss(color):
+        adv = set_color(points, color if m is None else m * color + (1 - m) * color0)
+        outputs = outputs_fn(adv)
+        if cfg.loss == "ce":
+            ce = per_point_ce(outputs, ys)
+            if mask is not None:
+                # tar_NB computes CE over all points against the remapped
+                # labels (`target.py:36-39` uses the full target vector)
+                loss = jnp.mean(ce)
+            elif cfg.ce_reduction == "sum_over_points":
+                # `nontarget.py:34`: sum-CE over everything / num_points
+                loss = jnp.sum(ce) / points.shape[1]
+            else:
+                loss = jnp.mean(ce)
+        elif cfg.loss == "hinge":
+            per_cloud = hinge_logit_loss(outputs, ys, cfg.num_classes)
+            loss = jnp.sum(per_cloud)
+        else:
+            raise ValueError(cfg.loss)
+        return loss, outputs
+
+    grad_fn = jax.value_and_grad(attack_loss, has_aux=True)
+    direction = -1.0 if cfg.targeted else 1.0
+
+    def project(color):
+        if cfg.step_norm == "linf":
+            eta = jnp.clip(color - color0, -cfg.eps, cfg.eps)
+        else:
+            delta = (color - color0).reshape(B, -1)
+            norm = jnp.linalg.norm(delta, axis=1, keepdims=True)
+            scale = jnp.minimum(1.0, cfg.eps / jnp.maximum(norm, 1e-12))
+            eta = (delta * scale).reshape(color0.shape)
+        out = jnp.clip(color0 + eta, 0.0, 1.0)
+        if m is not None:
+            out = m * out + (1 - m) * color0
+        return out
+
+    def body(carry):
+        i, color, _, _ = carry
+        (_, outputs), g = grad_fn(color)
+        if cfg.step_norm == "linf":
+            step = cfg.alpha * jnp.sign(g)
+        else:
+            flat = g.reshape(B, -1)
+            unit = flat / jnp.maximum(
+                jnp.linalg.norm(flat, axis=1, keepdims=True), 1e-12
+            )
+            step = cfg.alpha * unit.reshape(g.shape)
+        color = project(color + direction * step)
+        acc = point_accuracy(outputs, labels)
+        if cfg.targeted and mask is not None:
+            sr = point_accuracy(outputs, jnp.full_like(labels, cfg.target), mask)
+        else:
+            sr = jnp.zeros(())
+        return i + 1, color, acc, sr
+
+    def cond(carry):
+        i, _, _, sr = carry
+        not_done = i < cfg.iters
+        if cfg.early_exit_sr > 0:
+            not_done = jnp.logical_and(
+                not_done, jnp.logical_or(i == 0, sr <= cfg.early_exit_sr)
+            )
+        return not_done
+
+    color_init = color0
+    if cfg.rand_init_eps > 0:
+        if key is None:
+            raise ValueError("rand_init_eps > 0 requires a PRNG key")
+        if cfg.step_norm == "linf":
+            noise = jax.random.uniform(
+                key, color0.shape, minval=-cfg.rand_init_eps, maxval=cfg.rand_init_eps
+            )
+        else:
+            g = jax.random.normal(key, (B, color0.size // B))
+            g = g / jnp.maximum(jnp.linalg.norm(g, axis=1, keepdims=True), 1e-12)
+            noise = (cfg.rand_init_eps * g).reshape(color0.shape)
+        color_init = project(color0 + noise)
+
+    steps, color_adv, acc, sr = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), color_init, jnp.ones(()), jnp.zeros(()))
+    )
+    adv = set_color(points, color_adv)
+    # final metrics on the returned adversary
+    outputs = outputs_fn(adv)
+    acc = point_accuracy(outputs, labels)
+    if cfg.targeted and mask is not None:
+        sr = point_accuracy(outputs, jnp.full_like(labels, cfg.target), mask)
+    return AttackResult(adv, steps, acc, sr, color_l2(adv, points))

@@ -1,0 +1,205 @@
+"""Attack evaluation driver — the reference's four `*_test_semseg.py`
+scripts, `tester_S3DIS.py` attack modes and `sem_seg_dense/test.py`
+unified behind one CLI:
+
+  python -m pointsecguard_tpu.cli.attack --model pointnet2 --attack nb \
+      --data_root data/stanford_indoor3d --log_dir log/pointnet2
+  python -m pointsecguard_tpu.cli.attack --model pointnet2 --attack tar_nb \
+      --origin 11 --target 7 ...
+
+Per block: clean forward, fused on-device attack, adversarial forward,
+L2 distortion, clean/adv vote pools, per-block TSV log; per-room and
+dataset-level clean-vs-adv IoU summary
+(`NB_nontarget_test_semseg.py:64-294` protocol).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import time
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("attack")
+    ap.add_argument("--model", default="pointnet2",
+                    choices=["pointnet2", "pointnet2_msg", "pointnet", "resgcn"])
+    ap.add_argument("--attack", default="nb",
+                    choices=["nb", "nu", "tar_nb", "tar_nu", "random"])
+    ap.add_argument("--data_root", default="data/stanford_indoor3d")
+    ap.add_argument("--log_dir", default="log/run")
+    ap.add_argument("--test_area", type=int, default=5)
+    ap.add_argument("--num_point", type=int, default=4096)
+    ap.add_argument("--batch_size", type=int, default=1,
+                    help="reference protocol uses 1; larger is faster")
+    # targeted defaults origin=11 (board) → target=7 (table)
+    # (`NB_target_test_semseg.py:48-49`)
+    ap.add_argument("--origin", type=int, default=11)
+    ap.add_argument("--target", type=int, default=7)
+    ap.add_argument("--max_blocks", type=int, default=0, help="0 = all")
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pointsecguard_tpu.attacks import (
+        attack_preset,
+        cw_color_attack,
+        equal_norm_color_noise,
+        make_target_labels,
+        pgd_color_attack,
+    )
+    from pointsecguard_tpu.attacks.cw import CWConfig
+    from pointsecguard_tpu.attacks.pgd import PGDConfig
+    from pointsecguard_tpu.data import RoomSet, WholeSceneBlocks
+    from pointsecguard_tpu.models import (
+        DenseDeepGCN,
+        PointNet2SemSegMSG,
+        PointNet2SemSegSSG,
+        PointNetSemSeg,
+    )
+    from pointsecguard_tpu.train import add_votes, create_train_state
+    from pointsecguard_tpu.utils.checkpoint import CheckpointManager
+    from pointsecguard_tpu.utils.metrics import metrics_from_confusion
+
+    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    log = logging.getLogger("attack")
+
+    if args.model == "resgcn":
+        model = DenseDeepGCN()
+        preset_family = "resgcn"
+        head = lambda out: out
+    else:
+        model = {
+            "pointnet2": PointNet2SemSegSSG,
+            "pointnet2_msg": PointNet2SemSegMSG,
+            "pointnet": PointNetSemSeg,
+        }[args.model]()
+        preset_family = "pointnet2"
+        head = lambda out: out[0]
+
+    rooms = RoomSet.load(args.data_root, "test", args.test_area)
+    B = args.batch_size
+    dummy = jnp.zeros((B, args.num_point, 9), jnp.float32)
+    state, _ = create_train_state(model, (dummy, None), rng=jax.random.PRNGKey(0))
+    ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
+    restored = ckpt.restore_best(state) or ckpt.restore_latest(state)
+    if restored is None:
+        raise SystemExit(f"no checkpoint under {args.log_dir}/checkpoints")
+    state, _ = restored
+
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    outputs_fn = lambda pts: head(model.apply(variables, pts))
+    predict = jax.jit(lambda pts: jnp.argmax(outputs_fn(pts), axis=-1))
+
+    targeted = args.attack.startswith("tar_")
+    if args.attack == "random":
+        attack_cfg = None
+    else:
+        overrides = {"targeted": True, "target": args.target} if targeted else {}
+        attack_cfg = attack_preset(preset_family, args.attack, **overrides)
+
+    if isinstance(attack_cfg, PGDConfig):
+        run_attack = jax.jit(
+            lambda pts, labels, mask, key: pgd_color_attack(
+                outputs_fn, pts, labels, attack_cfg, mask=mask, key=key
+            )
+        )
+    elif isinstance(attack_cfg, CWConfig):
+        run_attack = jax.jit(
+            lambda pts, labels, mask, key: cw_color_attack(
+                outputs_fn, pts, labels, attack_cfg, mask=mask
+            )
+        )
+    else:
+        run_attack = None
+
+    os.makedirs(args.log_dir, exist_ok=True)
+    tsv_path = os.path.join(
+        args.log_dir, f"{args.model}_{args.attack}_area{args.test_area}.tsv"
+    )
+    tsv = open(tsv_path, "w")
+    tsv.write("room\tblock\tclean_acc\tadv_acc\tl2\tsr\tsteps\ttime_s\n")
+
+    ws = WholeSceneBlocks(rooms, block_points=args.num_point)
+    rng = np.random.default_rng(args.seed)
+    key = jax.random.PRNGKey(args.seed)
+    clean_cm = np.zeros((13, 13))
+    adv_cm = np.zeros((13, 13))
+    n_blocks_done = 0
+    for room_idx, room_name in enumerate(rooms.names):
+        data, labels, weights, pidx = ws.room_blocks(room_idx, rng)
+        labels_room = rooms.labels[room_idx]
+        clean_pool = np.zeros((len(labels_room), 13))
+        adv_pool = np.zeros((len(labels_room), 13))
+        nb = data.shape[0]
+        for start in range(0, nb - B + 1, B):
+            t0 = time.time()
+            pts = jnp.array(data[start : start + B])
+            labs = jnp.array(labels[start : start + B].astype(np.int32))
+            clean_pred = np.asarray(predict(pts))
+            if targeted:
+                _, mask = make_target_labels(labs, args.origin, args.target)
+                if int(np.asarray(mask).sum()) == 0:
+                    continue  # skip blocks without origin points (`:174`)
+            else:
+                mask = None
+            key, sub = jax.random.split(key)
+            if args.attack == "random":
+                norm = jnp.full((B,), 5.0)
+                adv = equal_norm_color_noise(sub, pts, norm, mask=mask)
+                adv_pred = np.asarray(predict(adv))
+                steps, sr, l2 = 0, 0.0, float(norm[0])
+            else:
+                res = run_attack(pts, labs, mask, sub)
+                adv_pred = np.asarray(predict(res.points_adv))
+                steps = int(res.steps)
+                sr = float(res.success_rate)
+                l2 = float(np.mean(np.asarray(res.l2_dist)))
+            dt = time.time() - t0
+
+            lab_np = np.asarray(labs)
+            clean_acc = float((clean_pred == lab_np).mean())
+            adv_acc = float((adv_pred == lab_np).mean())
+            w = weights[start : start + B]
+            pi = pidx[start : start + B]
+            add_votes(clean_pool, pi, clean_pred, w)
+            add_votes(adv_pool, pi, adv_pred, w)
+            tsv.write(
+                f"{room_name}\t{start}\t{clean_acc:.4f}\t{adv_acc:.4f}"
+                f"\t{l2:.4f}\t{sr:.4f}\t{steps}\t{dt:.2f}\n"
+            )
+            tsv.flush()
+            n_blocks_done += 1
+            if args.max_blocks and n_blocks_done >= args.max_blocks:
+                break
+        clean_room = np.argmax(clean_pool, 1)
+        adv_room = np.argmax(adv_pool, 1)
+        seen = clean_pool.sum(1) > 0
+        np.add.at(clean_cm, (labels_room[seen], clean_room[seen]), 1)
+        np.add.at(adv_cm, (labels_room[seen], adv_room[seen]), 1)
+        cm_m = metrics_from_confusion(jnp.array(clean_cm))
+        am_m = metrics_from_confusion(jnp.array(adv_cm))
+        log.info(
+            "%s done: clean mIoU %.4f adv mIoU %.4f",
+            room_name, float(cm_m.miou), float(am_m.miou),
+        )
+        if args.max_blocks and n_blocks_done >= args.max_blocks:
+            break
+    tsv.close()
+    clean_m = metrics_from_confusion(jnp.array(clean_cm))
+    adv_m = metrics_from_confusion(jnp.array(adv_cm))
+    log.info(
+        "DATASET clean: mIoU %.4f acc %.4f | adv: mIoU %.4f acc %.4f",
+        float(clean_m.miou), float(clean_m.accuracy),
+        float(adv_m.miou), float(adv_m.accuracy),
+    )
+    log.info("per-block TSV: %s", tsv_path)
+    return clean_m, adv_m
+
+
+if __name__ == "__main__":
+    main()

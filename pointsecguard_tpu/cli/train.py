@@ -1,0 +1,61 @@
+"""Training driver (the reference's `train_semseg.py` / `main_S3DIS.py
+--mode train` / `sem_seg_dense/train.py`, unified):
+
+  python -m pointsecguard_tpu.cli.train --model pointnet2 \
+      --data_root data/stanford_indoor3d --log_dir log/pointnet2 [--epochs 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import time
+
+import numpy as np
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("train")
+    ap.add_argument("--model", default="pointnet2",
+                    choices=["pointnet2", "pointnet2_msg", "pointnet", "randla", "resgcn"])
+    ap.add_argument("--data_root", default="data/stanford_indoor3d")
+    ap.add_argument("--randla_dir", default="data/randla_input_0.040")
+    ap.add_argument("--log_dir", default="log/run")
+    ap.add_argument("--test_area", type=int, default=5)
+    ap.add_argument("--epochs", type=int, default=32)
+    ap.add_argument("--batch_size", type=int, default=0, help="0 = model default")
+    ap.add_argument("--npoint", type=int, default=4096)
+    ap.add_argument("--learning_rate", type=float, default=0.0)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--eval_every", type=int, default=1)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from pointsecguard_tpu.train.loops import (
+        train_pointnet_family,
+        train_randla,
+        train_resgcn,
+    )
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(message)s",
+        handlers=[
+            logging.StreamHandler(),
+            logging.FileHandler(f"{args.log_dir.rstrip('/')}.train.log", delay=True),
+        ],
+    )
+    t0 = time.time()
+    if args.model in ("pointnet2", "pointnet2_msg", "pointnet"):
+        train_pointnet_family(args)
+    elif args.model == "randla":
+        train_randla(args)
+    else:
+        train_resgcn(args)
+    logging.info("total wall time %.1f s", time.time() - t0)
+
+
+if __name__ == "__main__":
+    main()

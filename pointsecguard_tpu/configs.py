@@ -1,0 +1,85 @@
+"""Configuration tree: one dataclass hierarchy replacing the reference's
+three config styles (argparse mains `train_semseg.py:29-44`, class-attr
+configs `helper_tool.py:18-100`, `OptInit` mega-argparse `config.py:18-92`).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DataConfig:
+    data_root: str = "data/stanford_indoor3d"
+    randla_prepared_dir: str = "data/randla_input_0.040"
+    test_area: int = 5
+    num_classes: int = 13
+
+
+@dataclass(frozen=True)
+class PointNet2TrainConfig:
+    """`PointNet/train_semseg.py:29-44` defaults."""
+
+    num_point: int = 4096
+    batch_size: int = 32
+    epochs: int = 32
+    learning_rate: float = 0.001
+    weight_decay: float = 1e-4
+    lr_decay: float = 0.7
+    step_size: int = 10
+    lr_clip: float = 1e-5
+    bn_momentum: float = 0.1
+    bn_decay: float = 0.5
+    bn_clip: float = 0.01
+    block_size: float = 1.0
+
+
+@dataclass(frozen=True)
+class RandlaConfig:
+    """`helper_tool.py:44-66` ConfigS3DIS."""
+
+    k_n: int = 16
+    num_layers: int = 5
+    num_points: int = 40960
+    sub_grid_size: float = 0.04
+    batch_size: int = 6
+    val_batch_size: int = 1
+    train_steps: int = 500
+    val_steps: int = 100
+    sub_sampling_ratio: tuple = (4, 4, 4, 4, 2)
+    d_out: tuple = (16, 64, 128, 256, 512)
+    noise_init: float = 3.5
+    max_epoch: int = 100
+    learning_rate: float = 1e-2
+    lr_decay: float = 0.95
+
+
+@dataclass(frozen=True)
+class ResgcnConfig:
+    """`ResGCN/sem_seg_dense/config.py:18-92` defaults."""
+
+    num_point: int = 4096
+    in_channels: int = 9
+    k: int = 16
+    n_blocks: int = 28
+    n_filters: int = 64
+    block: str = "res"
+    conv: str = "edge"
+    epsilon: float = 0.0  # stochastic knn epsilon (0.2 to enable)
+    stochastic: bool = True
+    dropout: float = 0.0
+    batch_size: int = 1
+    total_epochs: int = 100
+    lr: float = 1e-3
+    lr_adjust_freq: int = 20
+    lr_decay_rate: float = 0.0
+
+
+@dataclass(frozen=True)
+class ExperimentConfig:
+    data: DataConfig = field(default_factory=DataConfig)
+    pointnet2: PointNet2TrainConfig = field(default_factory=PointNet2TrainConfig)
+    randla: RandlaConfig = field(default_factory=RandlaConfig)
+    resgcn: ResgcnConfig = field(default_factory=ResgcnConfig)
+    log_dir: str = "log"
+    seed: int = 0

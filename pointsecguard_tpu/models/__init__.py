@@ -1,0 +1,39 @@
+"""Model zoo: the three reference families, unified on one op library."""
+
+from pointsecguard_tpu.models.pointnet import (
+    PointNetCls,
+    PointNetEncoder,
+    PointNetSemSeg,
+    feature_transform_regularizer,
+)
+from pointsecguard_tpu.models.pointnet2 import (
+    FeaturePropagation,
+    PointNet2SemSegMSG,
+    PointNet2SemSegSSG,
+    SetAbstraction,
+    SetAbstractionMSG,
+    weighted_nll_loss,
+)
+from pointsecguard_tpu.models.randlanet import (
+    RandLANet,
+    build_pyramid,
+    weighted_softmax_ce_loss,
+)
+from pointsecguard_tpu.models.resgcn import DenseDeepGCN
+
+__all__ = [
+    "DenseDeepGCN",
+    "FeaturePropagation",
+    "PointNet2SemSegMSG",
+    "PointNet2SemSegSSG",
+    "PointNetCls",
+    "PointNetEncoder",
+    "PointNetSemSeg",
+    "RandLANet",
+    "SetAbstraction",
+    "SetAbstractionMSG",
+    "build_pyramid",
+    "feature_transform_regularizer",
+    "weighted_nll_loss",
+    "weighted_softmax_ce_loss",
+]

@@ -1,0 +1,222 @@
+"""RandLA-Net for large-scale point-cloud segmentation.
+
+TPU-native re-design of `RandLA-Net/RandLANet.py` (encoder/decoder
+`inference:150-190`, LFA blocks `:323-410`) keeping the reference's model
+contract: a 5-level pyramid of (xyz, neighbor idx, pool idx, upsample idx)
+plus [B, N, 6] features in, per-point logits out (SURVEY.md §3.4).
+
+Differences by design:
+- the pyramid is built **on device** with the fused kNN op
+  (``build_pyramid``) instead of host nanoflann via ``tf.py_func``
+  (`main_S3DIS.py:198-207`) — the whole eval/attack path is one XLA program;
+- per-point 1×1 convs are Dense layers (MXU); attentive pooling's softmax
+  and weighted sum fuse into the surrounding matmuls.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pointsecguard_tpu import ops
+from pointsecguard_tpu.models.common import PointConv
+
+# TF batch_normalization defaults in the reference (`RandLANet.py:160`,
+# `helper_tf_util.py:457`): momentum 0.99, epsilon 1e-6.
+_BN_EPS = 1e-6
+_BN_MOM = 0.99
+
+
+def _conv(feats: int, act: str = "leaky_relu", bn: bool = True) -> PointConv:
+    return PointConv(feats, act=act, bn=bn, bn_epsilon=_BN_EPS)
+
+
+def build_pyramid(
+    xyz: jnp.ndarray,
+    *,
+    num_layers: int = 5,
+    k: int = 16,
+    sub_ratios: Sequence[int] = (4, 4, 4, 4, 2),
+    knn_tile: int | None = 4096,
+) -> dict:
+    """Compute the RandLA input pyramid on device.
+
+    Mirrors the reference tf.data map fn (`main_S3DIS.py:188-214`): at each
+    level, kNN(k) self-neighbors; the first N/r points (of an already
+    shuffled cloud) become the next level; pool indices are the kNN of the
+    kept points in the full level; upsample indices are the 1-NN of the
+    full level among the kept points.
+
+    Args:
+      xyz: [B, N, 3]; N must be divisible by prod(sub_ratios).
+
+    Returns:
+      dict with tuple-of-levels fields: xyz, neigh_idx, sub_idx, interp_idx.
+    """
+    def knn_padded(query, pts, kk, tile):
+        """kNN that tolerates kk > N (tiny clouds in tests / deep levels):
+        repeats the neighbor list to reach kk columns."""
+        n = pts.shape[1]
+        k_eff = min(kk, n)
+        _, idx = ops.knn(query, pts, k_eff, tile=tile)
+        if k_eff < kk:
+            reps = -(-kk // k_eff)
+            idx = jnp.tile(idx, (1, 1, reps))[:, :, :kk]
+        return idx
+
+    xyzs, neighs, subs, interps = [], [], [], []
+    cur = xyz
+    for i in range(num_layers):
+        n = cur.shape[1]
+        tile = knn_tile if (knn_tile and n > knn_tile) else None
+        neigh = knn_padded(cur, cur, k, tile)
+        sub_n = n // sub_ratios[i]
+        sub_xyz = cur[:, :sub_n, :]
+        sub_idx = neigh[:, :sub_n, :]  # kNN rows of the kept points
+        _, interp = ops.knn(cur, sub_xyz, 1)
+        xyzs.append(cur)
+        neighs.append(neigh)
+        subs.append(sub_idx)
+        interps.append(interp)
+        cur = sub_xyz
+    return {
+        "xyz": tuple(xyzs),
+        "neigh_idx": tuple(neighs),
+        "sub_idx": tuple(subs),
+        "interp_idx": tuple(interps),
+    }
+
+
+class AttentivePooling(nn.Module):
+    """Attention-weighted neighbor aggregation (`RandLANet.py:397-410`)."""
+
+    d_out: int
+
+    @nn.compact
+    def __call__(self, feature_set, *, train=False):
+        # feature_set: [B, N, K, d]
+        d = feature_set.shape[-1]
+        scores = nn.Dense(d, use_bias=False)(feature_set)
+        scores = nn.softmax(scores, axis=2)
+        agg = jnp.sum(feature_set * scores, axis=2)  # [B, N, d]
+        return _conv(self.d_out)(agg, train=train, momentum=_BN_MOM)
+
+
+class LocalFeatureAggregation(nn.Module):
+    """Local Feature Aggregation: the `building_block` of
+    `RandLANet.py:332-344` (relative position encoding + two rounds of
+    attentive pooling over the kNN neighborhood)."""
+
+    d_out: int
+
+    @nn.compact
+    def __call__(self, xyz, feature, neigh_idx, *, train=False):
+        d_in = feature.shape[-1]
+        K = neigh_idx.shape[-1]
+
+        # relative_pos_encoding (`RandLANet.py:346-352`): [dist, rel, center, neighbor]
+        neighbor_xyz = ops.gather_points(xyz, neigh_idx)  # [B, N, K, 3]
+        center = jnp.broadcast_to(xyz[:, :, None, :], neighbor_xyz.shape)
+        rel = center - neighbor_xyz
+        dist = jnp.sqrt(jnp.sum(rel**2, axis=-1, keepdims=True))
+        f_xyz = jnp.concatenate([dist, rel, center, neighbor_xyz], axis=-1)
+
+        f_xyz1 = _conv(d_in)(f_xyz, train=train, momentum=_BN_MOM)
+        f_neigh = ops.gather_points(feature, neigh_idx)  # [B, N, K, d_in]
+        f_agg = AttentivePooling(self.d_out // 2)(
+            jnp.concatenate([f_neigh, f_xyz1], axis=-1), train=train
+        )
+
+        f_xyz2 = _conv(self.d_out // 2)(f_xyz1, train=train, momentum=_BN_MOM)
+        f_neigh2 = ops.gather_points(f_agg, neigh_idx)
+        return AttentivePooling(self.d_out)(
+            jnp.concatenate([f_neigh2, f_xyz2], axis=-1), train=train
+        )
+
+
+class DilatedResBlock(nn.Module):
+    """Dilated residual block (`RandLANet.py:323-330`)."""
+
+    d_out: int
+
+    @nn.compact
+    def __call__(self, feature, xyz, neigh_idx, *, train=False):
+        f = _conv(self.d_out // 2)(feature, train=train, momentum=_BN_MOM)
+        f = LocalFeatureAggregation(self.d_out)(xyz, f, neigh_idx, train=train)
+        f = _conv(2 * self.d_out, act="none")(f, train=train, momentum=_BN_MOM)
+        shortcut = _conv(2 * self.d_out, act="none")(
+            feature, train=train, momentum=_BN_MOM
+        )
+        return nn.leaky_relu(f + shortcut, negative_slope=0.2)
+
+
+class RandLANet(nn.Module):
+    """RandLA-Net encoder/decoder (`RandLANet.py:150-190`).
+
+    Call with features [B, N, C_in] and a pyramid dict from
+    ``build_pyramid`` (or precomputed host-side). Returns logits
+    [B, N, num_classes] (no softmax, matching the reference).
+    """
+
+    num_classes: int = 13
+    d_out: Sequence[int] = (16, 64, 128, 256, 512)
+
+    @nn.compact
+    def __call__(self, features, pyramid, *, train: bool = False, momentum=None):
+        # `momentum` accepted for trainer-API uniformity; RandLA's BN decay
+        # is fixed at the reference's TF default (0.99) — see _BN_MOM.
+        del momentum
+        num_layers = len(self.d_out)
+        xyz = pyramid["xyz"]
+        neigh_idx = pyramid["neigh_idx"]
+        sub_idx = pyramid["sub_idx"]
+        interp_idx = pyramid["interp_idx"]
+
+        # fc0 then BN + leaky_relu (`RandLANet.py:158-160`)
+        from pointsecguard_tpu.models.common import BatchNorm
+
+        f = nn.Dense(8)(features)
+        f = BatchNorm(epsilon=_BN_EPS)(f, not train, _BN_MOM)
+        f = nn.leaky_relu(f, negative_slope=0.2)
+
+        # Encoder
+        enc = []
+        for i in range(num_layers):
+            f_enc = DilatedResBlock(self.d_out[i])(
+                f, xyz[i], neigh_idx[i], train=train
+            )
+            f = ops.random_sample_pool(f_enc, sub_idx[i])
+            if i == 0:
+                enc.append(f_enc)
+            enc.append(f)
+
+        f = _conv(enc[-1].shape[-1])(f, train=train, momentum=_BN_MOM)
+
+        # Decoder
+        for j in range(num_layers):
+            f_interp = ops.nearest_upsample(f, interp_idx[-j - 1])
+            f = _conv(enc[-j - 2].shape[-1])(
+                jnp.concatenate([enc[-j - 2], f_interp], axis=-1),
+                train=train,
+                momentum=_BN_MOM,
+            )
+
+        f = _conv(64)(f, train=train, momentum=_BN_MOM)
+        f = _conv(32)(f, train=train, momentum=_BN_MOM)
+        f = nn.Dropout(0.5, deterministic=not train)(f)
+        return nn.Dense(self.num_classes)(f)
+
+
+def weighted_softmax_ce_loss(
+    logits: jnp.ndarray, labels: jnp.ndarray, class_weights: jnp.ndarray
+) -> jnp.ndarray:
+    """RandLA's weighted softmax cross-entropy (`RandLANet.py:313-321`):
+    per-point weight = class weight of the label; mean of weighted CE."""
+    lp = jax.nn.log_softmax(logits.reshape(-1, logits.shape[-1]))
+    y = labels.reshape(-1)
+    ce = -jnp.take_along_axis(lp, y[:, None], axis=1)[:, 0]
+    w = class_weights[y]
+    return jnp.mean(ce * w)

@@ -1,0 +1,191 @@
+"""DeepGCN / ResGCN-28: dense dynamic EdgeConv backbone.
+
+TPU-native re-design of `ResGCN/sem_seg_dense/architecture.py:6-68`
+(`DenseDeepGCN`) over `ResGCN/gcn_lib/dense/` (EdgeConv `torch_vertex.py:23-35`,
+dense dilated kNN `torch_edge.py:6-79`, BasicConv `torch_nn.py:55-79`).
+Channels-last [B, N, C]; each block's dense 4096×4096 kNN is one distance
+matmul + top_k on the MXU (the reference recomputes this per block per
+attack iteration on host-launched CUDA kernels).
+
+Reproduced quirks: BasicConv applies Conv → activation → BatchNorm in that
+order, and the k-NN graph includes the point itself (topk of the raw
+distance row).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from pointsecguard_tpu import ops
+from pointsecguard_tpu.models.common import BatchNorm
+
+
+class BasicConv(nn.Module):
+    """Conv(1×1) → act → BatchNorm stacks (`torch_nn.py:55-79` ordering)."""
+
+    channels: Sequence[int]
+    act: str | None = "relu"
+    norm: str | None = "batch"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, *, train=False):
+        for f in self.channels:
+            x = nn.Dense(
+                f,
+                use_bias=self.use_bias,
+                kernel_init=nn.initializers.kaiming_normal(),
+            )(x)
+            if self.act == "relu":
+                x = nn.relu(x)
+            elif self.act == "leakyrelu":
+                x = nn.leaky_relu(x, negative_slope=0.2)
+            if self.norm == "batch":
+                x = BatchNorm()(x, not train)
+        return x
+
+
+class EdgeConv(nn.Module):
+    """EdgeConv (`torch_vertex.py:23-35`): max over neighbors of
+    MLP([x_i, x_j − x_i])."""
+
+    out_channels: int
+    act: str = "relu"
+    norm: str = "batch"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, edge_idx, *, train=False):
+        # x: [B, N, C]; edge_idx: [B, N, K] neighbor indices
+        x_j = ops.gather_points(x, edge_idx)  # [B, N, K, C]
+        x_i = jnp.broadcast_to(x[:, :, None, :], x_j.shape)
+        h = jnp.concatenate([x_i, x_j - x_i], axis=-1)
+        h = BasicConv((self.out_channels,), self.act, self.norm, self.use_bias)(
+            h, train=train
+        )
+        return jnp.max(h, axis=2)
+
+
+class MRConv(nn.Module):
+    """Max-relative graph conv (`torch_vertex.py:8-20`)."""
+
+    out_channels: int
+    act: str = "relu"
+    norm: str = "batch"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x, edge_idx, *, train=False):
+        x_j = ops.gather_points(x, edge_idx)
+        x_i = jnp.broadcast_to(x[:, :, None, :], x_j.shape)
+        rel = jnp.max(x_j - x_i, axis=2)  # [B, N, C]
+        h = jnp.concatenate([x, rel], axis=-1)
+        return BasicConv((self.out_channels,), self.act, self.norm, self.use_bias)(
+            h, train=train
+        )
+
+
+def _graph_conv(conv: str, out_channels: int, act: str, norm: str, bias: bool):
+    if conv == "edge":
+        return EdgeConv(out_channels, act, norm, bias)
+    if conv == "mr":
+        return MRConv(out_channels, act, norm, bias)
+    raise NotImplementedError(f"conv:{conv} is not supported")
+
+
+class DynConv(nn.Module):
+    """Dynamic graph conv: recompute dilated kNN on current features
+    (`torch_vertex.py:55-71`)."""
+
+    out_channels: int
+    k: int = 16
+    dilation: int = 1
+    conv: str = "edge"
+    act: str = "relu"
+    norm: str = "batch"
+    use_bias: bool = True
+    stochastic: bool = False
+    epsilon: float = 0.0
+
+    @nn.compact
+    def __call__(self, x, *, train=False):
+        idx = ops.dense_knn_graph(x, self.k * self.dilation)
+        key = (
+            self.make_rng("sample")
+            if (self.stochastic and train and self.has_rng("sample"))
+            else None
+        )
+        idx = ops.dilate_neighbors(
+            idx,
+            self.dilation,
+            stochastic=self.stochastic and train,
+            epsilon=self.epsilon,
+            key=key,
+        )
+        return _graph_conv(self.conv, self.out_channels, self.act, self.norm, self.use_bias)(
+            x, idx, train=train
+        )
+
+
+class DenseDeepGCN(nn.Module):
+    """ResGCN-28 semantic segmentation (`architecture.py:6-68`).
+
+    Input [B, N, 9] (xyz | rgb | normalized xyz, torch_geometric order:
+    pos ++ x, see `train.py:56`); output logits [B, N, num_classes].
+    """
+
+    num_classes: int = 13
+    n_blocks: int = 28
+    n_filters: int = 64
+    k: int = 16
+    block: str = "res"
+    conv: str = "edge"
+    act: str = "relu"
+    norm: str = "batch"
+    use_bias: bool = True
+    stochastic: bool = True
+    epsilon: float = 0.0
+    dropout: float = 0.0
+    res_scale: float = 1.0
+
+    @nn.compact
+    def __call__(self, points, *, train: bool = False, momentum=None):
+        # `momentum` accepted for trainer-API uniformity; torch BN default
+        # (0.1 ⇒ keep 0.9) is fixed inside BasicConv.
+        del momentum
+        assert self.block == "res", "only the res backbone has a driver in the reference"
+        xyz = points[..., :3]
+        head_idx = ops.dense_knn_graph(xyz, self.k)
+        feats = [
+            _graph_conv(self.conv, self.n_filters, self.act, self.norm, self.use_bias)(
+                points, head_idx, train=train
+            )
+        ]
+        for i in range(self.n_blocks - 1):
+            body = DynConv(
+                self.n_filters,
+                k=self.k,
+                dilation=1 + i,
+                conv=self.conv,
+                act=self.act,
+                norm=self.norm,
+                use_bias=self.use_bias,
+                stochastic=self.stochastic,
+                epsilon=self.epsilon,
+            )(feats[-1], train=train)
+            feats.append(body + feats[-1] * self.res_scale)
+
+        h = jnp.concatenate(feats, axis=-1)  # [B, N, 64*28]
+        fusion = BasicConv((1024,), self.act, self.norm, self.use_bias)(h, train=train)
+        fusion = jnp.max(fusion, axis=1, keepdims=True)  # [B, 1, 1024]
+        fusion = jnp.broadcast_to(fusion, (h.shape[0], h.shape[1], 1024))
+
+        x = jnp.concatenate([fusion, h], axis=-1)
+        x = BasicConv((512,), self.act, self.norm, self.use_bias)(x, train=train)
+        x = BasicConv((256,), self.act, self.norm, self.use_bias)(x, train=train)
+        x = nn.Dropout(self.dropout, deterministic=not train)(x) if self.dropout else x
+        return BasicConv((self.num_classes,), None, None, self.use_bias)(x, train=train)

@@ -1,0 +1,10 @@
+"""Mesh / sharding utilities for multi-chip scaling."""
+
+from pointsecguard_tpu.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated,
+    shard_batch,
+)
+
+__all__ = ["batch_sharding", "make_mesh", "replicated", "shard_batch"]

@@ -1,0 +1,52 @@
+"""Device mesh and sharding helpers.
+
+The reference is single-process single-GPU (SURVEY.md §2.4); the TPU
+rebuild scales data-parallel by construction: one ``jax.sharding.Mesh``
+over all chips, batches sharded along the leading axis, parameters
+replicated, gradient/metric reductions left to the GSPMD partitioner
+(collectives ride the ICI). An optional second mesh axis ("points")
+supports sequence-parallel sharding of the N-points axis for very large
+clouds — not required for parity but exercised by the multichip dry run.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(
+    devices: list | None = None, *, points_axis: int = 1
+) -> Mesh:
+    """1-D data mesh by default; 2-D (data × points) if points_axis > 1."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if points_axis > 1:
+        if n % points_axis:
+            raise ValueError(f"{n} devices not divisible by points axis {points_axis}")
+        arr = np.array(devices).reshape(n // points_axis, points_axis)
+        return Mesh(arr, ("data", "points"))
+    return Mesh(np.array(devices), ("data",))
+
+
+def batch_sharding(mesh: Mesh, *, shard_points: bool = False) -> NamedSharding:
+    """Sharding for [B, N, ...] batches: B over 'data', optionally N over
+    'points'."""
+    if shard_points and "points" in mesh.axis_names:
+        return NamedSharding(mesh, P("data", "points"))
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, tree, *, shard_points: bool = False):
+    """Device-put a host batch pytree with batch-axis sharding."""
+    sh = batch_sharding(mesh, shard_points=shard_points)
+
+    def put(x):
+        return jax.device_put(x, sh if np.ndim(x) >= 1 else replicated(mesh))
+
+    return jax.tree_util.tree_map(put, tree)

@@ -1,0 +1,244 @@
+"""Family-specific training loops behind the unified CLI.
+
+Semantics per reference driver:
+- PointNet/PointNet++: `train_semseg.py:148-265` — z-rotation augmentation,
+  weighted NLL, Adam with step-decay + BN-momentum anneal, whole-scene
+  eval, best-mIoU checkpointing, auto-resume.
+- RandLA-Net: `RandLANet.py:197-250` — spatially-regular sampler, weighted
+  softmax CE, Adam ×0.95/epoch.
+- ResGCN: `sem_seg_dense/train.py:50-95` — plain CE over 4096-pt samples.
+  (The reference consumes torch_geometric's HDF5 S3DIS; this loop feeds
+  the same 9-channel blocks from our sampler — statistical, not bitwise,
+  parity of the data distribution.)
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+
+def train_pointnet_family(args):
+    import jax
+    import jax.numpy as jnp
+
+    from pointsecguard_tpu.data import RoomSet, S3DISBlockSampler, augment
+    from pointsecguard_tpu.models import (
+        PointNet2SemSegMSG,
+        PointNet2SemSegSSG,
+        PointNetSemSeg,
+        feature_transform_regularizer,
+        weighted_nll_loss,
+    )
+    from pointsecguard_tpu.train import (
+        create_train_state,
+        evaluate_whole_scenes,
+        make_eval_step,
+        make_train_step,
+        pointnet2_bn_momentum,
+        pointnet2_lr,
+    )
+    from pointsecguard_tpu.utils.checkpoint import CheckpointManager
+
+    rooms = RoomSet.load(args.data_root, "train", args.test_area)
+    test_rooms = RoomSet.load(args.data_root, "test", args.test_area)
+    sampler = S3DISBlockSampler(rooms, num_point=args.npoint)
+    batch_size = args.batch_size or 32
+    base_lr = args.learning_rate or 0.001
+
+    if args.model == "pointnet2":
+        model = PointNet2SemSegSSG()
+        aux = None
+    elif args.model == "pointnet2_msg":
+        model = PointNet2SemSegMSG()
+        aux = None
+    else:
+        model = PointNetSemSeg()
+        # loss += 0.001 · feature-transform regularizer (`pointnet_sem_seg.py:40-49`)
+        aux = lambda out: 0.001 * feature_transform_regularizer(out[1])
+
+    rng = np.random.default_rng(args.seed)
+    pts0, lab0 = next(iter(sampler.batches(rng, batch_size)))
+    state, tx = create_train_state(
+        model, (jnp.array(pts0), jnp.array(lab0)), rng=jax.random.PRNGKey(args.seed)
+    )
+    step_fn = make_train_step(model, tx, weighted_nll_loss, aux_loss=aux)
+    eval_fn = make_eval_step(model)
+    weights = jnp.array(rooms.label_weights)
+    ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
+    resumed = ckpt.restore_latest(state)
+    start_epoch = 0
+    if resumed:
+        state, start_epoch = resumed
+        log.info("resumed from epoch %d", start_epoch)
+
+    key = jax.random.PRNGKey(args.seed + 1)
+    best_miou = 0.0
+    for epoch in range(start_epoch, args.epochs):
+        lr = pointnet2_lr(epoch, base=base_lr)
+        bn_m = pointnet2_bn_momentum(epoch)
+        t0, n_batches, loss_sum = time.time(), 0, 0.0
+        for pts, labels in sampler.batches(rng, batch_size):
+            pts[:, :, :3] = augment.rotate_point_cloud_z(pts[:, :, :3], rng)
+            key, sub = jax.random.split(key)
+            state, loss, _ = step_fn(
+                state, jnp.array(pts), jnp.array(labels), weights, lr, bn_m, sub
+            )
+            loss_sum += float(loss)
+            n_batches += 1
+        log.info(
+            "epoch %d lr %.2g bn_m %.3f loss %.4f (%.1fs, %d batches)",
+            epoch, lr, bn_m, loss_sum / max(n_batches, 1), time.time() - t0,
+            n_batches,
+        )
+        if (epoch + 1) % args.eval_every == 0 or epoch == args.epochs - 1:
+            predict = lambda p: np.asarray(eval_fn(state, jnp.array(p)))
+            total, _ = evaluate_whole_scenes(
+                predict, test_rooms, block_points=args.npoint,
+                rng=np.random.default_rng(args.seed),
+            )
+            miou = float(total.miou)
+            log.info("epoch %d eval mIoU %.4f acc %.4f", epoch, miou,
+                     float(total.accuracy))
+            best_miou = max(best_miou, miou)
+            ckpt.save(epoch + 1, state, miou=miou)
+    log.info("best mIoU %.4f", best_miou)
+    return state, best_miou
+
+
+def train_randla(args):
+    import jax
+    import jax.numpy as jnp
+
+    from pointsecguard_tpu.configs import RandlaConfig
+    from pointsecguard_tpu.data import SpatiallyRegularSampler
+    from pointsecguard_tpu.models import RandLANet, build_pyramid, weighted_softmax_ce_loss
+    from pointsecguard_tpu.train import (
+        create_train_state,
+        make_train_step,
+        randla_lr,
+    )
+    from pointsecguard_tpu.utils.checkpoint import CheckpointManager
+    from pointsecguard_tpu.utils.metrics import metrics_from_confusion
+
+    cfg = RandlaConfig()
+    rng = np.random.default_rng(args.seed)
+    train_sampler = SpatiallyRegularSampler.load(
+        args.randla_dir, split="train", test_area=args.test_area,
+        num_points=cfg.num_points, rng=rng,
+    )
+    val_sampler = SpatiallyRegularSampler.load(
+        args.randla_dir, split="test", test_area=args.test_area,
+        num_points=cfg.num_points, rng=np.random.default_rng(args.seed + 9),
+    )
+    model = RandLANet(d_out=cfg.d_out)
+    model_args = lambda feats: (
+        feats,
+        build_pyramid(
+            feats[..., :3], num_layers=cfg.num_layers, k=cfg.k_n,
+            sub_ratios=cfg.sub_sampling_ratio,
+        ),
+    )
+    # class weights from inverse class frequency (`helper_tool.py:245-261`)
+    hist = np.zeros(13)
+    for c in train_sampler.clouds:
+        h, _ = np.histogram(c.labels, range(14))
+        hist += h
+    weights = jnp.array((hist.sum() / np.maximum(hist, 1)) ** 0.5 / 100 + 0.02)
+
+    batch_size = args.batch_size or cfg.batch_size
+    _, f0, l0, _, _ = next(iter(train_sampler.batches(batch_size, 1)))
+    state, tx = create_train_state(
+        model, (jnp.array(f0), jnp.array(l0)), rng=jax.random.PRNGKey(args.seed),
+        model_args=model_args,
+    )
+    step_fn = make_train_step(
+        model, tx, weighted_softmax_ce_loss, model_args=model_args,
+        output_head=lambda out: out,
+    )
+    ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
+    key = jax.random.PRNGKey(args.seed + 1)
+    best_miou = 0.0
+    for epoch in range(args.epochs):
+        lr = randla_lr(epoch, base=args.learning_rate or cfg.learning_rate)
+        t0 = time.time()
+        for _, feats, labels, _, _ in train_sampler.batches(
+            batch_size, cfg.train_steps
+        ):
+            key, sub = jax.random.split(key)
+            state, loss, _ = step_fn(
+                state, jnp.array(feats), jnp.array(labels), weights, lr, 0.01,
+                sub,
+            )
+        # validation confusion over val_steps batches (`RandLANet.py:255-311`)
+        import jax as _jax
+
+        cm = np.zeros((13, 13))
+        from pointsecguard_tpu.train import make_eval_step
+
+        eval_fn = make_eval_step(model, model_args=model_args,
+                                 output_head=lambda out: out)
+        for _, feats, labels, _, _ in val_sampler.batches(
+            cfg.val_batch_size, min(cfg.val_steps, 20)
+        ):
+            preds = np.asarray(eval_fn(state, jnp.array(feats)))
+            np.add.at(cm, (labels.reshape(-1), preds.reshape(-1)), 1)
+        m = metrics_from_confusion(jnp.array(cm))
+        miou = float(m.miou)
+        log.info("epoch %d loss %.4f val mIoU %.4f (%.1fs)", epoch,
+                 float(loss), miou, time.time() - t0)
+        if miou > best_miou:
+            best_miou = miou
+            ckpt.save(epoch + 1, state, miou=miou)
+    return state, best_miou
+
+
+def train_resgcn(args):
+    import jax
+    import jax.numpy as jnp
+
+    from pointsecguard_tpu.configs import ResgcnConfig
+    from pointsecguard_tpu.data import RoomSet, S3DISBlockSampler
+    from pointsecguard_tpu.models import DenseDeepGCN
+    from pointsecguard_tpu.train import create_train_state, make_train_step, resgcn_lr
+    from pointsecguard_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = ResgcnConfig()
+    rooms = RoomSet.load(args.data_root, "train", args.test_area)
+    sampler = S3DISBlockSampler(rooms, num_point=cfg.num_point)
+    model = DenseDeepGCN(
+        n_blocks=cfg.n_blocks, n_filters=cfg.n_filters, k=cfg.k,
+        epsilon=cfg.epsilon, stochastic=cfg.stochastic, dropout=cfg.dropout,
+    )
+
+    def ce_loss(logits, labels, _):
+        lp = jax.nn.log_softmax(logits)
+        return -jnp.mean(jnp.take_along_axis(lp, labels[..., None], axis=-1))
+
+    rng = np.random.default_rng(args.seed)
+    batch_size = args.batch_size or 8
+    pts0, lab0 = next(iter(sampler.batches(rng, batch_size)))
+    state, tx = create_train_state(
+        model, (jnp.array(pts0), jnp.array(lab0)), rng=jax.random.PRNGKey(args.seed)
+    )
+    step_fn = make_train_step(model, tx, ce_loss, output_head=lambda o: o)
+    ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
+    key = jax.random.PRNGKey(args.seed + 1)
+    for epoch in range(args.epochs):
+        lr = resgcn_lr(epoch, base=args.learning_rate or cfg.lr)
+        t0, losses = time.time(), []
+        for pts, labels in sampler.batches(rng, batch_size):
+            key, sub = jax.random.split(key)
+            state, loss, _ = step_fn(
+                state, jnp.array(pts), jnp.array(labels), jnp.ones(13), lr,
+                0.1, sub,
+            )
+            losses.append(float(loss))
+        log.info("epoch %d loss %.4f (%.1fs)", epoch, np.mean(losses),
+                 time.time() - t0)
+        ckpt.save(epoch + 1, state, miou=-np.mean(losses))
+    return state, None

@@ -9,12 +9,18 @@ import os
 
 # Force CPU even when the environment pins a TPU platform (e.g. axon):
 # the unit suite must be fast and exercise the virtual 8-device mesh.
+# NOTE: the axon sitecustomize sets jax.config.jax_platforms programmatically,
+# overriding the JAX_PLATFORMS env var — so update the config directly too.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

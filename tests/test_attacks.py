@@ -1,0 +1,225 @@
+"""Attack-engine property tests.
+
+The reference has no attack tests; these check the invariants its
+protocol depends on (SURVEY.md §4 recommendations): ε-ball containment,
+[0,1] clipping, XYZ immutability, mask invariance (non-masked colors
+bit-identical), attack effectiveness on a differentiable surrogate, and
+early-exit behavior. A tiny linear color→logits surrogate keeps each
+test fast while preserving real gradients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointsecguard_tpu.attacks import (
+    CWConfig,
+    PGDConfig,
+    attack_preset,
+    cw_color_attack,
+    equal_norm_color_noise,
+    make_target_labels,
+    pgd_color_attack,
+)
+
+B, N, C = 2, 64, 13
+
+
+@pytest.fixture(scope="module")
+def surrogate():
+    key = jax.random.PRNGKey(42)
+    W = jax.random.normal(key, (3, C))
+
+    def outputs_fn(points):
+        return points[..., 3:6] @ W  # logits from color only
+
+    return outputs_fn
+
+
+@pytest.fixture(scope="module")
+def batch(surrogate):
+    rng = np.random.RandomState(1)
+    pts = jnp.array(rng.rand(B, N, 9).astype(np.float32))
+    labels = jnp.argmax(surrogate(pts), axis=-1)  # clean acc = 1.0
+    return pts, labels
+
+
+def achievable_target(surrogate, origin):
+    """A class other than `origin` that the linear surrogate can actually
+    produce as argmax for some color in [0,1]³ (targeted attacks on an
+    unreachable class cannot succeed by construction)."""
+    corners = jnp.array(
+        [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)],
+        jnp.float32,
+    )
+    pts = jnp.zeros((1, corners.shape[0], 9)).at[0, :, 3:6].set(corners)
+    reachable = set(np.asarray(jnp.argmax(surrogate(pts), -1)[0]).tolist())
+    reachable.discard(int(origin))
+    return sorted(reachable)[0]
+
+
+class TestPGD:
+    def test_untargeted_reduces_accuracy(self, surrogate, batch):
+        pts, labels = batch
+        cfg = PGDConfig(eps=0.3, alpha=0.05, iters=20)
+        res = jax.jit(
+            lambda p, y: pgd_color_attack(surrogate, p, y, cfg)
+        )(pts, labels)
+        assert float(res.acc) < 0.5
+        assert int(res.steps) == 20
+
+    def test_eps_ball_and_clip_invariants(self, surrogate, batch):
+        pts, labels = batch
+        cfg = PGDConfig(eps=0.1, alpha=0.05, iters=10)
+        res = pgd_color_attack(surrogate, pts, labels, cfg)
+        delta = np.asarray(res.points_adv[..., 3:6] - pts[..., 3:6])
+        assert np.abs(delta).max() <= 0.1 + 1e-6
+        color = np.asarray(res.points_adv[..., 3:6])
+        assert color.min() >= -1e-6 and color.max() <= 1 + 1e-6
+
+    def test_xyz_and_extra_channels_untouched(self, surrogate, batch):
+        pts, labels = batch
+        cfg = PGDConfig(eps=0.3, alpha=0.1, iters=5)
+        res = pgd_color_attack(surrogate, pts, labels, cfg)
+        np.testing.assert_array_equal(
+            np.asarray(res.points_adv[..., :3]), np.asarray(pts[..., :3])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res.points_adv[..., 6:]), np.asarray(pts[..., 6:])
+        )
+
+    def test_hinge_zero_grad_at_clean_point(self, surrogate, batch):
+        # The ares colperloss max(0, other−real) has zero gradient while
+        # every point is correctly classified — the reference's NBattack
+        # relies on random init to bootstrap (`NBattack.py:8-49`). Without
+        # init the attack must be a no-op.
+        pts, labels = batch
+        cfg = PGDConfig(eps=1.5, alpha=0.3, iters=5, step_norm="l2", loss="hinge")
+        res = pgd_color_attack(surrogate, pts, labels, cfg)
+        np.testing.assert_array_equal(
+            np.asarray(res.points_adv), np.asarray(pts)
+        )
+
+    def test_l2_step_and_projection(self, surrogate, batch):
+        pts, labels = batch
+        cfg = PGDConfig(
+            eps=1.5, alpha=0.3, iters=10, step_norm="l2", loss="hinge",
+            rand_init_eps=1.5 / 5.0,
+        )
+        res = pgd_color_attack(
+            surrogate, pts, labels, cfg, key=jax.random.PRNGKey(7)
+        )
+        delta = np.asarray(res.points_adv[..., 3:6] - pts[..., 3:6]).reshape(B, -1)
+        norms = np.linalg.norm(delta, axis=1)
+        assert (norms <= 1.5 + 1e-4).all()
+        assert float(res.acc) < 1.0
+
+    def test_targeted_mask_invariance(self, surrogate, batch):
+        pts, labels = batch
+        origin = int(np.asarray(labels)[0, 0])
+        target = achievable_target(surrogate, origin)
+        _, mask = make_target_labels(labels, origin, target)
+        cfg = PGDConfig(eps=0.5, alpha=0.1, iters=30, targeted=True, target=target)
+        res = pgd_color_attack(surrogate, pts, labels, cfg, mask=mask)
+        inv_mask = ~np.asarray(mask)
+        np.testing.assert_array_equal(
+            np.asarray(res.points_adv)[inv_mask], np.asarray(pts)[inv_mask]
+        )
+        # masked points should move toward the target class
+        assert float(res.success_rate) > 0.5
+
+    def test_rand_init_within_ball(self, surrogate, batch):
+        pts, labels = batch
+        cfg = PGDConfig(eps=0.2, alpha=0.0, iters=1, rand_init_eps=0.2)
+        res = pgd_color_attack(
+            surrogate, pts, labels, cfg, key=jax.random.PRNGKey(0)
+        )
+        delta = np.asarray(res.points_adv[..., 3:6] - pts[..., 3:6])
+        assert np.abs(delta).max() <= 0.2 + 1e-6
+        assert np.abs(delta).max() > 0  # actually moved
+
+    def test_rand_init_requires_key(self, surrogate, batch):
+        pts, labels = batch
+        cfg = PGDConfig(eps=0.2, alpha=0.1, iters=1, rand_init_eps=0.1)
+        with pytest.raises(ValueError):
+            pgd_color_attack(surrogate, pts, labels, cfg)
+
+
+class TestCW:
+    def test_untargeted_torch_flavor(self, surrogate, batch):
+        pts, labels = batch
+        cfg = CWConfig(steps=200, lr=0.05, f_coeff=1.0, smooth_coeff=0.0,
+                       l2_coeff=0.01, smooth_k=5)
+        res = jax.jit(
+            lambda p, y: cw_color_attack(surrogate, p, y, cfg)
+        )(pts, labels)
+        assert float(res.acc) < 0.5
+        color = np.asarray(res.points_adv[..., 3:6])
+        assert color.min() >= -1e-5 and color.max() <= 1 + 1e-5
+
+    def test_early_exit(self, surrogate, batch):
+        pts, labels = batch
+        # generous success threshold → should stop well before max steps
+        cfg = CWConfig(steps=500, lr=0.05, smooth_coeff=0.0, l2_coeff=0.0,
+                       success_acc=0.9)
+        res = cw_color_attack(surrogate, pts, labels, cfg)
+        assert int(res.steps) < 500
+
+    def test_ares_flavor(self, surrogate, batch):
+        pts, labels = batch
+        cfg = CWConfig(flavor="ares", steps=200, lr=0.05, f_coeff=5.0)
+        res = cw_color_attack(surrogate, pts, labels, cfg)
+        assert float(res.acc) < 1.0
+        np.testing.assert_array_equal(
+            np.asarray(res.points_adv[..., :3]), np.asarray(pts[..., :3])
+        )
+
+    def test_targeted_mask_invariance(self, surrogate, batch):
+        pts, labels = batch
+        origin = int(np.asarray(labels)[0, 0])
+        target = achievable_target(surrogate, origin)
+        _, mask = make_target_labels(labels, origin, target)
+        cfg = CWConfig(
+            steps=300, lr=0.1, smooth_coeff=0.0, l2_coeff=0.001,
+            targeted=True, target=target, lr_halve_every=50,
+        )
+        res = cw_color_attack(surrogate, pts, labels, cfg, mask=mask)
+        inv_mask = ~np.asarray(mask)
+        np.testing.assert_array_equal(
+            np.asarray(res.points_adv)[inv_mask], np.asarray(pts)[inv_mask]
+        )
+        assert float(res.success_rate) > 0.5
+
+
+class TestPresets:
+    def test_all_presets_exist(self):
+        for model in ("pointnet2", "randla", "resgcn"):
+            for attack in ("nb", "nu", "tar_nb", "tar_nu"):
+                cfg = attack_preset(model, attack)
+                assert cfg is not None
+
+    def test_preset_values_match_reference(self):
+        nb = attack_preset("pointnet2", "nb")
+        assert (nb.eps, nb.alpha, nb.iters) == (0.1, 0.05, 10)
+        rnb = attack_preset("randla", "nb")
+        assert rnb.step_norm == "l2" and rnb.loss == "hinge"
+        assert (rnb.eps, rnb.alpha) == (17.0, 1.7)
+        tnb = attack_preset("resgcn", "tar_nb")
+        assert tnb.targeted and tnb.eps == 0.4
+
+    def test_override(self):
+        cfg = attack_preset("pointnet2", "tar_nb", target=7)
+        assert cfg.target == 7
+
+
+class TestNoiseControl:
+    def test_equal_norm(self, batch):
+        pts, _ = batch
+        target_norm = jnp.array([0.5, 1.0])
+        noisy = equal_norm_color_noise(jax.random.PRNGKey(3), pts, target_norm)
+        delta = np.asarray(noisy[..., 3:6] - pts[..., 3:6]).reshape(B, -1)
+        norms = np.linalg.norm(delta, axis=1)
+        # clipping to [0,1] can only shrink the norm
+        assert (norms <= np.asarray(target_norm) + 1e-5).all()
+        assert norms.min() > 0.1

@@ -1,0 +1,171 @@
+"""Data-pipeline and metrics tests on a synthetic miniature S3DIS."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pointsecguard_tpu.data import (
+    NUM_CLASSES,
+    RoomSet,
+    S3DISBlockSampler,
+    SpatiallyRegularSampler,
+    WholeSceneBlocks,
+    inverse_cube_root_weights,
+    prepare_room,
+    read_ply,
+    write_ply,
+)
+from pointsecguard_tpu.utils.metrics import (
+    confusion_matrix,
+    segmentation_metrics,
+)
+
+
+@pytest.fixture(scope="module")
+def mini_s3dis(tmp_path_factory):
+    """Two synthetic 'rooms' per split with the reference's on-disk layout
+    (Nx7 xyzrgbl .npy files named Area_*)."""
+    root = tmp_path_factory.mktemp("mini_s3dis")
+    rng = np.random.RandomState(0)
+    for name in ["Area_1_office_1", "Area_1_office_2", "Area_5_office_1"]:
+        n = 8000
+        xyz = rng.rand(n, 3) * [3.0, 3.0, 2.5]
+        rgb = rng.randint(0, 256, (n, 3)).astype(np.float64)
+        label = rng.randint(0, NUM_CLASSES, (n, 1)).astype(np.float64)
+        np.save(root / f"{name}.npy", np.hstack([xyz, rgb, label]))
+    return str(root)
+
+
+class TestRoomSet:
+    def test_split(self, mini_s3dis):
+        train = RoomSet.load(mini_s3dis, "train", test_area=5)
+        test = RoomSet.load(mini_s3dis, "test", test_area=5)
+        assert len(train.names) == 2 and len(test.names) == 1
+        assert train.label_weights.shape == (NUM_CLASSES,)
+
+    def test_weights_formula(self):
+        hist = np.array([800.0] + [100.0] * (NUM_CLASSES - 1))
+        w = inverse_cube_root_weights(hist)
+        assert w[0] == pytest.approx(1.0)
+        assert w[1] == pytest.approx(8.0 ** (1 / 3.0))
+
+
+class TestBlockSampler:
+    def test_sample_shapes_and_ranges(self, mini_s3dis):
+        rooms = RoomSet.load(mini_s3dis, "train", test_area=5)
+        sampler = S3DISBlockSampler(rooms, num_point=512)
+        rng = np.random.default_rng(0)
+        pts, labels = sampler.sample(rng)
+        assert pts.shape == (512, 9) and labels.shape == (512,)
+        # centered xy within the block
+        assert np.abs(pts[:, 0]).max() <= 0.5 + 1e-6
+        assert np.abs(pts[:, 1]).max() <= 0.5 + 1e-6
+        # colors and normalized xyz in [0, 1]
+        assert pts[:, 3:9].min() >= 0 and pts[:, 3:9].max() <= 1 + 1e-6
+
+    def test_batches(self, mini_s3dis):
+        rooms = RoomSet.load(mini_s3dis, "train", test_area=5)
+        sampler = S3DISBlockSampler(rooms, num_point=256)
+        rng = np.random.default_rng(1)
+        b = next(iter(sampler.batches(rng, 4)))
+        assert b[0].shape == (4, 256, 9) and b[1].shape == (4, 256)
+
+
+class TestWholeScene:
+    def test_blocks_cover_room(self, mini_s3dis):
+        rooms = RoomSet.load(mini_s3dis, "test", test_area=5)
+        ws = WholeSceneBlocks(rooms, block_points=512)
+        data, labels, w, pidx = ws.room_blocks(0, np.random.default_rng(0))
+        nb = data.shape[0]
+        assert data.shape == (nb, 512, 9)
+        assert labels.shape == w.shape == pidx.shape == (nb, 512)
+        # every original point appears at least once
+        n_room = len(rooms.labels[0])
+        assert len(np.unique(pidx)) == n_room
+        # labels consistent with point indices
+        np.testing.assert_array_equal(
+            labels.reshape(-1), rooms.labels[0][pidx.reshape(-1)]
+        )
+
+
+class TestPly:
+    def test_roundtrip(self, tmp_path):
+        rng = np.random.RandomState(0)
+        xyz = rng.rand(100, 3).astype(np.float32)
+        rgb = rng.randint(0, 255, (100, 3)).astype(np.uint8)
+        lab = rng.randint(0, 13, 100).astype(np.int32)
+        p = str(tmp_path / "t.ply")
+        write_ply(p, [xyz, rgb, lab], ["x", "y", "z", "red", "green", "blue", "class"])
+        back = read_ply(p)
+        np.testing.assert_array_equal(back["x"], xyz[:, 0])
+        np.testing.assert_array_equal(back["green"], rgb[:, 1])
+        np.testing.assert_array_equal(back["class"], lab)
+
+
+class TestRandlaPipeline:
+    def test_prepare_and_sample(self, mini_s3dis, tmp_path):
+        out = str(tmp_path / "prepared")
+        for f in sorted(os.listdir(mini_s3dis)):
+            prepare_room(os.path.join(mini_s3dis, f), out, sub_grid_size=0.2)
+        sampler = SpatiallyRegularSampler.load(
+            out, split="train", test_area=5, num_points=1024,
+            rng=np.random.default_rng(0),
+        )
+        assert len(sampler.clouds) == 2
+        xyz, colors, labels, idx, ci = sampler.sample()
+        assert xyz.shape == (1024, 3) and colors.shape == (1024, 3)
+        assert labels.shape == idx.shape == (1024,)
+        # centered around pick point
+        assert np.abs(xyz.mean(0)).max() < 2.0
+
+    def test_possibility_coverage(self, mini_s3dis, tmp_path):
+        out = str(tmp_path / "prepared2")
+        for f in sorted(os.listdir(mini_s3dis)):
+            prepare_room(os.path.join(mini_s3dis, f), out, sub_grid_size=0.2)
+        sampler = SpatiallyRegularSampler.load(
+            out, split="train", test_area=5, num_points=256,
+            rng=np.random.default_rng(0),
+        )
+        before = [p.copy() for p in sampler.possibility]
+        for _ in range(4):
+            sampler.sample()
+        after = sampler.possibility
+        assert any((a > b).any() for a, b in zip(after, before))
+
+    def test_batches_feature_layout(self, mini_s3dis, tmp_path):
+        out = str(tmp_path / "prepared3")
+        for f in sorted(os.listdir(mini_s3dis)):
+            prepare_room(os.path.join(mini_s3dis, f), out, sub_grid_size=0.2)
+        sampler = SpatiallyRegularSampler.load(
+            out, split="train", test_area=5, num_points=128,
+            rng=np.random.default_rng(0),
+        )
+        xyz, feats, labels, idx, ci = next(iter(sampler.batches(2, 1)))
+        assert feats.shape == (2, 128, 6)
+        np.testing.assert_array_equal(feats[..., :3], xyz)
+
+
+class TestMetrics:
+    def test_against_sklearn(self, rng):
+        from sklearn.metrics import confusion_matrix as sk_cm
+
+        y = rng.randint(0, 5, 1000)
+        p = rng.randint(0, 5, 1000)
+        cm = np.asarray(confusion_matrix(y, p, 5))
+        np.testing.assert_array_equal(cm, sk_cm(y, p, labels=range(5)))
+
+    def test_perfect_prediction(self, rng):
+        y = rng.randint(0, 13, 500)
+        m = segmentation_metrics(y, y, 13)
+        assert float(m.accuracy) == 1.0
+        assert float(m.miou) == 1.0
+
+    def test_masked_padding(self, rng):
+        y = rng.randint(0, 4, 100)
+        p = y.copy()
+        p[50:] = (y[50:] + 1) % 4  # wrong predictions, all masked out
+        valid = np.zeros(100, bool)
+        valid[:50] = True
+        m = segmentation_metrics(y, p, 4, valid=valid)
+        assert float(m.accuracy) == 1.0
