@@ -3,8 +3,15 @@
 from pointsecguard_tpu.models.pointnet import (
     PointNetCls,
     PointNetEncoder,
+    PointNetPartSeg,
     PointNetSemSeg,
     feature_transform_regularizer,
+)
+from pointsecguard_tpu.models.pointnet2_cls import (
+    PointNet2ClsMSG,
+    PointNet2ClsSSG,
+    PointNet2PartSegMSG,
+    PointNet2PartSegSSG,
 )
 from pointsecguard_tpu.models.pointnet2 import (
     FeaturePropagation,
@@ -24,10 +31,15 @@ from pointsecguard_tpu.models.resgcn import DenseDeepGCN
 __all__ = [
     "DenseDeepGCN",
     "FeaturePropagation",
+    "PointNet2ClsMSG",
+    "PointNet2ClsSSG",
+    "PointNet2PartSegMSG",
+    "PointNet2PartSegSSG",
     "PointNet2SemSegMSG",
     "PointNet2SemSegSSG",
     "PointNetCls",
     "PointNetEncoder",
+    "PointNetPartSeg",
     "PointNetSemSeg",
     "RandLANet",
     "SetAbstraction",

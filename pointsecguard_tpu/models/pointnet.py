@@ -128,3 +128,43 @@ def feature_transform_regularizer(trans: jnp.ndarray) -> jnp.ndarray:
     eye = jnp.eye(d, dtype=trans.dtype)
     prod = jnp.matmul(trans, trans.swapaxes(1, 2) - eye[None])
     return jnp.mean(jnp.linalg.norm(prod, axis=(1, 2)))
+
+
+class PointNetPartSeg(nn.Module):
+    """PointNet part segmentation (`pointnet_part_seg.py:9-85`): five conv
+    stages, 128-d feature transform, global 2048-d max + 16-way class
+    one-hot, dense skip concat (4944 ch) → 256 → 256 → 128 → parts."""
+
+    part_num: int = 50
+    normal_channel: bool = True
+
+    @nn.compact
+    def __call__(self, points, cls_label, *, train=False, momentum=0.9):
+        # points [B, N, 3(+3)]; cls_label [B, 16] one-hot
+        B, N, _ = points.shape
+        x = points[..., :6] if self.normal_channel else points[..., :3]
+        trans = STN(3)(x, train=train, momentum=momentum)
+        xyz = jnp.einsum("bnc,bcd->bnd", x[..., :3], trans)
+        if x.shape[-1] > 3:
+            x = jnp.concatenate([xyz, x[..., 3:]], axis=-1)
+        else:
+            x = xyz
+
+        out1 = PointConv(64)(x, train=train, momentum=momentum)
+        out2 = PointConv(128)(out1, train=train, momentum=momentum)
+        out3 = PointConv(128)(out2, train=train, momentum=momentum)
+        trans_feat = STN(128)(out3, train=train, momentum=momentum)
+        transformed = jnp.einsum("bnc,bcd->bnd", out3, trans_feat)
+        out4 = PointConv(512)(transformed, train=train, momentum=momentum)
+        out5 = PointConv(2048, act="none")(out4, train=train, momentum=momentum)
+        global_feat = jnp.max(out5, axis=1)  # [B, 2048]
+        global_feat = jnp.concatenate([global_feat, cls_label], axis=-1)
+        expand = jnp.broadcast_to(
+            global_feat[:, None, :], (B, N, global_feat.shape[-1])
+        )
+        concat = jnp.concatenate([expand, out1, out2, out3, out4, out5], axis=-1)
+        h = PointConv(256)(concat, train=train, momentum=momentum)
+        h = PointConv(256)(h, train=train, momentum=momentum)
+        h = PointConv(128)(h, train=train, momentum=momentum)
+        h = nn.Dense(self.part_num)(h)
+        return nn.log_softmax(h, axis=-1), trans_feat

@@ -1,0 +1,176 @@
+"""PointNet++ classification and part-segmentation heads.
+
+Secondary models of the reference zoo (no driver scripts exist for them
+in the reference repo, SURVEY.md §2.1 "cls/part-seg models"):
+`pointnet2_cls_ssg.py:6-39`, `pointnet2_cls_msg.py:6-40`,
+`pointnet2_part_seg_ssg.py:7-52` — exact npoint/radius/mlp specs.
+Inputs are channels-last [B, N, C]; outputs log-probabilities.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from pointsecguard_tpu.models.common import BatchNorm
+from pointsecguard_tpu.models.pointnet2 import (
+    FeaturePropagation,
+    SetAbstraction,
+    SetAbstractionMSG,
+)
+from pointsecguard_tpu.models.common import PointMLP
+
+
+class _ClsHead(nn.Module):
+    """Shared FC head: 1024 → 512 → 256 → num_class with BN+dropout."""
+
+    num_classes: int
+    drop2: float = 0.4
+
+    @nn.compact
+    def __call__(self, x, *, train=False, momentum=0.9):
+        x = nn.relu(BatchNorm()(nn.Dense(512)(x), not train, momentum))
+        x = nn.Dropout(0.4, deterministic=not train)(x)
+        x = nn.relu(BatchNorm()(nn.Dense(256)(x), not train, momentum))
+        x = nn.Dropout(self.drop2, deterministic=not train)(x)
+        x = nn.Dense(self.num_classes)(x)
+        return nn.log_softmax(x, axis=-1)
+
+
+class PointNet2ClsSSG(nn.Module):
+    """SSG classifier (`pointnet2_cls_ssg.py:6-39`). Input [B, N, 3 or 6]."""
+
+    num_classes: int = 40
+    normal_channel: bool = True
+
+    @nn.compact
+    def __call__(self, points, *, train: bool = False, momentum=0.9):
+        xyz = points[..., :3]
+        feats = points[..., 3:] if self.normal_channel else None
+        l1_xyz, l1 = SetAbstraction(512, 0.2, 32, (64, 64, 128))(
+            xyz, feats, train=train, momentum=momentum
+        )
+        l2_xyz, l2 = SetAbstraction(128, 0.4, 64, (128, 128, 256))(
+            l1_xyz, l1, train=train, momentum=momentum
+        )
+        _, l3 = SetAbstraction(0, 0.0, 0, (256, 512, 1024), group_all=True)(
+            l2_xyz, l2, train=train, momentum=momentum
+        )
+        x = l3[:, 0, :]  # [B, 1024]
+        return _ClsHead(self.num_classes)(x, train=train, momentum=momentum), l3
+
+
+class PointNet2ClsMSG(nn.Module):
+    """MSG classifier (`pointnet2_cls_msg.py:6-40`)."""
+
+    num_classes: int = 40
+    normal_channel: bool = True
+
+    @nn.compact
+    def __call__(self, points, *, train: bool = False, momentum=0.9):
+        xyz = points[..., :3]
+        feats = points[..., 3:] if self.normal_channel else None
+        l1_xyz, l1 = SetAbstractionMSG(
+            512, (0.1, 0.2, 0.4), (16, 32, 128),
+            ((32, 32, 64), (64, 64, 128), (64, 96, 128)),
+        )(xyz, feats, train=train, momentum=momentum)
+        l2_xyz, l2 = SetAbstractionMSG(
+            128, (0.2, 0.4, 0.8), (32, 64, 128),
+            ((64, 64, 128), (128, 128, 256), (128, 128, 256)),
+        )(l1_xyz, l1, train=train, momentum=momentum)
+        _, l3 = SetAbstraction(0, 0.0, 0, (256, 512, 1024), group_all=True)(
+            l2_xyz, l2, train=train, momentum=momentum
+        )
+        x = l3[:, 0, :]
+        return (
+            _ClsHead(self.num_classes, drop2=0.5)(x, train=train, momentum=momentum),
+            l3,
+        )
+
+
+class PointNet2PartSegSSG(nn.Module):
+    """Part segmentation SSG (`pointnet2_part_seg_ssg.py:7-52`): per-point
+    labels conditioned on a 16-way object-class one-hot."""
+
+    num_classes: int = 50
+    num_object_classes: int = 16
+    normal_channel: bool = False
+
+    @nn.compact
+    def __call__(self, points, cls_label, *, train: bool = False, momentum=0.9):
+        # points [B, N, 3(+3)]; cls_label [B, num_object_classes] one-hot
+        B, N, _ = points.shape
+        l0_xyz = points[..., :3]
+        # the reference passes the full input as l0 features either way
+        # (in_channel = 6 + additional: 3 rel-xyz + 3(+3) feature channels)
+        l0_feats = points
+
+        l1_xyz, l1 = SetAbstraction(512, 0.2, 32, (64, 64, 128))(
+            l0_xyz, l0_feats, train=train, momentum=momentum
+        )
+        l2_xyz, l2 = SetAbstraction(128, 0.4, 64, (128, 128, 256))(
+            l1_xyz, l1, train=train, momentum=momentum
+        )
+        l3_xyz, l3 = SetAbstraction(0, 0.0, 0, (256, 512, 1024), group_all=True)(
+            l2_xyz, l2, train=train, momentum=momentum
+        )
+        l2 = FeaturePropagation((256, 256))(
+            l2_xyz, l3_xyz, l2, l3, train=train, momentum=momentum
+        )
+        l1 = FeaturePropagation((256, 128))(
+            l1_xyz, l2_xyz, l1, l2, train=train, momentum=momentum
+        )
+        one_hot = jnp.broadcast_to(
+            cls_label[:, None, :], (B, N, self.num_object_classes)
+        )
+        skip = jnp.concatenate([one_hot, l0_xyz, l0_feats], axis=-1)
+        l0 = FeaturePropagation((128, 128, 128))(
+            l0_xyz, l1_xyz, skip, l1, train=train, momentum=momentum
+        )
+        x = PointMLP((128,))(l0, train=train, momentum=momentum)
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.Dense(self.num_classes)(x)
+        return nn.log_softmax(x, axis=-1), l3
+
+
+class PointNet2PartSegMSG(nn.Module):
+    """Part segmentation MSG (`pointnet2_part_seg_msg.py:15-20` specs)."""
+
+    num_classes: int = 50
+    num_object_classes: int = 16
+    normal_channel: bool = False
+
+    @nn.compact
+    def __call__(self, points, cls_label, *, train: bool = False, momentum=0.9):
+        B, N, _ = points.shape
+        l0_xyz = points[..., :3]
+        l0_feats = points
+
+        l1_xyz, l1 = SetAbstractionMSG(
+            512, (0.1, 0.2, 0.4), (32, 64, 128),
+            ((32, 32, 64), (64, 64, 128), (64, 96, 128)),
+        )(l0_xyz, l0_feats, train=train, momentum=momentum)
+        l2_xyz, l2 = SetAbstractionMSG(
+            128, (0.4, 0.8), (64, 128),
+            ((128, 128, 256), (128, 196, 256)),
+        )(l1_xyz, l1, train=train, momentum=momentum)
+        l3_xyz, l3 = SetAbstraction(0, 0.0, 0, (256, 512, 1024), group_all=True)(
+            l2_xyz, l2, train=train, momentum=momentum
+        )
+        l2 = FeaturePropagation((256, 256))(
+            l2_xyz, l3_xyz, l2, l3, train=train, momentum=momentum
+        )
+        l1 = FeaturePropagation((256, 128))(
+            l1_xyz, l2_xyz, l1, l2, train=train, momentum=momentum
+        )
+        one_hot = jnp.broadcast_to(
+            cls_label[:, None, :], (B, N, self.num_object_classes)
+        )
+        skip = jnp.concatenate([one_hot, l0_xyz, l0_feats], axis=-1)
+        l0 = FeaturePropagation((128, 128))(
+            l0_xyz, l1_xyz, skip, l1, train=train, momentum=momentum
+        )
+        x = PointMLP((128,))(l0, train=train, momentum=momentum)
+        x = nn.Dropout(0.5, deterministic=not train)(x)
+        x = nn.Dense(self.num_classes)(x)
+        return nn.log_softmax(x, axis=-1), l3
