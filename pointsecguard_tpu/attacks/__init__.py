@@ -15,7 +15,17 @@ from pointsecguard_tpu.attacks.common import (
     make_target_labels,
     point_accuracy,
 )
+from pointsecguard_tpu.attacks.benchmark import (
+    distortion_binsearch,
+    iteration_curve,
+)
 from pointsecguard_tpu.attacks.cw import CWConfig, cw_color_attack
+from pointsecguard_tpu.attacks.defenses import (
+    apply_color_defense,
+    bit_depth_reduction,
+    random_color_jitter,
+    random_point_permutation,
+)
 from pointsecguard_tpu.attacks.noise import equal_norm_color_noise
 from pointsecguard_tpu.attacks.pgd import PGDConfig, pgd_color_attack
 
@@ -99,10 +109,16 @@ __all__ = [
     "AttackResult",
     "CWConfig",
     "PGDConfig",
+    "apply_color_defense",
     "attack_preset",
+    "bit_depth_reduction",
     "cw_color_attack",
+    "distortion_binsearch",
     "equal_norm_color_noise",
+    "iteration_curve",
     "make_target_labels",
     "pgd_color_attack",
     "point_accuracy",
+    "random_color_jitter",
+    "random_point_permutation",
 ]

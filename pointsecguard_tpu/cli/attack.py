@@ -24,7 +24,11 @@ import time
 def main(argv=None):
     ap = argparse.ArgumentParser("attack")
     ap.add_argument("--model", default="pointnet2",
-                    choices=["pointnet2", "pointnet2_msg", "pointnet", "resgcn"])
+                    choices=["pointnet2", "pointnet2_msg", "pointnet", "resgcn",
+                             "randla"])
+    ap.add_argument("--randla_dir", default="data/randla_input_0.040")
+    ap.add_argument("--num_clouds", type=int, default=100,
+                    help="randla: number of sampled clouds (`tester_S3DIS.py:166`)")
     ap.add_argument("--attack", default="nb",
                     choices=["nb", "nu", "tar_nb", "tar_nu", "random"])
     ap.add_argument("--data_root", default="data/stanford_indoor3d")
@@ -67,6 +71,9 @@ def main(argv=None):
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
     log = logging.getLogger("attack")
+
+    if args.model == "randla":
+        return _attack_randla(args, log)
 
     if args.model == "resgcn":
         model = DenseDeepGCN()
@@ -203,3 +210,129 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def _attack_randla(args, log):
+    """RandLA-Net attack loop (the reference `tester_S3DIS.py:59-319`):
+    sample spatially-regular 40960-pt clouds, build the pyramid once per
+    cloud on device, run the fused ares-flavor attack, log per-cloud
+    clean/adv acc + mIoU + L2."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pointsecguard_tpu.attacks import attack_preset, make_target_labels
+    from pointsecguard_tpu.attacks.cw import CWConfig, cw_color_attack
+    from pointsecguard_tpu.attacks.pgd import PGDConfig, pgd_color_attack
+    from pointsecguard_tpu.configs import RandlaConfig
+    from pointsecguard_tpu.data import SpatiallyRegularSampler
+    from pointsecguard_tpu.models import RandLANet, build_pyramid
+    from pointsecguard_tpu.train import create_train_state
+    from pointsecguard_tpu.utils.checkpoint import CheckpointManager
+    from pointsecguard_tpu.utils.metrics import metrics_from_confusion
+
+    cfg = RandlaConfig()
+    sampler = SpatiallyRegularSampler.load(
+        args.randla_dir, split="test", test_area=args.test_area,
+        num_points=cfg.num_points, rng=np.random.default_rng(args.seed),
+    )
+    model = RandLANet(d_out=cfg.d_out)
+    pyramid_fn = jax.jit(
+        lambda xyz: build_pyramid(
+            xyz, num_layers=cfg.num_layers, k=cfg.k_n,
+            sub_ratios=cfg.sub_sampling_ratio,
+        )
+    )
+    B = cfg.val_batch_size
+    dummy_f = jnp.zeros((B, cfg.num_points, 6), jnp.float32)
+    model_args = lambda f: (f, pyramid_fn(f[..., :3]))
+    state, _ = create_train_state(
+        model, (dummy_f, None), rng=jax.random.PRNGKey(0), model_args=model_args
+    )
+    ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
+    restored = ckpt.restore_best(state) or ckpt.restore_latest(state)
+    if restored is None:
+        raise SystemExit(f"no checkpoint under {args.log_dir}/checkpoints")
+    state, _ = restored
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    targeted = args.attack.startswith("tar_")
+    overrides = {"targeted": True, "target": args.target} if targeted else {}
+    attack_cfg = attack_preset("randla", args.attack, **overrides)
+
+    @jax.jit
+    def run(feats, labels, mask, key):
+        pyr = pyramid_fn(feats[..., :3])
+        outputs_fn = lambda f: model.apply(variables, f, pyr)
+        if isinstance(attack_cfg, PGDConfig):
+            return pgd_color_attack(
+                outputs_fn, feats, labels, attack_cfg, mask=mask, key=key
+            )
+        return cw_color_attack(outputs_fn, feats, labels, attack_cfg, mask=mask)
+
+    predict = jax.jit(
+        lambda f: jnp.argmax(
+            model.apply(variables, f, pyramid_fn(f[..., :3])), axis=-1
+        )
+    )
+
+    import os
+
+    os.makedirs(args.log_dir, exist_ok=True)
+    tsv_path = os.path.join(
+        args.log_dir, f"randla_{args.attack}_area{args.test_area}.tsv"
+    )
+    tsv = open(tsv_path, "w")
+    tsv.write("cloud\tclean_acc\tadv_acc\tl2\tsr\tsteps\ttime_s\n")
+    clean_cm = np.zeros((13, 13))
+    adv_cm = np.zeros((13, 13))
+    key = jax.random.PRNGKey(args.seed)
+    n_done = 0
+    for i, (xyz, feats, labels, _, cloud_idx) in enumerate(
+        sampler.batches(B, args.num_clouds)
+    ):
+        feats_j = jnp.array(feats)
+        labels_j = jnp.array(labels)
+        if targeted:
+            _, mask = make_target_labels(labels_j, args.origin, args.target)
+            # skip clouds with <500 origin points (`tester_S3DIS.py:253-258`)
+            if int(np.asarray(mask).sum()) < 500:
+                continue
+        else:
+            mask = None
+        t0 = time.time()
+        clean_pred = np.asarray(predict(feats_j))
+        key, sub = jax.random.split(key)
+        res = run(feats_j, labels_j, mask, sub)
+        adv_pred = np.asarray(predict(res.points_adv))
+        dt = time.time() - t0
+        clean_acc = float((clean_pred == labels).mean())
+        adv_acc = float((adv_pred == labels).mean())
+        np.add.at(clean_cm, (labels.reshape(-1), clean_pred.reshape(-1)), 1)
+        np.add.at(adv_cm, (labels.reshape(-1), adv_pred.reshape(-1)), 1)
+        tsv.write(
+            f"{int(cloud_idx[0])}\t{clean_acc:.4f}\t{adv_acc:.4f}"
+            f"\t{float(np.mean(np.asarray(res.l2_dist))):.4f}"
+            f"\t{float(res.success_rate):.4f}\t{int(res.steps)}\t{dt:.2f}\n"
+        )
+        tsv.flush()
+        n_done += 1
+        if n_done % 10 == 0:
+            cm = metrics_from_confusion(jnp.array(clean_cm))
+            am = metrics_from_confusion(jnp.array(adv_cm))
+            log.info(
+                "%d clouds: clean mIoU %.4f adv mIoU %.4f",
+                n_done, float(cm.miou), float(am.miou),
+            )
+    tsv.close()
+    cm = metrics_from_confusion(jnp.array(clean_cm))
+    am = metrics_from_confusion(jnp.array(adv_cm))
+    log.info(
+        "RANDLA %s: clean mIoU %.4f acc %.4f | adv mIoU %.4f acc %.4f (%d clouds)",
+        args.attack, float(cm.miou), float(cm.accuracy), float(am.miou),
+        float(am.accuracy), n_done,
+    )
+    log.info("per-cloud TSV: %s", tsv_path)
+    return cm, am

@@ -13,7 +13,12 @@ import logging
 def main(argv=None):
     ap = argparse.ArgumentParser("eval")
     ap.add_argument("--model", default="pointnet2",
-                    choices=["pointnet2", "pointnet2_msg", "pointnet"])
+                    choices=["pointnet2", "pointnet2_msg", "pointnet", "randla"])
+    ap.add_argument("--randla_dir", default="data/randla_input_0.040")
+    ap.add_argument("--num_clouds", type=int, default=200,
+                    help="randla: spatially-regular samples to vote over")
+    ap.add_argument("--save_preds", default=None,
+                    help="randla: save per-cloud prediction PLYs here")
     ap.add_argument("--data_root", default="data/stanford_indoor3d")
     ap.add_argument("--log_dir", default="log/run")
     ap.add_argument("--test_area", type=int, default=5)
@@ -42,6 +47,9 @@ def main(argv=None):
 
     logging.basicConfig(level=logging.INFO, format="%(message)s")
     log = logging.getLogger("eval")
+
+    if args.model == "randla":
+        return _eval_randla(args, log)
 
     model = {
         "pointnet2": PointNet2SemSegSSG,
@@ -78,3 +86,93 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+def _eval_randla(args, log):
+    """RandLA full-cloud evaluation: vote per-point class probabilities of
+    spatially-regular samples onto the sub-clouds (via the sampler's point
+    indices), then reproject onto the full-resolution clouds with the
+    prepared ``_proj.pkl`` indices — the original RandLA-Net test
+    procedure the fork's `evaluate:255-311` approximates. Optionally saves
+    per-cloud prediction PLYs for `cli.cv6fold`."""
+    import os
+    import pickle
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pointsecguard_tpu.configs import RandlaConfig
+    from pointsecguard_tpu.data import (
+        S3DIS_CLASSES,
+        SpatiallyRegularSampler,
+        write_ply,
+    )
+    from pointsecguard_tpu.models import RandLANet, build_pyramid
+    from pointsecguard_tpu.train import create_train_state
+    from pointsecguard_tpu.utils.checkpoint import CheckpointManager
+    from pointsecguard_tpu.utils.metrics import metrics_from_confusion
+
+    cfg = RandlaConfig()
+    sampler = SpatiallyRegularSampler.load(
+        args.randla_dir, split="test", test_area=args.test_area,
+        num_points=cfg.num_points, rng=np.random.default_rng(args.seed),
+    )
+    model = RandLANet(d_out=cfg.d_out)
+    pyramid_fn = jax.jit(
+        lambda xyz: build_pyramid(
+            xyz, num_layers=cfg.num_layers, k=cfg.k_n,
+            sub_ratios=cfg.sub_sampling_ratio,
+        )
+    )
+    model_args = lambda f: (f, pyramid_fn(f[..., :3]))
+    B = cfg.val_batch_size
+    dummy = jnp.zeros((B, cfg.num_points, 6), jnp.float32)
+    state, _ = create_train_state(
+        model, (dummy, None), rng=jax.random.PRNGKey(0), model_args=model_args
+    )
+    ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
+    restored = ckpt.restore_best(state) or ckpt.restore_latest(state)
+    if restored is None:
+        raise SystemExit(f"no checkpoint under {args.log_dir}/checkpoints")
+    state, _ = restored
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    probs_fn = jax.jit(
+        lambda f: jax.nn.softmax(
+            model.apply(variables, f, pyramid_fn(f[..., :3])), axis=-1
+        )
+    )
+
+    # per-sub-cloud probability vote pools
+    pools = [np.zeros((len(c.labels), 13), np.float64) for c in sampler.clouds]
+    for _, feats, labels, idx, cloud_idx in sampler.batches(B, args.num_clouds):
+        probs = np.asarray(probs_fn(jnp.array(feats)))
+        for b in range(B):
+            np.add.at(pools[int(cloud_idx[b])], idx[b], probs[b])
+
+    cm = np.zeros((13, 13), np.float64)
+    if args.save_preds:
+        os.makedirs(args.save_preds, exist_ok=True)
+    for ci, cloud in enumerate(sampler.clouds):
+        sub_pred = pools[ci].argmax(axis=1)
+        proj_path = os.path.join(args.randla_dir, cloud.name + "_proj.pkl")
+        if os.path.exists(proj_path):
+            with open(proj_path, "rb") as f:
+                proj_idx, full_labels = pickle.load(f)
+            full_pred = sub_pred[proj_idx]
+            np.add.at(cm, (np.asarray(full_labels, np.int64), full_pred), 1.0)
+            if args.save_preds:
+                write_ply(
+                    os.path.join(args.save_preds, cloud.name + ".ply"),
+                    [full_pred.astype(np.int32)],
+                    ["pred"],
+                )
+        else:  # fall back to sub-cloud labels
+            np.add.at(cm, (cloud.labels, sub_pred), 1.0)
+
+    m = metrics_from_confusion(jnp.array(cm))
+    for cls, iou in zip(S3DIS_CLASSES, np.asarray(m.class_iou)):
+        log.info("%12s: %.4f", cls, iou)
+    log.info("RANDLA mIoU %.4f acc %.4f", float(m.miou), float(m.accuracy))
+    return m

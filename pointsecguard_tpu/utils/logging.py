@@ -1,0 +1,65 @@
+"""Experiment logging: JSONL event stream + point-cloud visual dumps.
+
+One structured event log replaces the reference's scattered logging
+(python logging file handlers `train_semseg.py:72-78`, raw-file log_out
+`RandLANet.py:11-14`, per-attack TSVs, TF summaries). Visual artifacts
+match the reference's ``.xyzrgb`` dumps
+(`NB_nontarget_test_semseg.py:131-136,250-268`).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+# `indoor3d_util.py:29` g_label2color — class → RGB for visual dumps
+LABEL2COLOR = np.array(
+    [
+        [0, 255, 0], [0, 0, 255], [0, 255, 255], [255, 255, 0],
+        [255, 0, 255], [100, 100, 255], [200, 200, 100], [170, 120, 200],
+        [255, 0, 0], [200, 100, 100], [10, 200, 100], [200, 200, 200],
+        [50, 50, 50],
+    ],
+    np.uint8,
+)
+
+
+class EventLog:
+    """Append-only JSONL event log with wall-clock stamps."""
+
+    def __init__(self, path: str):
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self._f = open(path, "a")
+        self._t0 = time.time()
+
+    def write(self, event: str, **fields) -> None:
+        rec = {"t": round(time.time() - self._t0, 3), "event": event}
+        for k, v in fields.items():
+            if isinstance(v, (np.floating, np.integer)):
+                v = v.item()
+            rec[k] = v
+        self._f.write(json.dumps(rec) + "\n")
+        self._f.flush()
+
+    def close(self) -> None:
+        self._f.close()
+
+
+def write_xyzrgb(path: str, xyz: np.ndarray, rgb: np.ndarray) -> None:
+    """Dump an N×6 ``.xyzrgb`` text cloud (reference visual format)."""
+    rgb = np.asarray(rgb)
+    if rgb.dtype != np.uint8 and rgb.max() <= 1.0 + 1e-6:
+        rgb = (rgb * 255).astype(np.uint8)
+    np.savetxt(
+        path,
+        np.concatenate([np.asarray(xyz), rgb.astype(np.float64)], axis=1),
+        fmt="%f %f %f %d %d %d",
+    )
+
+
+def write_label_cloud(path: str, xyz: np.ndarray, labels: np.ndarray) -> None:
+    """Dump a cloud colored by class label (pred/GT visualisations)."""
+    write_xyzrgb(path, xyz, LABEL2COLOR[np.asarray(labels).astype(int)])

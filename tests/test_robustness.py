@@ -1,0 +1,92 @@
+"""Defense and benchmark-harness tests (linear surrogate — fast)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointsecguard_tpu.attacks import (
+    PGDConfig,
+    apply_color_defense,
+    bit_depth_reduction,
+    distortion_binsearch,
+    iteration_curve,
+    pgd_color_attack,
+    random_color_jitter,
+    random_point_permutation,
+)
+
+B, N, C = 2, 32, 13
+
+
+@pytest.fixture(scope="module")
+def surrogate():
+    W = jax.random.normal(jax.random.PRNGKey(42), (3, C))
+    return lambda p: p[..., 3:6] @ W
+
+
+@pytest.fixture(scope="module")
+def batch(surrogate):
+    rng = np.random.RandomState(1)
+    pts = jnp.array(rng.rand(B, N, 9).astype(np.float32))
+    return pts, jnp.argmax(surrogate(pts), axis=-1)
+
+
+class TestDefenses:
+    def test_bit_depth_quantizes(self, batch):
+        pts, _ = batch
+        out = bit_depth_reduction(pts, bits=2)
+        color = np.asarray(out[..., 3:6])
+        levels = np.unique(np.round(color * 3))
+        assert set(levels.tolist()) <= {0.0, 1.0, 2.0, 3.0}
+        # xyz untouched
+        np.testing.assert_array_equal(np.asarray(out[..., :3]),
+                                      np.asarray(pts[..., :3]))
+
+    def test_bit_depth_straight_through_gradient(self, batch):
+        pts, _ = batch
+        g = jax.grad(lambda p: bit_depth_reduction(p).sum())(pts)
+        # identity surrogate on colors → gradient 1 there
+        np.testing.assert_allclose(np.asarray(g[..., 3:6]), 1.0)
+
+    def test_jitter_bounded(self, batch):
+        pts, _ = batch
+        out = random_color_jitter(pts, jax.random.PRNGKey(0), sigma=0.05)
+        color = np.asarray(out[..., 3:6])
+        assert color.min() >= 0 and color.max() <= 1
+
+    def test_permutation_roundtrip(self, batch):
+        pts, _ = batch
+        out, perm = random_point_permutation(pts, jax.random.PRNGKey(1))
+        inv = np.argsort(np.asarray(perm))
+        np.testing.assert_array_equal(np.asarray(out[:, inv]), np.asarray(pts))
+
+    def test_defended_model_attackable(self, surrogate, batch):
+        pts, labels = batch
+        defended = apply_color_defense(surrogate, bit_depth_reduction, 4)
+        cfg = PGDConfig(eps=0.3, alpha=0.05, iters=15)
+        res = pgd_color_attack(defended, pts, labels, cfg)
+        assert np.isfinite(float(res.acc))
+
+
+class TestBenchmarks:
+    def test_distortion_binsearch_brackets(self, surrogate, batch):
+        pts, labels = batch
+        cfg = PGDConfig(eps=0.2, alpha=0.1, iters=10)
+        eps, details = distortion_binsearch(
+            surrogate, pts, labels, cfg, success_acc=0.6,
+            search_steps=3, binsearch_steps=4,
+        )
+        assert np.isfinite(eps)
+        assert details["probes"][-1]["eps"] >= eps / 2
+        # the found epsilon succeeds
+        assert any(p["success"] and p["eps"] <= eps + 1e-6
+                   for p in details["probes"])
+
+    def test_iteration_curve_monotone_budget(self, surrogate, batch):
+        pts, labels = batch
+        cfg = PGDConfig(eps=0.3, alpha=0.05, iters=12)
+        probes = iteration_curve(surrogate, pts, labels, cfg, num_probes=4)
+        assert [p["iters"] for p in probes] == [3, 6, 9, 12]
+        # accuracy at the full budget no higher than at the smallest
+        assert probes[-1]["acc"] <= probes[0]["acc"] + 1e-6
