@@ -25,6 +25,10 @@ def main(argv=None):
     ap.add_argument("--epochs", type=int, default=32)
     ap.add_argument("--batch_size", type=int, default=0, help="0 = model default")
     ap.add_argument("--npoint", type=int, default=4096)
+    ap.add_argument("--randla_points", type=int, default=0,
+                    help="override RandLA sample size (default: config 40960)")
+    ap.add_argument("--steps_per_epoch", type=int, default=0,
+                    help="override RandLA train steps per epoch (default 500)")
     ap.add_argument("--learning_rate", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval_every", type=int, default=1)

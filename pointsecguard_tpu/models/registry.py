@@ -1,0 +1,82 @@
+"""Model registry and ensembling.
+
+Equivalent of the ares model-zoo glue
+(`RandLA-Net/ares/ares/model/base.py:4-113` Classifier ABCs with
+graph caching, `loader.py:8-30` py-file loader, `ensemble.py`): a name →
+constructor registry used by every CLI, plus logit-averaging ensembles.
+JAX's jit cache plays the role of ares' per-session graph cache.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax.numpy as jnp
+
+_REGISTRY: dict[str, Callable] = {}
+
+
+def register(name: str):
+    def deco(ctor):
+        _REGISTRY[name] = ctor
+        return ctor
+
+    return deco
+
+
+def create(name: str, **kwargs):
+    """Instantiate a registered model by name."""
+    if name not in _REGISTRY:
+        raise KeyError(f"unknown model '{name}'; known: {sorted(_REGISTRY)}")
+    return _REGISTRY[name](**kwargs)
+
+
+def names() -> list[str]:
+    return sorted(_REGISTRY)
+
+
+def _populate():
+    from pointsecguard_tpu.models import (
+        DenseDeepGCN,
+        PointNet2ClsMSG,
+        PointNet2ClsSSG,
+        PointNet2PartSegMSG,
+        PointNet2PartSegSSG,
+        PointNet2SemSegMSG,
+        PointNet2SemSegSSG,
+        PointNetCls,
+        PointNetPartSeg,
+        PointNetSemSeg,
+        RandLANet,
+    )
+
+    _REGISTRY.update(
+        {
+            "pointnet_sem_seg": PointNetSemSeg,
+            "pointnet_cls": PointNetCls,
+            "pointnet_part_seg": PointNetPartSeg,
+            "pointnet2_sem_seg": PointNet2SemSegSSG,
+            "pointnet2_sem_seg_msg": PointNet2SemSegMSG,
+            "pointnet2_cls_ssg": PointNet2ClsSSG,
+            "pointnet2_cls_msg": PointNet2ClsMSG,
+            "pointnet2_part_seg_ssg": PointNet2PartSegSSG,
+            "pointnet2_part_seg_msg": PointNet2PartSegMSG,
+            "randla": RandLANet,
+            "resgcn": DenseDeepGCN,
+        }
+    )
+
+
+_populate()
+
+
+def ensemble_outputs(outputs: list[jnp.ndarray], *, from_log_probs: bool = False):
+    """Average an ensemble's per-point predictions
+    (`ares/model/ensemble.py` capability): softmax-space mean."""
+    import jax
+
+    probs = [
+        jnp.exp(o) if from_log_probs else jax.nn.softmax(o, axis=-1)
+        for o in outputs
+    ]
+    return jnp.log(jnp.mean(jnp.stack(probs), axis=0) + 1e-12)

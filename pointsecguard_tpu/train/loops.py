@@ -126,14 +126,16 @@ def train_randla(args):
     from pointsecguard_tpu.utils.metrics import metrics_from_confusion
 
     cfg = RandlaConfig()
+    num_points = getattr(args, "randla_points", 0) or cfg.num_points
+    train_steps = getattr(args, "steps_per_epoch", 0) or cfg.train_steps
     rng = np.random.default_rng(args.seed)
     train_sampler = SpatiallyRegularSampler.load(
         args.randla_dir, split="train", test_area=args.test_area,
-        num_points=cfg.num_points, rng=rng,
+        num_points=num_points, rng=rng,
     )
     val_sampler = SpatiallyRegularSampler.load(
         args.randla_dir, split="test", test_area=args.test_area,
-        num_points=cfg.num_points, rng=np.random.default_rng(args.seed + 9),
+        num_points=num_points, rng=np.random.default_rng(args.seed + 9),
     )
     model = RandLANet(d_out=cfg.d_out)
     model_args = lambda feats: (
@@ -167,7 +169,7 @@ def train_randla(args):
         lr = randla_lr(epoch, base=args.learning_rate or cfg.learning_rate)
         t0 = time.time()
         for _, feats, labels, _, _ in train_sampler.batches(
-            batch_size, cfg.train_steps
+            batch_size, train_steps
         ):
             key, sub = jax.random.split(key)
             state, loss, _ = step_fn(
