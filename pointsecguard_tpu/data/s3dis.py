@@ -140,10 +140,14 @@ class S3DISBlockSampler:
         num_point: int = 4096,
         block_size: float = 1.0,
         sample_rate: float = 1.0,
+        min_points: int = 1024,
+        max_tries: int = 100,
     ):
         self.rooms = rooms
         self.num_point = num_point
         self.block_size = block_size
+        self.min_points = min_points
+        self.max_tries = max_tries
         n_all = np.array([len(l) for l in rooms.labels], np.float64)
         prob = n_all / n_all.sum()
         num_iter = int(n_all.sum() * sample_rate / num_point)
@@ -164,15 +168,22 @@ class S3DISBlockSampler:
         points = self.rooms.points[room]
         labels = self.rooms.labels[room]
         half = self.block_size / 2.0
-        while True:
+        # the reference loops unconditionally until a block has >1024 points
+        # (`S3DISDataLoader.py:52-60`); bound the retries so sparse rooms
+        # (tests, tiny scans) fall back to the densest block found
+        best = None
+        for _ in range(self.max_tries):
             center = points[rng.integers(len(points))][:3]
             lo, hi = center[:2] - half, center[:2] + half
             in_block = np.where(
                 (points[:, 0] >= lo[0]) & (points[:, 0] <= hi[0])
                 & (points[:, 1] >= lo[1]) & (points[:, 1] <= hi[1])
             )[0]
-            if in_block.size > 1024:
+            if best is None or in_block.size > best[0].size:
+                best = (in_block, center)
+            if in_block.size > self.min_points:
                 break
+        in_block, center = best
         replace = in_block.size < self.num_point
         sel = rng.choice(in_block, self.num_point, replace=replace)
         feats = _nine_channel(

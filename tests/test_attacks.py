@@ -45,18 +45,30 @@ def batch(surrogate):
     return pts, labels
 
 
-def achievable_target(surrogate, origin):
-    """A class other than `origin` that the linear surrogate can actually
-    produce as argmax for some color in [0,1]³ (targeted attacks on an
-    unreachable class cannot succeed by construction)."""
-    corners = jnp.array(
-        [[i, j, k] for i in (0, 1) for j in (0, 1) for k in (0, 1)],
-        jnp.float32,
-    )
-    pts = jnp.zeros((1, corners.shape[0], 9)).at[0, :, 3:6].set(corners)
-    reachable = set(np.asarray(jnp.argmax(surrogate(pts), -1)[0]).tolist())
-    reachable.discard(int(origin))
-    return sorted(reachable)[0]
+@pytest.fixture(scope="module")
+def proto_surrogate():
+    """Prototype (nearest-center) surrogate: every class wins in a sizeable
+    Voronoi cell of the color cube, so targeted attacks are well-posed
+    (the linear surrogate leaves most classes a vanishing basin, which
+    defeats sign-step descent regardless of engine correctness)."""
+    centers = jax.random.uniform(jax.random.PRNGKey(5), (C, 3))
+
+    def outputs_fn(points):
+        color = points[..., 3:6]
+        d2 = jnp.sum((color[..., None, :] - centers) ** 2, axis=-1)
+        # sharp logits: CE ≈ margin, so targeted CE descent converges into
+        # the target's Voronoi cell instead of chasing the logsumexp term
+        return -20.0 * d2  # [B, N, C] logits
+
+    return outputs_fn
+
+
+@pytest.fixture(scope="module")
+def proto_batch(proto_surrogate):
+    rng = np.random.RandomState(2)
+    pts = jnp.array(rng.rand(B, N, 9).astype(np.float32))
+    labels = jnp.argmax(proto_surrogate(pts), axis=-1)
+    return pts, labels
 
 
 class TestPGD:
@@ -115,12 +127,17 @@ class TestPGD:
         assert (norms <= 1.5 + 1e-4).all()
         assert float(res.acc) < 1.0
 
-    def test_targeted_mask_invariance(self, surrogate, batch):
-        pts, labels = batch
+    def test_targeted_mask_invariance(self, proto_surrogate, proto_batch):
+        surrogate = proto_surrogate
+        pts, labels = proto_batch
         origin = int(np.asarray(labels)[0, 0])
-        target = achievable_target(surrogate, origin)
+        target = (origin + 3) % C
         _, mask = make_target_labels(labels, origin, target)
-        cfg = PGDConfig(eps=0.5, alpha=0.1, iters=30, targeted=True, target=target)
+        # early_exit_sr: CE-targeted descent can overshoot past the target
+        # cell (CE is not the margin); the reference's TBIM stops at
+        # sr>0.9 (`bim.py:508`) and so does this config
+        cfg = PGDConfig(eps=1.0, alpha=0.1, iters=50, targeted=True,
+                        target=target, early_exit_sr=0.9)
         res = pgd_color_attack(surrogate, pts, labels, cfg, mask=mask)
         inv_mask = ~np.asarray(mask)
         np.testing.assert_array_equal(
@@ -175,10 +192,11 @@ class TestCW:
             np.asarray(res.points_adv[..., :3]), np.asarray(pts[..., :3])
         )
 
-    def test_targeted_mask_invariance(self, surrogate, batch):
-        pts, labels = batch
+    def test_targeted_mask_invariance(self, proto_surrogate, proto_batch):
+        surrogate = proto_surrogate
+        pts, labels = proto_batch
         origin = int(np.asarray(labels)[0, 0])
-        target = achievable_target(surrogate, origin)
+        target = (origin + 3) % C
         _, mask = make_target_labels(labels, origin, target)
         cfg = CWConfig(
             steps=300, lr=0.1, smooth_coeff=0.0, l2_coeff=0.001,
