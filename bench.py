@@ -49,15 +49,16 @@ def main():
     attack = jax.jit(
         lambda pts, labs: pgd_color_attack(outputs_fn, pts, labs, cfg)
     )
-    # compile + warmup
+    # compile + warmup. NOTE: fetch a scalar to host per repeat —
+    # block_until_ready can return early on tunneled TPU transports.
     res = attack(points, labels)
-    jax.block_until_ready(res.points_adv)
+    float(res.l2_dist.sum())
 
     times = []
     for _ in range(REPEATS):
         t0 = time.perf_counter()
         res = attack(points, labels)
-        jax.block_until_ready(res.points_adv)
+        float(res.l2_dist.sum())
         times.append(time.perf_counter() - t0)
     best = min(times)
     iters_per_sec = ITERS / best

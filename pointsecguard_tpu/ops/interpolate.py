@@ -31,9 +31,10 @@ def three_nn_interpolate(
     Returns:
       [B, N, D] interpolated features.
     """
+    from pointsecguard_tpu.ops.selection import bottom_k_indices
+
     d = square_distance(xyz_dst, xyz_src)  # [B, N, S]
-    neg, idx = jax.lax.top_k(-d, 3)
-    dists = -neg
+    dists, idx = bottom_k_indices(d, 3)
     recip = 1.0 / (dists + 1e-8)
     weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
     gathered = gather_points(feats_src, idx)  # [B, N, 3, D]

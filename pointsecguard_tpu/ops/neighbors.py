@@ -17,6 +17,20 @@ import jax
 import jax.numpy as jnp
 
 from pointsecguard_tpu.ops.distance import square_distance
+from pointsecguard_tpu.ops.selection import bottom_k_indices
+
+
+def _largest_divisor_leq(n: int, cap: int) -> int:
+    """Largest divisor of n that is ≤ cap (tile-size snapping)."""
+    best, d = 1, 1
+    while d * d <= n:
+        if n % d == 0:
+            if d <= cap:
+                best = max(best, d)
+            if n // d <= cap:
+                best = max(best, n // d)
+        d += 1
+    return best
 
 
 def knn(
@@ -25,6 +39,7 @@ def knn(
     k: int,
     *,
     tile: int | None = None,
+    strategy: str = "auto",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """k nearest neighbors of each query point among `points`.
 
@@ -40,17 +55,15 @@ def knn(
     """
     if tile is None or tile >= query.shape[1]:
         d = square_distance(query, points)
-        neg, idx = jax.lax.top_k(-d, k)
-        return -neg, idx.astype(jnp.int32)
+        return bottom_k_indices(d, k, strategy=strategy)
 
     S = query.shape[1]
     if S % tile != 0:
-        raise ValueError(f"query length {S} not divisible by tile {tile}")
+        tile = _largest_divisor_leq(S, tile)
 
     def chunk(q):
         d = square_distance(q, points)
-        neg, idx = jax.lax.top_k(-d, k)
-        return -neg, idx.astype(jnp.int32)
+        return bottom_k_indices(d, k, strategy=strategy)
 
     q_tiles = jnp.reshape(
         jnp.swapaxes(query, 0, 1), (S // tile, tile, query.shape[0], query.shape[2])
@@ -91,8 +104,10 @@ def ball_query(
         pad = jnp.full(idx_val.shape[:2] + (nsample - N,), N, idx_val.dtype)
         idx_val = jnp.concatenate([idx_val, pad], axis=-1)
     # smallest nsample index values == reference's sort()[:nsample]
-    neg_top, _ = jax.lax.top_k(-idx_val, nsample)
-    group_idx = -neg_top
+    # (bottom_k on int index values; exact for N < 2^24 in the iterative
+    # float path, which vastly exceeds any point count here)
+    group_idx, _ = bottom_k_indices(idx_val, nsample)
+    group_idx = group_idx.astype(jnp.int32)
     first = group_idx[:, :, :1]
     return jnp.where(group_idx == N, first, group_idx).astype(jnp.int32)
 

@@ -1,0 +1,72 @@
+"""Fast k-smallest selection on TPU.
+
+XLA's ``lax.top_k`` on TPU lowers to a full per-row sort (~10 ms for a
+[4096, 4096] row block regardless of k). For the small k this framework
+needs (16–32 neighbors), exact iterative extraction — k passes of
+argmin + mask — is 3–4× faster, and ``lax.approx_max_k`` (PartialReduce)
+is ~5× faster when approximate recall is acceptable.
+
+``bottom_k_indices`` picks a strategy:
+- "iterative": exact, k passes; fastest for k ≲ 48 on TPU.
+- "topk": exact, XLA sort; best for large k or CPU.
+- "approx": ``approx_max_k``; opt-in (changes neighbor sets slightly).
+- "auto": iterative on TPU when k ≤ 48, else topk.
+
+Results are ordered smallest-first with first-occurrence tie-breaking —
+identical to ``lax.top_k`` of the negated values.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_ITERATIVE_MAX_K = 48
+
+
+def bottom_k_indices(
+    vals: jnp.ndarray, k: int, *, strategy: str = "auto"
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Indices (and values) of the k smallest entries along the last axis.
+
+    Args:
+      vals: [..., N] float or int values.
+      k: number of entries (static).
+
+    Returns:
+      (values [..., k], indices [..., k] int32), ascending.
+    """
+    if strategy == "auto":
+        if jax.default_backend() == "tpu" and k <= _ITERATIVE_MAX_K:
+            strategy = "iterative"
+        else:
+            strategy = "topk"
+
+    if strategy == "topk":
+        neg, idx = jax.lax.top_k(-vals, k)
+        return -neg, idx.astype(jnp.int32)
+
+    if strategy == "approx":
+        neg, idx = jax.lax.approx_max_k(
+            -vals.astype(jnp.float32), k, recall_target=0.95
+        )
+        return -neg, idx.astype(jnp.int32)
+
+    if strategy == "iterative":
+        work = vals.astype(jnp.float32)
+        big = jnp.float32(3.0e38)
+
+        def body(cur, _):
+            idx = jnp.argmin(cur, axis=-1).astype(jnp.int32)
+            picked = jnp.take_along_axis(cur, idx[..., None], axis=-1)[..., 0]
+            onehot = jax.nn.one_hot(idx, cur.shape[-1], dtype=cur.dtype)
+            return cur + onehot * big, (picked, idx)
+
+        _, (picked, idxs) = jax.lax.scan(body, work, None, length=k)
+        # scan stacks on axis 0 → move to the trailing axis
+        return (
+            jnp.moveaxis(picked, 0, -1).astype(vals.dtype),
+            jnp.moveaxis(idxs, 0, -1),
+        )
+
+    raise ValueError(f"unknown selection strategy: {strategy}")
