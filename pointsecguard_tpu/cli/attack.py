@@ -43,6 +43,9 @@ def main(argv=None):
     ap.add_argument("--target", type=int, default=7)
     ap.add_argument("--max_blocks", type=int, default=0, help="0 = all")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--visual", action="store_true",
+                    help="dump clean/adv/pred/gt .xyzrgb clouds per room "
+                         "(`NB_nontarget_test_semseg.py:131-136` artifacts)")
     args = ap.parse_args(argv)
 
     import jax
@@ -142,6 +145,9 @@ def main(argv=None):
         labels_room = rooms.labels[room_idx]
         clean_pool = np.zeros((len(labels_room), 13))
         adv_pool = np.zeros((len(labels_room), 13))
+        adv_colors_room = (
+            rooms.points[room_idx][:, 3:6].copy() / 255.0 if args.visual else None
+        )
         nb = data.shape[0]
         for start in range(0, nb - B + 1, B):
             t0 = time.time()
@@ -175,6 +181,9 @@ def main(argv=None):
             pi = pidx[start : start + B]
             add_votes(clean_pool, pi, clean_pred, w)
             add_votes(adv_pool, pi, adv_pred, w)
+            if adv_colors_room is not None and args.attack != "random":
+                adv_c = np.asarray(res.points_adv[..., 3:6]).reshape(-1, 3)
+                adv_colors_room[pi.reshape(-1)] = adv_c
             tsv.write(
                 f"{room_name}\t{start}\t{clean_acc:.4f}\t{adv_acc:.4f}"
                 f"\t{l2:.4f}\t{sr:.4f}\t{steps}\t{dt:.2f}\n"
@@ -185,6 +194,23 @@ def main(argv=None):
                 break
         clean_room = np.argmax(clean_pool, 1)
         adv_room = np.argmax(adv_pool, 1)
+        if adv_colors_room is not None:
+            from pointsecguard_tpu.utils.logging import (
+                write_label_cloud,
+                write_xyzrgb,
+            )
+
+            vis_dir = os.path.join(args.log_dir, "visual")
+            os.makedirs(vis_dir, exist_ok=True)
+            room_xyz = rooms.points[room_idx][:, :3]
+            base = os.path.join(vis_dir, f"{room_name}_{args.attack}")
+            write_xyzrgb(base + "_adv_raw.xyzrgb", room_xyz, adv_colors_room)
+            write_xyzrgb(
+                base + "_raw.xyzrgb", room_xyz,
+                rooms.points[room_idx][:, 3:6] / 255.0,
+            )
+            write_label_cloud(base + "_pred.xyzrgb", room_xyz, adv_room)
+            write_label_cloud(base + "_gt.xyzrgb", room_xyz, labels_room)
         seen = clean_pool.sum(1) > 0
         np.add.at(clean_cm, (labels_room[seen], clean_room[seen]), 1)
         np.add.at(adv_cm, (labels_room[seen], adv_room[seen]), 1)

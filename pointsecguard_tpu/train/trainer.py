@@ -118,6 +118,18 @@ def make_train_step(
         params = jax.tree_util.tree_map(
             lambda p, u: p - lr * u, state.params, updates
         )
+        # NaN guard: on a non-finite loss, keep the previous state (the
+        # reference's only failure handling was RandLA's NaN catch that
+        # crashed the run, `RandLANet.py:237-247`; skipping the bad batch
+        # is the recoverable version). The returned loss still reports the
+        # bad value so the host loop can log/count it.
+        ok = jnp.isfinite(loss)
+        keep = lambda new, old: jax.tree_util.tree_map(
+            lambda n, o: jnp.where(ok, n, o), new, old
+        )
+        params = keep(params, state.params)
+        new_opt = keep(new_opt, state.opt_state)
+        new_stats = keep(new_stats, state.batch_stats)
         preds = jnp.argmax(seg, axis=-1)
         cm = confusion_matrix(labels, preds, num_classes)
         new_state = TrainState(
