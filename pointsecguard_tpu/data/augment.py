@@ -97,3 +97,83 @@ def shuffle_points(batch: np.ndarray, rng: np.random.Generator) -> np.ndarray:
     every cloud in the batch, as in the reference."""
     perm = rng.permutation(batch.shape[1])
     return batch[:, perm]
+
+
+def normalize_data(batch: np.ndarray) -> np.ndarray:
+    """Center each cloud and scale to the unit sphere (`provider.py:3-20`)."""
+    out = np.empty_like(batch)
+    for b in range(batch.shape[0]):
+        pc = batch[b] - batch[b].mean(axis=0)
+        scale = np.max(np.sqrt((pc**2).sum(axis=1)))
+        out[b] = pc / scale
+    return out
+
+
+def shuffle_data(
+    data: np.ndarray, labels: np.ndarray, rng: np.random.Generator
+):
+    """Shuffle clouds and labels together (`provider.py:22-32`)."""
+    perm = rng.permutation(len(labels))
+    return data[perm], labels[perm], perm
+
+
+def _rotate_y(batch: np.ndarray, angles: np.ndarray) -> np.ndarray:
+    c, s = np.cos(angles), np.sin(angles)
+    zeros, ones = np.zeros_like(c), np.ones_like(c)
+    rot = np.stack(
+        [
+            np.stack([c, zeros, s], -1),
+            np.stack([zeros, ones, zeros], -1),
+            np.stack([-s, zeros, c], -1),
+        ],
+        axis=1,
+    )
+    return np.einsum("bnc,bcd->bnd", batch, rot).astype(np.float32)
+
+
+def rotate_point_cloud_with_normal(
+    batch: np.ndarray, rng: np.random.Generator
+) -> np.ndarray:
+    """Random y-rotation of xyz AND normals (`provider.py:86-104`).
+    Input [B, N, 6]: xyz | normal."""
+    angles = rng.uniform(0.0, 2 * np.pi, batch.shape[0])
+    out = batch.copy()
+    out[:, :, :3] = _rotate_y(batch[:, :, :3], angles)
+    out[:, :, 3:6] = _rotate_y(batch[:, :, 3:6], angles)
+    return out
+
+
+def rotate_perturbation_point_cloud(
+    batch: np.ndarray,
+    rng: np.random.Generator,
+    angle_sigma: float = 0.06,
+    angle_clip: float = 0.18,
+) -> np.ndarray:
+    """Small random rotations about all three axes (`provider.py:176-199`)."""
+    B = batch.shape[0]
+    out = np.empty_like(batch)
+    for b in range(B):
+        a = np.clip(angle_sigma * rng.standard_normal(3), -angle_clip, angle_clip)
+        Rx = np.array(
+            [[1, 0, 0], [0, np.cos(a[0]), -np.sin(a[0])],
+             [0, np.sin(a[0]), np.cos(a[0])]]
+        )
+        Ry = np.array(
+            [[np.cos(a[1]), 0, np.sin(a[1])], [0, 1, 0],
+             [-np.sin(a[1]), 0, np.cos(a[1])]]
+        )
+        Rz = np.array(
+            [[np.cos(a[2]), -np.sin(a[2]), 0],
+             [np.sin(a[2]), np.cos(a[2]), 0], [0, 0, 1]]
+        )
+        out[b] = batch[b] @ (Rz @ Ry @ Rx).T
+    return out.astype(np.float32)
+
+
+def rotate_point_cloud_by_angle(
+    batch: np.ndarray, rotation_angle: float
+) -> np.ndarray:
+    """Deterministic y-rotation (`provider.py:133-150`) — used by the
+    voting evaluators to rotate between vote passes."""
+    angles = np.full(batch.shape[0], rotation_angle)
+    return _rotate_y(batch, angles)

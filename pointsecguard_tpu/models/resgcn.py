@@ -157,7 +157,6 @@ class DenseDeepGCN(nn.Module):
         # `momentum` accepted for trainer-API uniformity; torch BN default
         # (0.1 ⇒ keep 0.9) is fixed inside BasicConv.
         del momentum
-        assert self.block == "res", "only the res backbone has a driver in the reference"
         xyz = points[..., :3]
         head_idx = ops.dense_knn_graph(xyz, self.k)
         feats = [
@@ -166,10 +165,20 @@ class DenseDeepGCN(nn.Module):
             )
         ]
         for i in range(self.n_blocks - 1):
+            # backbone variants (`architecture.py:22-39`): res adds the
+            # skip, dense concatenates (growing widths, and the final
+            # fusion concat below re-includes earlier maps exactly as the
+            # reference does), plain stacks with dilation fixed at 1
+            if self.block == "dense":
+                out_ch, dilation = self.n_filters, 1 + i
+            elif self.block == "plain":
+                out_ch, dilation = self.n_filters, 1
+            else:
+                out_ch, dilation = self.n_filters, 1 + i
             body = DynConv(
-                self.n_filters,
+                out_ch,
                 k=self.k,
-                dilation=1 + i,
+                dilation=dilation,
                 conv=self.conv,
                 act=self.act,
                 norm=self.norm,
@@ -177,7 +186,12 @@ class DenseDeepGCN(nn.Module):
                 stochastic=self.stochastic,
                 epsilon=self.epsilon,
             )(feats[-1], train=train)
-            feats.append(body + feats[-1] * self.res_scale)
+            if self.block == "res":
+                feats.append(body + feats[-1] * self.res_scale)
+            elif self.block == "dense":
+                feats.append(jnp.concatenate([feats[-1], body], axis=-1))
+            else:
+                feats.append(body)
 
         h = jnp.concatenate(feats, axis=-1)  # [B, N, 64*28]
         fusion = BasicConv((1024,), self.act, self.norm, self.use_bias)(h, train=train)

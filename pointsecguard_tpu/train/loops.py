@@ -145,12 +145,10 @@ def train_randla(args):
             sub_ratios=cfg.sub_sampling_ratio,
         ),
     )
-    # class weights from inverse class frequency (`helper_tool.py:245-261`)
-    hist = np.zeros(13)
-    for c in train_sampler.clouds:
-        h, _ = np.histogram(c.labels, range(14))
-        hist += h
-    weights = jnp.array((hist.sum() / np.maximum(hist, 1)) ** 0.5 / 100 + 0.02)
+    # reference-identical CE class weights (`helper_tool.py:245-261`)
+    from pointsecguard_tpu.data.class_weights import get_class_weights
+
+    weights = jnp.array(get_class_weights("S3DIS"))
 
     batch_size = args.batch_size or cfg.batch_size
     _, f0, l0, _, _ = next(iter(train_sampler.batches(batch_size, 1)))

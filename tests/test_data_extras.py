@@ -1,0 +1,123 @@
+"""Tests for the auxiliary data components: class weights, legacy block
+utils, extra augmentations, dataset preps."""
+
+import numpy as np
+import pytest
+
+from pointsecguard_tpu.data import augment
+from pointsecguard_tpu.data.blocks import (
+    export_obj,
+    room2blocks,
+    room2blocks_normalized,
+    room2samples,
+    sample_data,
+)
+from pointsecguard_tpu.data.class_weights import (
+    NUM_PER_CLASS,
+    class_weights_from_counts,
+    get_class_weights,
+)
+
+
+class TestClassWeights:
+    def test_reference_formula(self):
+        w = get_class_weights("S3DIS")
+        counts = NUM_PER_CLASS["S3DIS"]
+        freq = counts / counts.sum()
+        np.testing.assert_allclose(w, 1.0 / (freq + 0.02), rtol=1e-6)
+        assert w.shape == (13,)
+
+    def test_all_datasets(self):
+        assert get_class_weights("Semantic3D").shape == (8,)
+        assert get_class_weights("SemanticKITTI").shape == (19,)
+
+    def test_rare_class_heavier(self):
+        w = class_weights_from_counts(np.array([1000, 10]))
+        assert w[1] > w[0]
+
+
+class TestLegacyBlocks:
+    def test_sample_data_pad_and_shrink(self, rng):
+        g = np.random.default_rng(0)
+        d = rng.rand(50, 6)
+        up, idx = sample_data(d, 80, g)
+        assert up.shape == (80, 6) and len(idx) == 80
+        down, idx2 = sample_data(d, 20, g)
+        assert down.shape == (20, 6) and len(set(idx2)) == 20
+
+    def test_room2blocks(self, rng):
+        data = rng.rand(5000, 6) * [3, 3, 2.5, 255, 255, 255]
+        labels = rng.randint(0, 13, 5000)
+        blocks, bl = room2blocks(
+            data, labels, 256, rng=np.random.default_rng(0)
+        )
+        assert blocks.shape[1:] == (256, 6)
+        assert bl.shape == blocks.shape[:2]
+
+    def test_room2blocks_normalized_layout(self, rng):
+        data = np.hstack(
+            [rng.rand(4000, 3) * 3, rng.randint(0, 256, (4000, 3)),
+             rng.randint(0, 13, (4000, 1))]
+        )
+        blocks, _ = room2blocks_normalized(
+            data, 128, rng=np.random.default_rng(0)
+        )
+        assert blocks.shape[1:] == (128, 9)
+        assert blocks[..., 3:9].min() >= 0 and blocks[..., 3:9].max() <= 1 + 1e-6
+        assert np.abs(blocks[..., 0]).max() <= 1.0  # centered block coords
+
+    def test_room2samples_covers_everything(self, rng):
+        data = rng.rand(1000, 6)
+        labels = rng.randint(0, 13, 1000)
+        s, sl = room2samples(data, labels, 256)
+        assert s.shape == (4, 256, 6)
+        assert sl.shape == (4, 256)
+
+    def test_export_obj(self, tmp_path, rng):
+        data = np.hstack([rng.rand(10, 6), rng.randint(0, 13, (10, 1))])
+        p = str(tmp_path / "c.obj")
+        export_obj(p, data)
+        lines = open(p).read().strip().splitlines()
+        assert len(lines) == 10 and lines[0].startswith("v ")
+
+
+class TestExtraAugment:
+    def test_normalize_data(self, rng):
+        b = rng.rand(2, 100, 3).astype(np.float32) * 10
+        out = augment.normalize_data(b)
+        assert np.abs(out.mean(axis=1)).max() < 1e-5
+        assert np.sqrt((out**2).sum(-1)).max() <= 1 + 1e-5
+
+    def test_rotation_preserves_norms(self):
+        g = np.random.default_rng(0)
+        b = g.random((2, 50, 3)).astype(np.float32)
+        for fn in [
+            lambda x: augment.rotate_point_cloud(x, g),
+            lambda x: augment.rotate_point_cloud_z(x, g),
+            lambda x: augment.rotate_perturbation_point_cloud(x, g),
+            lambda x: augment.rotate_point_cloud_by_angle(x, 0.7),
+        ]:
+            out = fn(b)
+            np.testing.assert_allclose(
+                np.linalg.norm(out, axis=-1), np.linalg.norm(b, axis=-1),
+                atol=1e-4,
+            )
+
+    def test_rotate_with_normal_consistent(self):
+        g = np.random.default_rng(1)
+        xyz = g.random((1, 30, 3)).astype(np.float32)
+        normal = g.random((1, 30, 3)).astype(np.float32)
+        b = np.concatenate([xyz, normal], -1)
+        out = augment.rotate_point_cloud_with_normal(b, g)
+        # same rotation applied to both halves → dot products preserved
+        dots_before = (xyz * normal).sum(-1)
+        dots_after = (out[..., :3] * out[..., 3:]).sum(-1)
+        np.testing.assert_allclose(dots_after, dots_before, atol=1e-4)
+
+    def test_shuffle_data(self):
+        g = np.random.default_rng(2)
+        d = np.arange(40).reshape(10, 2, 2).astype(float)
+        l = np.arange(10)
+        sd, sl, perm = augment.shuffle_data(d, l, g)
+        np.testing.assert_array_equal(sd, d[perm])
+        np.testing.assert_array_equal(sl, l[perm])
