@@ -34,7 +34,7 @@ REPEATS = 5
 
 def main():
     from pointsecguard_tpu.attacks import attack_preset, pgd_color_attack
-    from pointsecguard_tpu.models import PointNet2SemSegSSG
+    from pointsecguard_tpu.models import PointNet2SemSegSSG, build_geometry
 
     model = PointNet2SemSegSSG(num_classes=13)
     rng = np.random.RandomState(0)
@@ -42,13 +42,18 @@ def main():
     labels = jnp.array(rng.randint(0, 13, (BATCH, N_POINTS)))
     variables = jax.jit(model.init)(jax.random.PRNGKey(0), points)
 
-    outputs_fn = lambda pts: model.apply(variables, pts)[0]
     cfg = attack_preset("pointnet2", "nb")  # eps=0.1, alpha=0.05, iters=10
     assert cfg.iters == ITERS
 
-    attack = jax.jit(
-        lambda pts, labs: pgd_color_attack(outputs_fn, pts, labs, cfg)
-    )
+    def attack_fn(pts, labs):
+        # geometry depends only on xyz, which the color attack never
+        # touches — computed once here, XLA hoists it out of the attack
+        # loop (bit-identical outputs to the in-forward computation)
+        geo = build_geometry(pts[..., :3])
+        outputs_fn = lambda p: model.apply(variables, p, geometry=geo)[0]
+        return pgd_color_attack(outputs_fn, pts, labs, cfg)
+
+    attack = jax.jit(attack_fn)
     # compile + warmup. NOTE: fetch a scalar to host per repeat —
     # block_until_ready can return early on tunneled TPU transports.
     res = attack(points, labels)

@@ -102,7 +102,19 @@ def main(argv=None):
     state, _ = restored
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    outputs_fn = lambda pts: head(model.apply(variables, pts))
+    if args.model == "pointnet2":
+        # hoist the xyz-only geometry out of the attack loop (~2× faster;
+        # bit-identical — see models.pointnet2.build_geometry)
+        from pointsecguard_tpu.models import build_geometry
+
+        def make_outputs_fn(pts):
+            geo = build_geometry(pts[..., :3])
+            return lambda p: head(model.apply(variables, p, geometry=geo))
+    else:
+        def make_outputs_fn(pts):
+            return lambda p: head(model.apply(variables, p))
+
+    outputs_fn = lambda pts: make_outputs_fn(pts)(pts)
     predict = jax.jit(lambda pts: jnp.argmax(outputs_fn(pts), axis=-1))
 
     targeted = args.attack.startswith("tar_")
@@ -115,13 +127,14 @@ def main(argv=None):
     if isinstance(attack_cfg, PGDConfig):
         run_attack = jax.jit(
             lambda pts, labels, mask, key: pgd_color_attack(
-                outputs_fn, pts, labels, attack_cfg, mask=mask, key=key
+                make_outputs_fn(pts), pts, labels, attack_cfg, mask=mask,
+                key=key,
             )
         )
     elif isinstance(attack_cfg, CWConfig):
         run_attack = jax.jit(
             lambda pts, labels, mask, key: cw_color_attack(
-                outputs_fn, pts, labels, attack_cfg, mask=mask
+                make_outputs_fn(pts), pts, labels, attack_cfg, mask=mask
             )
         )
     else:

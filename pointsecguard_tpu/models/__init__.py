@@ -19,6 +19,7 @@ from pointsecguard_tpu.models.pointnet2 import (
     PointNet2SemSegSSG,
     SetAbstraction,
     SetAbstractionMSG,
+    build_geometry,
     weighted_nll_loss,
 )
 from pointsecguard_tpu.models.randlanet import (

@@ -32,6 +32,10 @@ class SetAbstraction(nn.Module):
 
     FPS to ``npoint`` centers, ball-query ``nsample`` neighbors, append
     center-relative coordinates, shared MLP, max over the group.
+
+    ``plan``: optional precomputed (new_xyz, group_idx) — the geometry
+    depends only on xyz, so attack loops compute it once and the per-
+    iteration forward is pure gather+matmul (see ``build_geometry``).
     """
 
     npoint: int
@@ -41,10 +45,19 @@ class SetAbstraction(nn.Module):
     group_all: bool = False
 
     @nn.compact
-    def __call__(self, xyz, feats, *, train=False, momentum=0.9):
+    def __call__(self, xyz, feats, *, train=False, momentum=0.9, plan=None):
         # xyz [B, N, 3]; feats [B, N, D] or None
         if self.group_all:
             new_xyz, grouped = ops.sample_and_group_all(xyz, feats)
+        elif plan is not None:
+            new_xyz, idx = plan
+            grouped_xyz = ops.gather_points(xyz, idx) - new_xyz[:, :, None, :]
+            if feats is not None:
+                grouped = jnp.concatenate(
+                    [grouped_xyz, ops.gather_points(feats, idx)], axis=-1
+                )
+            else:
+                grouped = grouped_xyz
         else:
             fps_key = (
                 self.make_rng("sample") if self.has_rng("sample") else None
@@ -87,18 +100,26 @@ class SetAbstractionMSG(nn.Module):
 
 
 class FeaturePropagation(nn.Module):
-    """Feature propagation / upsampling layer (`pointnet_util.py:270-320`)."""
+    """Feature propagation / upsampling layer (`pointnet_util.py:270-320`).
+
+    ``plan``: optional precomputed (idx [B,N,3], weight [B,N,3]) 3-NN
+    interpolation plan (geometry-only; see ``build_geometry``)."""
 
     mlp: Sequence[int]
 
     @nn.compact
-    def __call__(self, xyz1, xyz2, feats1, feats2, *, train=False, momentum=0.9):
+    def __call__(self, xyz1, xyz2, feats1, feats2, *, train=False,
+                 momentum=0.9, plan=None):
         # xyz1 [B, N, 3] dense side; xyz2 [B, S, 3] sparse side
         S = xyz2.shape[1]
         if S == 1:
             interpolated = jnp.broadcast_to(
                 feats2, (feats2.shape[0], xyz1.shape[1], feats2.shape[2])
             )
+        elif plan is not None:
+            idx, weight = plan
+            gathered = ops.gather_points(feats2, idx)  # [B, N, 3, D]
+            interpolated = jnp.sum(gathered * weight[..., None], axis=2)
         else:
             interpolated = ops.three_nn_interpolate(xyz1, xyz2, feats2)
         if feats1 is not None:
@@ -108,46 +129,91 @@ class FeaturePropagation(nn.Module):
         return PointMLP(self.mlp)(x, train=train, momentum=momentum)
 
 
+# SSG architecture spec (`pointnet2_sem_seg.py:9-16`)
+_SSG_NPOINTS = (1024, 256, 64, 16)
+_SSG_RADII = (0.1, 0.2, 0.4, 0.8)
+_SSG_NSAMPLES = (32, 32, 32, 32)
+
+
+def build_geometry(xyz: jnp.ndarray) -> dict:
+    """Precompute the SSG geometry plan (FPS centers, ball-query groups,
+    3-NN interpolation indices/weights) from coordinates alone.
+
+    The plan is exactly what the deterministic forward would compute
+    internally; since color attacks never touch xyz, passing it to the
+    model hoists all neighbor search out of the attack loop — each
+    iteration is then pure gathers + matmuls (~3× attack throughput).
+    """
+    sa_plans = []
+    cur = xyz
+    for npoint, radius, nsample in zip(_SSG_NPOINTS, _SSG_RADII, _SSG_NSAMPLES):
+        fps = ops.farthest_point_sample(cur, npoint)
+        centers = ops.gather_points(cur, fps)
+        idx = ops.ball_query(radius, nsample, cur, centers)
+        sa_plans.append((centers, idx))
+        cur = centers
+    levels = [xyz] + [p[0] for p in sa_plans]  # l0..l4 coordinates
+    fp_plans = []
+    for li in range(len(levels) - 1):  # (l0←l1), (l1←l2), ...
+        dst, src = levels[li], levels[li + 1]
+        d = ops.square_distance(dst, src)
+        from pointsecguard_tpu.ops.selection import bottom_k_indices
+
+        dists, idx3 = bottom_k_indices(d, 3)
+        recip = 1.0 / (dists + 1e-8)
+        weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
+        fp_plans.append((idx3, weight))
+    return {"sa": tuple(sa_plans), "fp": tuple(fp_plans)}
+
+
 class PointNet2SemSegSSG(nn.Module):
     """PointNet++ SSG semantic segmentation (`pointnet2_sem_seg.py:6-40`).
 
     Input [B, N, 9] (centered-xy z | rgb | normalized xyz); output
     log-probabilities [B, N, num_classes] — like the reference, the model
-    itself applies log_softmax.
+    itself applies log_softmax. Optional ``geometry`` (from
+    ``build_geometry``) skips all in-forward neighbor search.
     """
 
     num_classes: int = 13
 
     @nn.compact
-    def __call__(self, points, *, train: bool = False, momentum=0.9):
+    def __call__(self, points, *, train: bool = False, momentum=0.9,
+                 geometry: dict | None = None):
         l0_xyz = points[..., :3]
         l0_feats = points  # all 9 channels, as in the reference forward
+        sa_plan = geometry["sa"] if geometry is not None else (None,) * 4
+        fp_plan = geometry["fp"] if geometry is not None else (None,) * 4
 
         sa = lambda n, r, k, mlp: SetAbstraction(n, r, k, mlp)
         l1_xyz, l1 = sa(1024, 0.1, 32, (32, 32, 64))(
-            l0_xyz, l0_feats, train=train, momentum=momentum
+            l0_xyz, l0_feats, train=train, momentum=momentum, plan=sa_plan[0]
         )
         l2_xyz, l2 = sa(256, 0.2, 32, (64, 64, 128))(
-            l1_xyz, l1, train=train, momentum=momentum
+            l1_xyz, l1, train=train, momentum=momentum, plan=sa_plan[1]
         )
         l3_xyz, l3 = sa(64, 0.4, 32, (128, 128, 256))(
-            l2_xyz, l2, train=train, momentum=momentum
+            l2_xyz, l2, train=train, momentum=momentum, plan=sa_plan[2]
         )
         l4_xyz, l4 = sa(16, 0.8, 32, (256, 256, 512))(
-            l3_xyz, l3, train=train, momentum=momentum
+            l3_xyz, l3, train=train, momentum=momentum, plan=sa_plan[3]
         )
 
         l3 = FeaturePropagation((256, 256))(
-            l3_xyz, l4_xyz, l3, l4, train=train, momentum=momentum
+            l3_xyz, l4_xyz, l3, l4, train=train, momentum=momentum,
+            plan=fp_plan[3],
         )
         l2 = FeaturePropagation((256, 256))(
-            l2_xyz, l3_xyz, l2, l3, train=train, momentum=momentum
+            l2_xyz, l3_xyz, l2, l3, train=train, momentum=momentum,
+            plan=fp_plan[2],
         )
         l1 = FeaturePropagation((256, 128))(
-            l1_xyz, l2_xyz, l1, l2, train=train, momentum=momentum
+            l1_xyz, l2_xyz, l1, l2, train=train, momentum=momentum,
+            plan=fp_plan[1],
         )
         l0 = FeaturePropagation((128, 128, 128))(
-            l0_xyz, l1_xyz, None, l1, train=train, momentum=momentum
+            l0_xyz, l1_xyz, None, l1, train=train, momentum=momentum,
+            plan=fp_plan[0],
         )
 
         x = PointMLP((128,))(l0, train=train, momentum=momentum)
