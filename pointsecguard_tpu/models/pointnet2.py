@@ -71,7 +71,9 @@ class SetAbstraction(nn.Module):
 
 
 class SetAbstractionMSG(nn.Module):
-    """Multi-scale-grouping set abstraction (`pointnet_util.py:210-267`)."""
+    """Multi-scale-grouping set abstraction (`pointnet_util.py:210-267`).
+
+    ``plan``: optional (new_xyz, (idx_per_radius, ...)) geometry plan."""
 
     npoint: int
     radius_list: Sequence[float]
@@ -79,14 +81,22 @@ class SetAbstractionMSG(nn.Module):
     mlp_list: Sequence[Sequence[int]]
 
     @nn.compact
-    def __call__(self, xyz, feats, *, train=False, momentum=0.9):
-        fps_key = self.make_rng("sample") if self.has_rng("sample") else None
-        fps_idx = ops.farthest_point_sample(xyz, self.npoint, key=fps_key)
-        new_xyz = ops.gather_points(xyz, fps_idx)
+    def __call__(self, xyz, feats, *, train=False, momentum=0.9, plan=None):
+        if plan is not None:
+            new_xyz, idx_list = plan
+        else:
+            fps_key = self.make_rng("sample") if self.has_rng("sample") else None
+            fps_idx = ops.farthest_point_sample(xyz, self.npoint, key=fps_key)
+            new_xyz = ops.gather_points(xyz, fps_idx)
+            idx_list = None
         outs = []
         for i, radius in enumerate(self.radius_list):
             K = self.nsample_list[i]
-            idx = ops.ball_query(radius, K, xyz, new_xyz)
+            idx = (
+                idx_list[i]
+                if idx_list is not None
+                else ops.ball_query(radius, K, xyz, new_xyz)
+            )
             grouped_xyz = ops.gather_points(xyz, idx) - new_xyz[:, :, None, :]
             if feats is not None:
                 grouped_feats = ops.gather_points(feats, idx)
@@ -228,34 +238,41 @@ class PointNet2SemSegMSG(nn.Module):
     num_classes: int = 13
 
     @nn.compact
-    def __call__(self, points, *, train: bool = False, momentum=0.9):
+    def __call__(self, points, *, train: bool = False, momentum=0.9,
+                 geometry: dict | None = None):
         l0_xyz = points[..., :3]
         l0_feats = points
+        sa_plan = geometry["sa"] if geometry is not None else (None,) * 4
+        fp_plan = geometry["fp"] if geometry is not None else (None,) * 4
 
         l1_xyz, l1 = SetAbstractionMSG(
             1024, (0.05, 0.1), (16, 32), ((16, 16, 32), (32, 32, 64))
-        )(l0_xyz, l0_feats, train=train, momentum=momentum)
+        )(l0_xyz, l0_feats, train=train, momentum=momentum, plan=sa_plan[0])
         l2_xyz, l2 = SetAbstractionMSG(
             256, (0.1, 0.2), (16, 32), ((64, 64, 128), (64, 96, 128))
-        )(l1_xyz, l1, train=train, momentum=momentum)
+        )(l1_xyz, l1, train=train, momentum=momentum, plan=sa_plan[1])
         l3_xyz, l3 = SetAbstractionMSG(
             64, (0.2, 0.4), (16, 32), ((128, 196, 256), (128, 196, 256))
-        )(l2_xyz, l2, train=train, momentum=momentum)
+        )(l2_xyz, l2, train=train, momentum=momentum, plan=sa_plan[2])
         l4_xyz, l4 = SetAbstractionMSG(
             16, (0.4, 0.8), (16, 32), ((256, 256, 512), (256, 384, 512))
-        )(l3_xyz, l3, train=train, momentum=momentum)
+        )(l3_xyz, l3, train=train, momentum=momentum, plan=sa_plan[3])
 
         l3 = FeaturePropagation((256, 256))(
-            l3_xyz, l4_xyz, l3, l4, train=train, momentum=momentum
+            l3_xyz, l4_xyz, l3, l4, train=train, momentum=momentum,
+            plan=fp_plan[3],
         )
         l2 = FeaturePropagation((256, 256))(
-            l2_xyz, l3_xyz, l2, l3, train=train, momentum=momentum
+            l2_xyz, l3_xyz, l2, l3, train=train, momentum=momentum,
+            plan=fp_plan[2],
         )
         l1 = FeaturePropagation((256, 128))(
-            l1_xyz, l2_xyz, l1, l2, train=train, momentum=momentum
+            l1_xyz, l2_xyz, l1, l2, train=train, momentum=momentum,
+            plan=fp_plan[1],
         )
         l0 = FeaturePropagation((128, 128, 128))(
-            l0_xyz, l1_xyz, None, l1, train=train, momentum=momentum
+            l0_xyz, l1_xyz, None, l1, train=train, momentum=momentum,
+            plan=fp_plan[0],
         )
 
         x = PointMLP((128,))(l0, train=train, momentum=momentum)
@@ -276,3 +293,38 @@ def weighted_nll_loss(
     picked = jnp.take_along_axis(lp, y[:, None], axis=1)[:, 0]
     w = class_weights[y]
     return -(w * picked).sum() / w.sum()
+
+
+# MSG architecture spec (`pointnet2_sem_seg_msg.py:9-16`)
+_MSG_SPEC = (
+    (1024, (0.05, 0.1), (16, 32)),
+    (256, (0.1, 0.2), (16, 32)),
+    (64, (0.2, 0.4), (16, 32)),
+    (16, (0.4, 0.8), (16, 32)),
+)
+
+
+def build_geometry_msg(xyz: jnp.ndarray) -> dict:
+    """MSG geometry plan (see ``build_geometry``): per level the FPS
+    centers plus one ball-query index set per radius."""
+    from pointsecguard_tpu.ops.selection import bottom_k_indices
+
+    sa_plans = []
+    cur = xyz
+    for npoint, radii, nsamples in _MSG_SPEC:
+        fps = ops.farthest_point_sample(cur, npoint)
+        centers = ops.gather_points(cur, fps)
+        idx_list = tuple(
+            ops.ball_query(r, k, cur, centers) for r, k in zip(radii, nsamples)
+        )
+        sa_plans.append((centers, idx_list))
+        cur = centers
+    levels = [xyz] + [p[0] for p in sa_plans]
+    fp_plans = []
+    for li in range(len(levels) - 1):
+        d = ops.square_distance(levels[li], levels[li + 1])
+        dists, idx3 = bottom_k_indices(d, 3)
+        recip = 1.0 / (dists + 1e-8)
+        weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
+        fp_plans.append((idx3, weight))
+    return {"sa": tuple(sa_plans), "fp": tuple(fp_plans)}
