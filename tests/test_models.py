@@ -154,3 +154,34 @@ class TestDenseDeepGCN:
 
         g = jax.jit(jax.grad(loss_fn))(pts[..., 3:6])
         assert float(jnp.abs(g).max()) > 0
+
+
+class TestGeometryPlans:
+    """build_geometry(_msg) must reproduce the in-forward neighbor search
+    bit-exactly (the attack loops rely on this equivalence)."""
+
+    def test_ssg_geometry_identical(self, rng, key):
+        from pointsecguard_tpu.models import build_geometry
+
+        model = PointNet2SemSegSSG(num_classes=C_CLS)
+        pts = make_points(rng)
+        variables = jax.jit(model.init)(key, pts)
+        plain, _ = jax.jit(model.apply)(variables, pts)
+        geo = jax.jit(build_geometry)(pts[..., :3])
+        planned, _ = jax.jit(
+            lambda v, p, g: model.apply(v, p, geometry=g)
+        )(variables, pts, geo)
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(planned))
+
+    def test_msg_geometry_identical(self, rng, key):
+        from pointsecguard_tpu.models.pointnet2 import build_geometry_msg
+
+        model = PointNet2SemSegMSG(num_classes=C_CLS)
+        pts = make_points(rng)
+        variables = jax.jit(model.init)(key, pts)
+        plain, _ = jax.jit(model.apply)(variables, pts)
+        geo = jax.jit(build_geometry_msg)(pts[..., :3])
+        planned, _ = jax.jit(
+            lambda v, p, g: model.apply(v, p, geometry=g)
+        )(variables, pts, geo)
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(planned))
