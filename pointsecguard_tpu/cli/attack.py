@@ -145,7 +145,7 @@ def main(argv=None):
         args.log_dir, f"{args.model}_{args.attack}_area{args.test_area}.tsv"
     )
     tsv = open(tsv_path, "w")
-    tsv.write("room\tblock\tclean_acc\tadv_acc\tl2\tsr\tsteps\ttime_s\n")
+    tsv.write("room\tblock\tclean_acc\tadv_acc\tl2\tsr\tother_acc\tsteps\ttime_s\n")
 
     ws = WholeSceneBlocks(rooms, block_points=args.num_point)
     rng = np.random.default_rng(args.seed)
@@ -190,6 +190,13 @@ def main(argv=None):
             lab_np = np.asarray(labs)
             clean_acc = float((clean_pred == lab_np).mean())
             adv_acc = float((adv_pred == lab_np).mean())
+            if targeted:
+                # accuracy on the untouched points (`tar_NU` "other acc",
+                # `target.py:110`, `bim.py:510`)
+                inv = ~np.asarray(mask)
+                other_acc = float((adv_pred[inv] == lab_np[inv]).mean()) if inv.any() else 1.0
+            else:
+                other_acc = adv_acc
             w = weights[start : start + B]
             pi = pidx[start : start + B]
             add_votes(clean_pool, pi, clean_pred, w)
@@ -199,7 +206,7 @@ def main(argv=None):
                 adv_colors_room[pi.reshape(-1)] = adv_c
             tsv.write(
                 f"{room_name}\t{start}\t{clean_acc:.4f}\t{adv_acc:.4f}"
-                f"\t{l2:.4f}\t{sr:.4f}\t{steps}\t{dt:.2f}\n"
+                f"\t{l2:.4f}\t{sr:.4f}\t{other_acc:.4f}\t{steps}\t{dt:.2f}\n"
             )
             tsv.flush()
             n_blocks_done += 1
