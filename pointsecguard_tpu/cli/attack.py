@@ -29,6 +29,8 @@ def main(argv=None):
     ap.add_argument("--randla_dir", default="data/randla_input_0.040")
     ap.add_argument("--num_clouds", type=int, default=100,
                     help="randla: number of sampled clouds (`tester_S3DIS.py:166`)")
+    ap.add_argument("--randla_points", type=int, default=0,
+                    help="override RandLA sample size (default: config 40960)")
     ap.add_argument("--attack", default="nb",
                     choices=["nb", "nu", "tar_nb", "tar_nu", "random"])
     ap.add_argument("--data_root", default="data/stanford_indoor3d")
@@ -280,9 +282,10 @@ def _attack_randla(args, log):
     from pointsecguard_tpu.utils.metrics import metrics_from_confusion
 
     cfg = RandlaConfig()
+    num_points = getattr(args, "randla_points", 0) or cfg.num_points
     sampler = SpatiallyRegularSampler.load(
         args.randla_dir, split="test", test_area=args.test_area,
-        num_points=cfg.num_points, rng=np.random.default_rng(args.seed),
+        num_points=num_points, rng=np.random.default_rng(args.seed),
     )
     model = RandLANet(d_out=cfg.d_out)
     pyramid_fn = jax.jit(
@@ -292,7 +295,7 @@ def _attack_randla(args, log):
         )
     )
     B = cfg.val_batch_size
-    dummy_f = jnp.zeros((B, cfg.num_points, 6), jnp.float32)
+    dummy_f = jnp.zeros((B, num_points, 6), jnp.float32)
     model_args = lambda f: (f, pyramid_fn(f[..., :3]))
     state, _ = create_train_state(
         model, (dummy_f, None), rng=jax.random.PRNGKey(0), model_args=model_args
