@@ -89,13 +89,27 @@ def cw_f_targeted(
     return jnp.maximum(j - i, -kappa)
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def color_smoothness(
     adv_color: jnp.ndarray, ref_color: jnp.ndarray, k: int
 ) -> jnp.ndarray:
     """kNN color-space smoothness term (`nontarget.py:130-135`): for each
     point, the sum of its k smallest color-space distances to the reference
-    cloud. Returns [B]."""
-    # [B, N, N] color-space distance matrix; top_k of the negated row.
+    cloud. Returns [B].
+
+    Custom VJP: the backward reuses the forward's neighbor selection —
+    d‖a−r‖/da = (a−r)/‖a−r‖ summed over each point's selected neighbors —
+    instead of differentiating through the [N, N] matrix (≈2× faster C&W
+    steps). The cotangent w.r.t. ``ref_color`` is zero: every caller
+    passes the constant clean colors (`attacks/cw.py`)."""
+    v, _ = _smooth_fwd_impl(adv_color, ref_color, k)
+    return v
+
+
+def _smooth_fwd_impl(adv_color, ref_color, k):
     d2 = (
         jnp.sum(adv_color**2, -1)[:, :, None]
         - 2.0
@@ -107,11 +121,35 @@ def color_smoothness(
         )
         + jnp.sum(ref_color**2, -1)[:, None, :]
     )
+    from pointsecguard_tpu.ops.selection import bottom_k_indices
+
     # clamp before sqrt: the self-pair distance starts at ~0 and sqrt'(0)=∞
     # would poison the gradient (torch.cdist defines a zero subgradient)
-    d = jnp.sqrt(jnp.maximum(d2, 1e-12))
-    neg_top, _ = jax.lax.top_k(-d, k)
-    return jnp.sum(-neg_top, axis=(1, 2))
+    d2k, idx = bottom_k_indices(d2, k)
+    d = jnp.sqrt(jnp.maximum(d2k, 1e-12))
+    return jnp.sum(d, axis=(1, 2)), (d, idx)
+
+
+def _smooth_fwd(adv_color, ref_color, k):
+    v, (d, idx) = _smooth_fwd_impl(adv_color, ref_color, k)
+    return v, (adv_color, ref_color, d, idx)
+
+
+def _smooth_bwd(k, residuals, g):
+    adv_color, ref_color, d, idx = residuals
+    B, N, _ = adv_color.shape
+    # gather selected reference neighbors: [B, N, k, 3]
+    flat = idx.reshape(B, -1)
+    ref_sel = jnp.take_along_axis(
+        ref_color, flat[..., None], axis=1
+    ).reshape(B, N, k, 3)
+    diff = adv_color[:, :, None, :] - ref_sel
+    dinv = 1.0 / jnp.maximum(d, 1e-6)
+    grad_adv = g[:, None, None] * jnp.sum(diff * dinv[..., None], axis=2)
+    return grad_adv, jnp.zeros_like(ref_color)
+
+
+color_smoothness.defvjp(_smooth_fwd, _smooth_bwd)
 
 
 def color_l2(points_a: jnp.ndarray, points_b: jnp.ndarray) -> jnp.ndarray:

@@ -104,13 +104,18 @@ def main(argv=None):
     state, _ = restored
 
     variables = {"params": state.params, "batch_stats": state.batch_stats}
-    if args.model == "pointnet2":
+    if args.model in ("pointnet2", "pointnet2_msg"):
         # hoist the xyz-only geometry out of the attack loop (~2× faster;
         # bit-identical — see models.pointnet2.build_geometry)
         from pointsecguard_tpu.models import build_geometry
+        from pointsecguard_tpu.models.pointnet2 import build_geometry_msg
+
+        geo_fn = (
+            build_geometry if args.model == "pointnet2" else build_geometry_msg
+        )
 
         def make_outputs_fn(pts):
-            geo = build_geometry(pts[..., :3])
+            geo = geo_fn(pts[..., :3])
             return lambda p: head(model.apply(variables, p, geometry=geo))
     else:
         def make_outputs_fn(pts):

@@ -17,6 +17,8 @@ def main(argv=None):
     ap.add_argument("--randla_dir", default="data/randla_input_0.040")
     ap.add_argument("--num_clouds", type=int, default=200,
                     help="randla: spatially-regular samples to vote over")
+    ap.add_argument("--randla_points", type=int, default=0,
+                    help="override RandLA sample size (default: config 40960)")
     ap.add_argument("--save_preds", default=None,
                     help="randla: save per-cloud prediction PLYs here")
     ap.add_argument("--data_root", default="data/stanford_indoor3d")
@@ -114,9 +116,10 @@ def _eval_randla(args, log):
     from pointsecguard_tpu.utils.metrics import metrics_from_confusion
 
     cfg = RandlaConfig()
+    num_points = getattr(args, "randla_points", 0) or cfg.num_points
     sampler = SpatiallyRegularSampler.load(
         args.randla_dir, split="test", test_area=args.test_area,
-        num_points=cfg.num_points, rng=np.random.default_rng(args.seed),
+        num_points=num_points, rng=np.random.default_rng(args.seed),
     )
     model = RandLANet(d_out=cfg.d_out)
     pyramid_fn = jax.jit(
@@ -127,7 +130,7 @@ def _eval_randla(args, log):
     )
     model_args = lambda f: (f, pyramid_fn(f[..., :3]))
     B = cfg.val_batch_size
-    dummy = jnp.zeros((B, cfg.num_points, 6), jnp.float32)
+    dummy = jnp.zeros((B, num_points, 6), jnp.float32)
     state, _ = create_train_state(
         model, (dummy, None), rng=jax.random.PRNGKey(0), model_args=model_args
     )
