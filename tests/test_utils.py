@@ -1,0 +1,104 @@
+"""Utility-layer tests: checkpointing, NaN guard, event log, viz, timer."""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointsecguard_tpu.utils.checkpoint import CheckpointManager
+from pointsecguard_tpu.utils.logging import EventLog, write_label_cloud, write_xyzrgb
+from pointsecguard_tpu.utils.profiling import StepTimer
+
+
+class TestCheckpoint:
+    def test_save_restore_roundtrip(self, tmp_path):
+        state = {
+            "params": {"w": jnp.arange(6.0).reshape(2, 3)},
+            "step": jnp.array(7),
+        }
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        mgr.save(1, state, miou=0.5)
+        template = jax.tree_util.tree_map(jnp.zeros_like, state)
+        restored, step = mgr.restore_latest(template)
+        assert step == 1
+        np.testing.assert_array_equal(
+            np.asarray(restored["params"]["w"]), np.asarray(state["params"]["w"])
+        )
+
+    def test_best_tracking(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path / "ckpt"))
+        state = {"x": jnp.array(1.0)}
+        mgr.save(1, state, miou=0.3)
+        mgr.save(2, {"x": jnp.array(2.0)}, miou=0.9)
+        mgr.save(3, {"x": jnp.array(3.0)}, miou=0.1)
+        best, step = mgr.restore_best({"x": jnp.array(0.0)})
+        assert step == 2
+        assert float(best["x"]) == 2.0
+
+    def test_restore_empty_returns_none(self, tmp_path):
+        mgr = CheckpointManager(str(tmp_path / "empty"))
+        assert mgr.restore_latest({"x": jnp.array(0.0)}) is None
+
+
+class TestNanGuard:
+    def test_bad_batch_keeps_params(self, rng):
+        from pointsecguard_tpu.models import PointNet2SemSegSSG, weighted_nll_loss
+        from pointsecguard_tpu.train import create_train_state, make_train_step
+
+        pts = jnp.array(rng.rand(2, 64, 9).astype(np.float32))
+        labels = jnp.array(rng.randint(0, 13, (2, 64)))
+        model = PointNet2SemSegSSG()
+        state, tx = create_train_state(
+            model, (pts, labels), rng=jax.random.PRNGKey(0)
+        )
+        step = make_train_step(model, tx, weighted_nll_loss)
+        before = jax.tree_util.tree_leaves(state.params)[0].copy()
+        bad = pts.at[0, 0, 0].set(jnp.nan)
+        state2, loss, _ = step(
+            state, bad, labels, jnp.ones(13), 0.01, 0.1, jax.random.PRNGKey(1)
+        )
+        assert not np.isfinite(float(loss))  # reported for host accounting
+        after = jax.tree_util.tree_leaves(state2.params)[0]
+        np.testing.assert_array_equal(np.asarray(before), np.asarray(after))
+        assert int(state2.step) == 1  # step counter still advances
+
+
+class TestEventLog:
+    def test_jsonl_records(self, tmp_path):
+        p = str(tmp_path / "events.jsonl")
+        log = EventLog(p)
+        log.write("train_step", loss=np.float32(1.5), step=np.int64(3))
+        log.write("eval", miou=0.42)
+        log.close()
+        lines = [json.loads(l) for l in open(p)]
+        assert lines[0]["event"] == "train_step"
+        assert lines[0]["loss"] == 1.5
+        assert lines[1]["miou"] == 0.42
+        assert all("t" in l for l in lines)
+
+
+class TestVisualDumps:
+    def test_xyzrgb(self, tmp_path, rng):
+        p = str(tmp_path / "c.xyzrgb")
+        write_xyzrgb(p, rng.rand(5, 3), rng.rand(5, 3))
+        rows = np.loadtxt(p)
+        assert rows.shape == (5, 6)
+        assert rows[:, 3:].max() <= 255
+
+    def test_label_cloud(self, tmp_path, rng):
+        p = str(tmp_path / "l.xyzrgb")
+        write_label_cloud(p, rng.rand(5, 3), np.array([0, 1, 2, 3, 12]))
+        rows = np.loadtxt(p)
+        assert rows.shape == (5, 6)
+
+
+class TestStepTimer:
+    def test_window_average(self):
+        t = StepTimer(window=3)
+        assert t.tick() is None
+        assert t.tick() is None
+        avg = t.tick()
+        assert avg is not None and avg >= 0
