@@ -32,6 +32,8 @@ def main(argv=None):
     ap.add_argument("--learning_rate", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval_every", type=int, default=1)
+    ap.add_argument("--profile", default=None,
+                    help="dump a jax.profiler trace of the first epoch here")
     args = ap.parse_args(argv)
 
     import jax

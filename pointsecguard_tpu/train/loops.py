@@ -43,6 +43,8 @@ def train_pointnet_family(args):
         pointnet2_lr,
     )
     from pointsecguard_tpu.utils.checkpoint import CheckpointManager
+    from pointsecguard_tpu.utils.logging import EventLog
+    from pointsecguard_tpu.utils.profiling import maybe_trace
 
     rooms = RoomSet.load(args.data_root, "train", args.test_area)
     test_rooms = RoomSet.load(args.data_root, "test", args.test_area)
@@ -77,23 +79,39 @@ def train_pointnet_family(args):
         log.info("resumed from epoch %d", start_epoch)
 
     key = jax.random.PRNGKey(args.seed + 1)
+    events = EventLog(f"{args.log_dir}/events.jsonl")
     best_miou = 0.0
+    nan_batches = 0
     for epoch in range(start_epoch, args.epochs):
         lr = pointnet2_lr(epoch, base=base_lr)
         bn_m = pointnet2_bn_momentum(epoch)
         t0, n_batches, loss_sum = time.time(), 0, 0.0
-        for pts, labels in sampler.batches(rng, batch_size):
-            pts[:, :, :3] = augment.rotate_point_cloud_z(pts[:, :, :3], rng)
-            key, sub = jax.random.split(key)
-            state, loss, _ = step_fn(
-                state, jnp.array(pts), jnp.array(labels), weights, lr, bn_m, sub
-            )
-            loss_sum += float(loss)
-            n_batches += 1
+        profile_dir = (
+            getattr(args, "profile", None) if epoch == start_epoch else None
+        )
+        with maybe_trace(profile_dir):
+            for pts, labels in sampler.batches(rng, batch_size):
+                pts[:, :, :3] = augment.rotate_point_cloud_z(pts[:, :, :3], rng)
+                key, sub = jax.random.split(key)
+                state, loss, _ = step_fn(
+                    state, jnp.array(pts), jnp.array(labels), weights, lr, bn_m,
+                    sub,
+                )
+                loss_f = float(loss)
+                if not np.isfinite(loss_f):
+                    nan_batches += 1  # update was skipped by the NaN guard
+                else:
+                    loss_sum += loss_f
+                n_batches += 1
         log.info(
-            "epoch %d lr %.2g bn_m %.3f loss %.4f (%.1fs, %d batches)",
-            epoch, lr, bn_m, loss_sum / max(n_batches, 1), time.time() - t0,
-            n_batches,
+            "epoch %d lr %.2g bn_m %.3f loss %.4f (%.1fs, %d batches, %d skipped)",
+            epoch, lr, bn_m, loss_sum / max(n_batches - nan_batches, 1),
+            time.time() - t0, n_batches, nan_batches,
+        )
+        events.write(
+            "epoch", epoch=epoch, lr=lr, bn_momentum=bn_m,
+            loss=loss_sum / max(n_batches - nan_batches, 1),
+            nan_batches=nan_batches, seconds=time.time() - t0,
         )
         if (epoch + 1) % args.eval_every == 0 or epoch == args.epochs - 1:
             predict = lambda p: np.asarray(eval_fn(state, jnp.array(p)))
@@ -104,6 +122,8 @@ def train_pointnet_family(args):
             miou = float(total.miou)
             log.info("epoch %d eval mIoU %.4f acc %.4f", epoch, miou,
                      float(total.accuracy))
+            events.write("eval", epoch=epoch, miou=miou,
+                         accuracy=float(total.accuracy))
             best_miou = max(best_miou, miou)
             ckpt.save(epoch + 1, state, miou=miou)
     log.info("best mIoU %.4f", best_miou)
