@@ -74,7 +74,7 @@ def main(argv=None):
     from pointsecguard_tpu.utils.checkpoint import CheckpointManager
     from pointsecguard_tpu.utils.metrics import metrics_from_confusion
 
-    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    logging.basicConfig(level=logging.INFO, format="%(message)s", force=True)
     log = logging.getLogger("attack")
 
     if args.model == "randla":

@@ -47,7 +47,7 @@ def main(argv=None):
     )
     from pointsecguard_tpu.utils.checkpoint import CheckpointManager
 
-    logging.basicConfig(level=logging.INFO, format="%(message)s")
+    logging.basicConfig(level=logging.INFO, format="%(message)s", force=True)
     log = logging.getLogger("eval")
 
     if args.model == "randla":

@@ -48,6 +48,7 @@ def main(argv=None):
     logging.basicConfig(
         level=logging.INFO,
         format="%(asctime)s %(message)s",
+        force=True,
         handlers=[
             logging.StreamHandler(),
             logging.FileHandler(f"{args.log_dir.rstrip('/')}.train.log", delay=True),
