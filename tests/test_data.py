@@ -169,3 +169,28 @@ class TestMetrics:
         valid[:50] = True
         m = segmentation_metrics(y, p, 4, valid=valid)
         assert float(m.accuracy) == 1.0
+
+
+class TestCollection:
+    def test_collect_room_and_cli(self, tmp_path):
+        # fake raw S3DIS layout: Area_1/office_1/Annotations/<class>_1.txt
+        anno = tmp_path / "raw" / "Area_1" / "office_1" / "Annotations"
+        anno.mkdir(parents=True)
+        rng = np.random.RandomState(0)
+        for cls in ["chair_1", "floor_1", "unknownthing_1"]:
+            pts = np.hstack([rng.rand(20, 3) + 5.0, rng.randint(0, 256, (20, 3))])
+            np.savetxt(anno / f"{cls}.txt", pts, fmt="%.4f")
+        from pointsecguard_tpu.cli.prepare import main as prepare_main
+
+        out = tmp_path / "collected"
+        prepare_main([
+            "--raw_root", str(tmp_path / "raw"), "--out_root", str(out),
+        ])
+        files = sorted(os.listdir(out))
+        assert files == ["Area_1_office_1.npy"]
+        data = np.load(out / files[0])
+        assert data.shape == (60, 7)
+        # xyz shifted to origin (`indoor3d_util.py:57-58`)
+        assert np.allclose(data[:, :3].min(0), 0, atol=1e-6)
+        # unknown class mapped to clutter (12), chair=8, floor=1
+        assert set(np.unique(data[:, 6]).astype(int)) == {1, 8, 12}
