@@ -131,19 +131,22 @@ def main(argv=None):
         overrides = {"targeted": True, "target": args.target} if targeted else {}
         attack_cfg = attack_preset(preset_family, args.attack, **overrides)
 
-    if isinstance(attack_cfg, PGDConfig):
-        run_attack = jax.jit(
-            lambda pts, labels, mask, key: pgd_color_attack(
-                make_outputs_fn(pts), pts, labels, attack_cfg, mask=mask,
-                key=key,
-            )
-        )
-    elif isinstance(attack_cfg, CWConfig):
-        run_attack = jax.jit(
-            lambda pts, labels, mask, key: cw_color_attack(
-                make_outputs_fn(pts), pts, labels, attack_cfg, mask=mask
-            )
-        )
+    # one fused dispatch per block: clean forward + attack + adv forward
+    # (three separate calls cost ~3 host round-trips each on tunneled TPUs)
+    if attack_cfg is not None:
+
+        @jax.jit
+        def run_attack(pts, labels, mask, key):
+            f = make_outputs_fn(pts)
+            clean_pred = jnp.argmax(f(pts), axis=-1)
+            if isinstance(attack_cfg, PGDConfig):
+                res = pgd_color_attack(
+                    f, pts, labels, attack_cfg, mask=mask, key=key
+                )
+            else:
+                res = cw_color_attack(f, pts, labels, attack_cfg, mask=mask)
+            adv_pred = jnp.argmax(f(res.points_adv), axis=-1)
+            return clean_pred, adv_pred, res
     else:
         run_attack = None
 
@@ -173,7 +176,6 @@ def main(argv=None):
             t0 = time.time()
             pts = jnp.array(data[start : start + B])
             labs = jnp.array(labels[start : start + B].astype(np.int32))
-            clean_pred = np.asarray(predict(pts))
             if targeted:
                 _, mask = make_target_labels(labs, args.origin, args.target)
                 if int(np.asarray(mask).sum()) == 0:
@@ -182,13 +184,16 @@ def main(argv=None):
                 mask = None
             key, sub = jax.random.split(key)
             if args.attack == "random":
+                clean_pred = np.asarray(predict(pts))
                 norm = jnp.full((B,), 5.0)
                 adv = equal_norm_color_noise(sub, pts, norm, mask=mask)
                 adv_pred = np.asarray(predict(adv))
+                res = None
                 steps, sr, l2 = 0, 0.0, float(norm[0])
             else:
-                res = run_attack(pts, labs, mask, sub)
-                adv_pred = np.asarray(predict(res.points_adv))
+                clean_pred, adv_pred, res = run_attack(pts, labs, mask, sub)
+                clean_pred = np.asarray(clean_pred)
+                adv_pred = np.asarray(adv_pred)
                 steps = int(res.steps)
                 sr = float(res.success_rate)
                 l2 = float(np.mean(np.asarray(res.l2_dist)))
