@@ -218,12 +218,39 @@ class RandLANet(nn.Module):
 
 
 def weighted_softmax_ce_loss(
-    logits: jnp.ndarray, labels: jnp.ndarray, class_weights: jnp.ndarray
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    class_weights: jnp.ndarray,
+    *,
+    ignored_labels: tuple = (),
 ) -> jnp.ndarray:
-    """RandLA's weighted softmax cross-entropy (`RandLANet.py:313-321`):
-    per-point weight = class weight of the label; mean of weighted CE."""
-    lp = jax.nn.log_softmax(logits.reshape(-1, logits.shape[-1]))
+    """RandLA's weighted softmax cross-entropy (`RandLANet.py:313-321`)
+    with the ignored-label machinery of `RandLANet.py:103-124`: points
+    whose raw label is in ``ignored_labels`` contribute nothing, and raw
+    labels are reduced to the contiguous valid-class range (needed for
+    SemanticKITTI's ignore-class 0; S3DIS has none).
+
+    ``class_weights`` is indexed by the REDUCED label. Static-shape
+    equivalent of the reference's gather-of-valid-rows: masked mean."""
     y = labels.reshape(-1)
+    if ignored_labels:
+        valid = jnp.ones_like(y, dtype=bool)
+        # reducing_list: raw label -> contiguous valid index (`:118-124`)
+        num_raw = logits.shape[-1] + len(ignored_labels)
+        reducing = jnp.zeros((num_raw,), jnp.int32)
+        keep = [l for l in range(num_raw) if l not in set(ignored_labels)]
+        reducing = reducing.at[jnp.array(keep)].set(
+            jnp.arange(len(keep), dtype=jnp.int32)
+        )
+        for ign in ignored_labels:
+            valid = valid & (y != ign)
+        y = reducing[y]
+    else:
+        valid = None
+    lp = jax.nn.log_softmax(logits.reshape(-1, logits.shape[-1]))
     ce = -jnp.take_along_axis(lp, y[:, None], axis=1)[:, 0]
     w = class_weights[y]
-    return jnp.mean(ce * w)
+    if valid is None:
+        return jnp.mean(ce * w)
+    v = valid.astype(ce.dtype)
+    return jnp.sum(ce * w * v) / jnp.maximum(jnp.sum(v), 1.0)

@@ -185,3 +185,33 @@ class TestGeometryPlans:
             lambda v, p, g: model.apply(v, p, geometry=g)
         )(variables, pts, geo)
         np.testing.assert_array_equal(np.asarray(plain), np.asarray(planned))
+
+
+class TestRandlaIgnoredLabels:
+    def test_ignored_label_loss(self, rng):
+        # SemanticKITTI-style: raw labels 0..19, class 0 ignored → 19 valid
+        logits = jnp.array(rng.randn(1, 32, 19).astype(np.float32))
+        raw = jnp.array(rng.randint(0, 20, (1, 32)))
+        w = jnp.ones(19)
+        loss = weighted_softmax_ce_loss(
+            logits, raw, w, ignored_labels=(0,)
+        )
+        assert np.isfinite(float(loss))
+        # ignored points contribute nothing: flipping them leaves loss fixed
+        raw2 = jnp.where(raw == 0, 0, raw)  # identical
+        flip = jnp.where(raw == 0, 0, raw)
+        loss2 = weighted_softmax_ce_loss(logits, flip, w, ignored_labels=(0,))
+        assert float(loss) == float(loss2)
+        # logits of only-ignored batch → denominator guard works
+        all_ign = jnp.zeros((1, 32), jnp.int32)
+        l3 = weighted_softmax_ce_loss(logits, all_ign, w, ignored_labels=(0,))
+        assert float(l3) == 0.0
+
+    def test_reduction_mapping(self, rng):
+        # raw label 1 maps to reduced 0 when label 0 is ignored
+        logits = jnp.zeros((1, 4, 3))
+        logits = logits.at[0, :, 0].set(100.0)  # reduced class 0 certain
+        raw = jnp.ones((1, 4), jnp.int32)  # raw class 1 == reduced 0
+        w = jnp.ones(3)
+        loss = weighted_softmax_ce_loss(logits, raw, w, ignored_labels=(0,))
+        assert float(loss) < 1e-3
