@@ -45,6 +45,9 @@ def main(argv=None):
     ap.add_argument("--target", type=int, default=7)
     ap.add_argument("--max_blocks", type=int, default=0, help="0 = all")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--resgcn_fast", action="store_true",
+                    help="resgcn: dilated_mode=subsample + approx kNN "
+                         "(6x faster; documented deviation, PARITY.md)")
     ap.add_argument("--visual", action="store_true",
                     help="dump clean/adv/pred/gt .xyzrgb clouds per room "
                          "(`NB_nontarget_test_semseg.py:131-136` artifacts)")
@@ -81,7 +84,11 @@ def main(argv=None):
         return _attack_randla(args, log)
 
     if args.model == "resgcn":
-        model = DenseDeepGCN()
+        model = (
+            DenseDeepGCN(dilated_mode="subsample", knn_strategy="approx")
+            if args.resgcn_fast
+            else DenseDeepGCN()
+        )
         preset_family = "resgcn"
         head = lambda out: out
     else:

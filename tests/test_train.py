@@ -130,3 +130,28 @@ class TestSharding:
         mesh = make_mesh(points_axis=2)
         assert mesh.axis_names == ("data", "points")
         assert mesh.devices.shape == (4, 2)
+
+
+class TestMultiVote:
+    def test_num_votes_pooling(self, tmp_path):
+        rng = np.random.RandomState(3)
+        n = 2500
+        xyz = rng.rand(n, 3) * 2.0
+        rgb = rng.randint(0, 256, (n, 3)).astype(np.float64)
+        label = rng.randint(0, NUM_CLASSES, (n, 1)).astype(np.float64)
+        np.save(tmp_path / "Area_5_r.npy", np.hstack([xyz, rgb, label]))
+        rooms = RoomSet.load(str(tmp_path), "test", test_area=5)
+        calls = {"n": 0}
+
+        def constant_pred(points):
+            calls["n"] += 1
+            return np.zeros(points.shape[:2], np.int64)
+
+        total, _ = evaluate_whole_scenes(
+            constant_pred, rooms, batch_size=4, block_points=256, num_votes=3
+        )
+        # three vote passes ran
+        assert calls["n"] >= 3
+        # constant predictor → accuracy = frequency of class 0
+        freq0 = float((rooms.labels[0] == 0).mean())
+        assert abs(float(total.accuracy) - freq0) < 1e-6
