@@ -122,7 +122,11 @@ class DynConv(nn.Module):
             # (avoids the large-k sort); NOT the reference semantics —
             # opt-in via DenseDeepGCN(dilated_mode="subsample").
             cand = x[:, :: self.dilation, :]
-            _, idx = ops.knn(x, cand, self.k, strategy=self.knn_strategy)
+            k_eff = min(self.k, cand.shape[1])
+            _, idx = ops.knn(x, cand, k_eff, strategy=self.knn_strategy)
+            if k_eff < self.k:  # tiny clouds: repeat neighbors to width k
+                reps = -(-self.k // k_eff)
+                idx = jnp.tile(idx, (1, 1, reps))[:, :, : self.k]
             idx = idx * self.dilation  # map back to full-cloud indices
         else:
             idx = ops.dense_knn_graph(
