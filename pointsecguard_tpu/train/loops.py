@@ -43,7 +43,7 @@ def train_pointnet_family(args):
         pointnet2_lr,
     )
     from pointsecguard_tpu.utils.checkpoint import CheckpointManager
-    from pointsecguard_tpu.utils.logging import EventLog
+    from pointsecguard_tpu.utils.logging import EventLog, SummaryLogger
     from pointsecguard_tpu.utils.profiling import maybe_trace
 
     rooms = RoomSet.load(args.data_root, "train", args.test_area)
@@ -80,6 +80,7 @@ def train_pointnet_family(args):
 
     key = jax.random.PRNGKey(args.seed + 1)
     events = EventLog(f"{args.log_dir}/events.jsonl")
+    tb = SummaryLogger(f"{args.log_dir}/tb")
     best_miou = 0.0
     nan_batches = 0
     for epoch in range(start_epoch, args.epochs):
@@ -113,6 +114,8 @@ def train_pointnet_family(args):
             loss=loss_sum / max(n_batches - nan_batches, 1),
             nan_batches=nan_batches, seconds=time.time() - t0,
         )
+        tb.scalars(epoch, loss=loss_sum / max(n_batches - nan_batches, 1),
+                   learning_rate=lr)
         if (epoch + 1) % args.eval_every == 0 or epoch == args.epochs - 1:
             predict = lambda p: np.asarray(eval_fn(state, jnp.array(p)))
             total, _ = evaluate_whole_scenes(
@@ -124,6 +127,7 @@ def train_pointnet_family(args):
                      float(total.accuracy))
             events.write("eval", epoch=epoch, miou=miou,
                          accuracy=float(total.accuracy))
+            tb.scalars(epoch, miou=miou, accuracy=float(total.accuracy))
             best_miou = max(best_miou, miou)
             ckpt.save(epoch + 1, state, miou=miou)
     log.info("best mIoU %.4f", best_miou)

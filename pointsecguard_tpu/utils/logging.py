@@ -63,3 +63,35 @@ def write_xyzrgb(path: str, xyz: np.ndarray, rgb: np.ndarray) -> None:
 def write_label_cloud(path: str, xyz: np.ndarray, labels: np.ndarray) -> None:
     """Dump a cloud colored by class label (pred/GT visualisations)."""
     write_xyzrgb(path, xyz, LABEL2COLOR[np.asarray(labels).astype(int)])
+
+
+class SummaryLogger:
+    """TensorBoard scalar logging (the reference's `utils/tf_logger.py:17-111`
+    and `RandLANet.py:137-147` summaries). Uses torch.utils.tensorboard's
+    writer when available; silently no-ops otherwise so headless runs never
+    fail. Point clouds go through ``write_xyzrgb``/``render_cloud`` instead
+    of TB mesh summaries."""
+
+    def __init__(self, log_dir: str):
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+
+            self._w = SummaryWriter(log_dir)
+        except Exception:
+            self._w = None
+
+    def scalar(self, tag: str, value: float, step: int) -> None:
+        if self._w is not None:
+            self._w.add_scalar(tag, float(value), int(step))
+
+    def scalars(self, step: int, **tags) -> None:
+        for tag, value in tags.items():
+            self.scalar(tag, value, step)
+
+    def histogram(self, tag: str, values, step: int) -> None:
+        if self._w is not None:
+            self._w.add_histogram(tag, np.asarray(values), int(step))
+
+    def close(self) -> None:
+        if self._w is not None:
+            self._w.close()
