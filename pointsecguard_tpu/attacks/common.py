@@ -49,14 +49,23 @@ def per_point_ce(outputs: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
 
 
 def hinge_logit_loss(
-    outputs: jnp.ndarray, ys: jnp.ndarray, num_classes: int
+    outputs: jnp.ndarray,
+    ys: jnp.ndarray,
+    num_classes: int,
+    *,
+    point_mask: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """ares `colperloss` (`bim.py:110-116`): per-point
-    max(0, max_other_logit − y_logit), summed over points → [B]."""
+    max(0, max_other_logit − y_logit), summed over points → [B].
+    ``point_mask`` restricts the sum to masked points (the TBIM targeted
+    variant gates the loss as well as the perturbation, `bim.py:345-347`)."""
     one_hot = jax.nn.one_hot(ys, num_classes, dtype=outputs.dtype)
     real = jnp.sum(one_hot * outputs, axis=-1)
     other = jnp.max((1.0 - one_hot) * outputs, axis=-1)
-    return jnp.sum(jnp.maximum(0.0, other - real), axis=-1)
+    per_point = jnp.maximum(0.0, other - real)
+    if point_mask is not None:
+        per_point = per_point * point_mask.astype(per_point.dtype)
+    return jnp.sum(per_point, axis=-1)
 
 
 def cw_f_prob(

@@ -82,7 +82,13 @@ def pgd_color_attack(
     m = None if mask is None else mask.astype(points.dtype)[..., None]
 
     if cfg.targeted:
-        ys = jnp.full_like(labels, cfg.target)
+        if cfg.loss == "hinge" and mask is not None:
+            # TBIM: remap only the origin-labeled points and gate the loss
+            # on the mask (`bim.py:436-440,345-347`)
+            ys = jnp.where(mask, cfg.target, labels)
+        else:
+            # torch tar_NB: constant full target vector (`target.py:29`)
+            ys = jnp.full_like(labels, cfg.target)
     else:
         ys = labels
 
@@ -101,7 +107,10 @@ def pgd_color_attack(
             else:
                 loss = jnp.mean(ce)
         elif cfg.loss == "hinge":
-            per_cloud = hinge_logit_loss(outputs, ys, cfg.num_classes)
+            point_mask = mask if (cfg.targeted and mask is not None) else None
+            per_cloud = hinge_logit_loss(
+                outputs, ys, cfg.num_classes, point_mask=point_mask
+            )
             loss = jnp.sum(per_cloud)
         else:
             raise ValueError(cfg.loss)
