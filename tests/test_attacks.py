@@ -218,13 +218,39 @@ class TestPresets:
                 assert cfg is not None
 
     def test_preset_values_match_reference(self):
+        # all 12 budgets from BASELINE.md "Attack budgets"
         nb = attack_preset("pointnet2", "nb")
         assert (nb.eps, nb.alpha, nb.iters) == (0.1, 0.05, 10)
+        nu = attack_preset("pointnet2", "nu")
+        assert (nu.steps, nu.lr) == (1000, 0.01)
+        assert (nu.f_coeff, nu.smooth_coeff, nu.l2_coeff) == (1.0, 0.1, 0.1)
+        tnb = attack_preset("pointnet2", "tar_nb")
+        assert (tnb.eps, tnb.alpha, tnb.iters) == (0.5, 0.1, 500)
+        tnu = attack_preset("pointnet2", "tar_nu")
+        assert (tnu.smooth_coeff, tnu.l2_coeff) == (1.0, 1.0)
+        assert tnu.lr_halve_every == 50 and tnu.smooth_k == 5
+
         rnb = attack_preset("randla", "nb")
         assert rnb.step_norm == "l2" and rnb.loss == "hinge"
-        assert (rnb.eps, rnb.alpha) == (17.0, 1.7)
-        tnb = attack_preset("resgcn", "tar_nb")
-        assert tnb.targeted and tnb.eps == 0.4
+        assert (rnb.eps, rnb.alpha, rnb.iters) == (17.0, 1.7, 10)
+        assert rnb.rand_init_eps == pytest.approx(17.0 / 5.0)
+        rnu = attack_preset("randla", "nu")
+        assert rnu.flavor == "ares" and rnu.f_coeff == 0.5
+        rtnb = attack_preset("randla", "tar_nb")
+        assert (rtnb.eps, rtnb.alpha, rtnb.iters) == (10.0, 1.0, 20)
+        assert rtnb.rand_init_eps == 2.0 and rtnb.early_exit_sr == 0.90
+        rtnu = attack_preset("randla", "tar_nu")
+        assert rtnu.flavor == "ares" and rtnu.success_sr == 0.95
+
+        gnb = attack_preset("resgcn", "nb")
+        assert (gnb.eps, gnb.alpha, gnb.iters) == (0.3, 2.0 / 255.0, 50)
+        gnu = attack_preset("resgcn", "nu")
+        assert (gnu.f_coeff, gnu.smooth_coeff, gnu.l2_coeff) == (0.1, 1e-4, 1.0)
+        assert gnu.lr == 0.1
+        gtnb = attack_preset("resgcn", "tar_nb")
+        assert gtnb.targeted and (gtnb.eps, gtnb.alpha, gtnb.iters) == (0.4, 0.04, 50)
+        gtnu = attack_preset("resgcn", "tar_nu")
+        assert (gtnu.f_coeff, gtnu.smooth_coeff, gtnu.l2_coeff) == (1.0, 1e-4, 0.1)
 
     def test_override(self):
         cfg = attack_preset("pointnet2", "tar_nb", target=7)
