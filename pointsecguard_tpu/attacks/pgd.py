@@ -63,6 +63,7 @@ def pgd_color_attack(
     *,
     mask: jnp.ndarray | None = None,
     key: jax.Array | None = None,
+    trajectory: bool = False,
 ) -> AttackResult:
     """Run the attack on a batch.
 
@@ -174,13 +175,32 @@ def pgd_color_attack(
             noise = (cfg.rand_init_eps * g).reshape(color0.shape)
         color_init = project(color0 + noise)
 
-    steps, color_adv, acc, sr = jax.lax.while_loop(
-        cond, body, (jnp.zeros((), jnp.int32), color_init, jnp.ones(()), jnp.zeros(()))
-    )
+    if trajectory:
+        # fixed-length scan that also emits per-iteration (acc, sr, l2) —
+        # the ares ``iteration_callback`` capability (`bim.py:216-237`
+        # yields per-step metrics), but still one device program.
+        def scan_body(carry, _):
+            new_carry = body((carry[0], carry[1], carry[2], carry[3]))
+            i2, c2, a2, s2 = new_carry
+            l2 = jnp.linalg.norm((c2 - color0).reshape(B, -1), axis=1)
+            return new_carry, {"acc": a2, "sr": s2, "l2": l2}
+
+        init = (jnp.zeros((), jnp.int32), color_init, jnp.ones(()), jnp.zeros(()))
+        (steps, color_adv, acc, sr), traj = jax.lax.scan(
+            scan_body, init, None, length=cfg.iters
+        )
+    else:
+        traj = None
+        steps, color_adv, acc, sr = jax.lax.while_loop(
+            cond,
+            body,
+            (jnp.zeros((), jnp.int32), color_init, jnp.ones(()), jnp.zeros(())),
+        )
     adv = set_color(points, color_adv)
     # final metrics on the returned adversary
     outputs = outputs_fn(adv)
     acc = point_accuracy(outputs, labels)
     if cfg.targeted and mask is not None:
         sr = point_accuracy(outputs, jnp.full_like(labels, cfg.target), mask)
-    return AttackResult(adv, steps, acc, sr, color_l2(adv, points))
+    result = AttackResult(adv, steps, acc, sr, color_l2(adv, points))
+    return (result, traj) if trajectory else result

@@ -267,3 +267,21 @@ class TestNoiseControl:
         # clipping to [0,1] can only shrink the norm
         assert (norms <= np.asarray(target_norm) + 1e-5).all()
         assert norms.min() > 0.1
+
+
+class TestTrajectory:
+    def test_per_iteration_metrics(self, surrogate, batch):
+        pts, labels = batch
+        cfg = PGDConfig(eps=0.3, alpha=0.05, iters=12)
+        res, traj = pgd_color_attack(
+            surrogate, pts, labels, cfg, trajectory=True
+        )
+        assert traj["acc"].shape == (12,)
+        assert traj["l2"].shape == (12, B)
+        # accuracy trajectory starts at 1.0 (clean) and ends degraded
+        assert float(traj["acc"][0]) == 1.0
+        assert float(traj["acc"][-1]) < 0.5
+        # l2 grows monotonically under pure sign steps within the ball
+        l2 = np.asarray(traj["l2"]).mean(1)
+        assert l2[-1] >= l2[0]
+        assert int(res.steps) == 12
