@@ -30,7 +30,10 @@ _BN_EPS = 1e-6
 _BN_MOM = 0.99
 
 
-def _conv(feats: int, act: str = "leaky_relu", bn: bool = True) -> PointConv:
+def _conv(feats: int, act: str = "relu", bn: bool = True) -> PointConv:
+    # helper_tf_util.conv2d/conv2d_transpose default activation is ReLU
+    # (`helper_tf_util.py:126,182`); leaky_relu appears only at fc0's BN
+    # output and the dilated-res-block output (`RandLANet.py:160,330`).
     return PointConv(feats, act=act, bn=bn, bn_epsilon=_BN_EPS)
 
 

@@ -144,5 +144,5 @@ class TestAttentivePoolingParity:
         st = variables["batch_stats"]["PointConv_0"]["BatchNorm_0"]
         pre = np_dense(agg, pc["Dense_0"])
         bn = np_bn_eval(pre, pc["BatchNorm_0"], st, eps=1e-6)
-        want = np.where(bn > 0, bn, 0.2 * bn)  # leaky_relu(0.2)
+        want = np.maximum(bn, 0.0)  # helper conv2d default activation: ReLU
         np.testing.assert_allclose(np.asarray(out), want, atol=1e-4)
