@@ -176,9 +176,10 @@ def train_randla(args):
 
     batch_size = args.batch_size or cfg.batch_size
     _, f0, l0, _, _ = next(iter(train_sampler.batches(batch_size, 1)))
+    # tf.train.AdamOptimizer has no weight decay (`RandLANet.py:127`)
     state, tx = create_train_state(
         model, (jnp.array(f0), jnp.array(l0)), rng=jax.random.PRNGKey(args.seed),
-        model_args=model_args,
+        model_args=model_args, weight_decay=0.0,
     )
     step_fn = make_train_step(
         model, tx, weighted_softmax_ce_loss, model_args=model_args,
@@ -246,8 +247,10 @@ def train_resgcn(args):
     rng = np.random.default_rng(args.seed)
     batch_size = args.batch_size or 8
     pts0, lab0 = next(iter(sampler.batches(rng, batch_size)))
+    # torch.optim.Adam without weight_decay (`sem_seg_dense/train.py:31`)
     state, tx = create_train_state(
-        model, (jnp.array(pts0), jnp.array(lab0)), rng=jax.random.PRNGKey(args.seed)
+        model, (jnp.array(pts0), jnp.array(lab0)),
+        rng=jax.random.PRNGKey(args.seed), weight_decay=0.0,
     )
     step_fn = make_train_step(model, tx, ce_loss, output_head=lambda o: o)
     ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
