@@ -29,6 +29,7 @@ class AttackResult(NamedTuple):
     acc: jnp.ndarray  # [] adversarial overall point accuracy
     success_rate: jnp.ndarray  # [] targeted success rate (0 if untargeted)
     l2_dist: jnp.ndarray  # [B] L2 distortion of the color channels
+    adv_pred: jnp.ndarray  # [B, N] adversarial per-point predictions
 
 
 def get_color(points: jnp.ndarray) -> jnp.ndarray:

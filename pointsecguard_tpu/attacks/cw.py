@@ -166,8 +166,9 @@ def cw_color_attack(
         return w, _AdamState(mm, vv, t, st.lr)
 
     def body(carry):
-        i, w, st, _, _, _ = carry
+        i, w, st, _, _, _, _ = carry
         (cost, outputs), g = grad_fn(w)
+        pred = jnp.argmax(outputs, axis=-1)
         acc = point_accuracy(outputs, labels)
         if cfg.targeted:
             sr = point_accuracy(outputs, jnp.full_like(labels, cfg.target), mask)
@@ -183,10 +184,10 @@ def cw_color_attack(
                 jnp.where(halve, 0, st_new.t),
                 jnp.where(halve, st_new.lr * 0.5, st_new.lr),
             )
-        return i + 1, w_new, st_new, adv_color_of(w), acc, sr
+        return i + 1, w_new, st_new, adv_color_of(w), acc, sr, pred
 
     def cond(carry):
-        i, _, _, _, acc, sr = carry
+        i, _, _, _, acc, sr, _ = carry
         running = i < cfg.steps
         if cfg.targeted:
             not_success = jnp.logical_or(i == 0, sr <= cfg.success_sr)
@@ -200,13 +201,16 @@ def cw_color_attack(
         jnp.zeros((), jnp.int32),
         jnp.asarray(cfg.lr),
     )
-    steps, _, _, best_color, acc, sr = jax.lax.while_loop(
+    steps, _, _, best_color, acc, sr, adv_pred = jax.lax.while_loop(
         cond,
         body,
-        (jnp.zeros((), jnp.int32), w0, st0, color0, jnp.ones(()), jnp.zeros(())),
+        (
+            jnp.zeros((), jnp.int32), w0, st0, color0, jnp.ones(()),
+            jnp.zeros(()), jnp.zeros_like(labels),
+        ),
     )
     adv = set_color(points, best_color)
-    return AttackResult(adv, steps, acc, sr, color_l2(adv, points))
+    return AttackResult(adv, steps, acc, sr, color_l2(adv, points), adv_pred)
 
 
 def _true_margin(outputs, labels, num_classes):

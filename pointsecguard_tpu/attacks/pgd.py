@@ -197,10 +197,12 @@ def pgd_color_attack(
             (jnp.zeros((), jnp.int32), color_init, jnp.ones(()), jnp.zeros(())),
         )
     adv = set_color(points, color_adv)
-    # final metrics on the returned adversary
+    # final metrics on the returned adversary (drivers reuse adv_pred
+    # instead of paying another forward)
     outputs = outputs_fn(adv)
+    adv_pred = jnp.argmax(outputs, axis=-1)
     acc = point_accuracy(outputs, labels)
     if cfg.targeted and mask is not None:
         sr = point_accuracy(outputs, jnp.full_like(labels, cfg.target), mask)
-    result = AttackResult(adv, steps, acc, sr, color_l2(adv, points))
+    result = AttackResult(adv, steps, acc, sr, color_l2(adv, points), adv_pred)
     return (result, traj) if trajectory else result

@@ -152,8 +152,8 @@ def main(argv=None):
                 )
             else:
                 res = cw_color_attack(f, pts, labels, attack_cfg, mask=mask)
-            adv_pred = jnp.argmax(f(res.points_adv), axis=-1)
-            return clean_pred, adv_pred, res
+            # the attack's final forward already produced adv predictions
+            return clean_pred, res.adv_pred, res
     else:
         run_attack = None
 
@@ -372,7 +372,7 @@ def _attack_randla(args, log):
         clean_pred = np.asarray(predict(feats_j))
         key, sub = jax.random.split(key)
         res = run(feats_j, labels_j, mask, sub)
-        adv_pred = np.asarray(predict(res.points_adv))
+        adv_pred = np.asarray(res.adv_pred)
         dt = time.time() - t0
         clean_acc = float((clean_pred == labels).mean())
         adv_acc = float((adv_pred == labels).mean())
