@@ -22,7 +22,7 @@ class PointNet2TrainConfig:
 
     num_point: int = 4096
     batch_size: int = 32
-    epochs: int = 32
+    epochs: int = 128
     learning_rate: float = 0.001
     weight_decay: float = 1e-4
     lr_decay: float = 0.7
