@@ -273,8 +273,6 @@ def main(argv=None):
     return clean_m, adv_m
 
 
-if __name__ == "__main__":
-    main()
 
 
 def _attack_randla(args, log):
@@ -402,3 +400,7 @@ def _attack_randla(args, log):
     )
     log.info("per-cloud TSV: %s", tsv_path)
     return cm, am
+
+
+if __name__ == "__main__":
+    main()

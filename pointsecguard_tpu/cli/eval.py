@@ -86,8 +86,6 @@ def main(argv=None):
     return total
 
 
-if __name__ == "__main__":
-    main()
 
 
 def _eval_randla(args, log):
@@ -179,3 +177,7 @@ def _eval_randla(args, log):
         log.info("%12s: %.4f", cls, iou)
     log.info("RANDLA mIoU %.4f acc %.4f", float(m.miou), float(m.accuracy))
     return m
+
+
+if __name__ == "__main__":
+    main()
