@@ -55,6 +55,10 @@ def main(argv=None):
 
     import jax
     import jax.numpy as jnp
+
+    from pointsecguard_tpu.utils.runtime import setup_jax
+
+    setup_jax()
     import numpy as np
 
     from pointsecguard_tpu.attacks import (

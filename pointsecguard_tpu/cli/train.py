@@ -39,6 +39,10 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    from pointsecguard_tpu.utils.runtime import setup_jax
+
+    setup_jax()
+
     from pointsecguard_tpu.train.loops import (
         train_pointnet_family,
         train_randla,
