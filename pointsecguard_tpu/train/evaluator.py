@@ -68,7 +68,9 @@ def evaluate_whole_scenes(
                 chunk = data[start:end]
                 if chunk.shape[0] < batch_size:  # pad to the jitted shape
                     pad = batch_size - chunk.shape[0]
-                    chunk = np.concatenate([chunk, np.zeros_like(chunk[:pad])])
+                    chunk = np.concatenate(
+                        [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)]
+                    )
                 preds = np.asarray(predict_fn(chunk))[: end - start]
                 vote_pool = add_votes(
                     vote_pool, pidx[start:end], preds, weights[start:end]

@@ -155,3 +155,25 @@ class TestMultiVote:
         # constant predictor → accuracy = frequency of class 0
         freq0 = float((rooms.labels[0] == 0).mean())
         assert abs(float(total.accuracy) - freq0) < 1e-6
+
+
+class TestEvalPadding:
+    def test_small_final_chunk_padded_to_batch(self, tmp_path):
+        # a room producing fewer blocks than batch_size must still feed the
+        # predictor fixed [batch_size, P, 9] chunks (regression: the old
+        # padding truncated when pad > real rows)
+        rng = np.random.RandomState(5)
+        n = 1500
+        xyz = rng.rand(n, 3) * 1.2  # tiny room → very few blocks
+        rgb = rng.randint(0, 256, (n, 3)).astype(np.float64)
+        label = rng.randint(0, NUM_CLASSES, (n, 1)).astype(np.float64)
+        np.save(tmp_path / "Area_5_tiny.npy", np.hstack([xyz, rgb, label]))
+        rooms = RoomSet.load(str(tmp_path), "test", test_area=5)
+        shapes = []
+
+        def pred(points):
+            shapes.append(points.shape)
+            return np.zeros(points.shape[:2], np.int64)
+
+        evaluate_whole_scenes(pred, rooms, batch_size=16, block_points=256)
+        assert all(s[0] == 16 for s in shapes)
