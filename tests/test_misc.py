@@ -1,0 +1,63 @@
+"""Small-surface tests: prepare CLI combined path, native fallbacks, viz."""
+
+import os
+
+import numpy as np
+import pytest
+
+
+class TestPrepareCliCombined:
+    def test_collect_then_randla_prep(self, tmp_path):
+        anno = tmp_path / "raw" / "Area_5" / "office_1" / "Annotations"
+        anno.mkdir(parents=True)
+        rng = np.random.RandomState(0)
+        pts = np.hstack([rng.rand(400, 3) * 2, rng.randint(0, 256, (400, 3))])
+        np.savetxt(anno / "wall_1.txt", pts, fmt="%.4f")
+        from pointsecguard_tpu.cli.prepare import main
+
+        out = tmp_path / "col"
+        rl = tmp_path / "rl"
+        main([
+            "--raw_root", str(tmp_path / "raw"), "--out_root", str(out),
+            "--randla_out", str(rl), "--sub_grid_size", "0.2",
+        ])
+        files = sorted(os.listdir(rl))
+        assert "Area_5_office_1.ply" in files
+        assert "Area_5_office_1_KDTree.pkl" in files
+        assert "Area_5_office_1_proj.pkl" in files
+
+
+class TestNativeFallback:
+    def test_knn_scipy_fallback(self, monkeypatch, rng):
+        from pointsecguard_tpu.data import native
+
+        monkeypatch.setattr(native, "_lib", None)
+        monkeypatch.setattr(native, "_LIB_PATH", "/nonexistent/lib.so")
+        sup = rng.rand(1, 100, 3).astype(np.float32)
+        q = rng.rand(1, 20, 3).astype(np.float32)
+        idx, d2 = native.knn_batch(sup, q, 3, return_dist=True)
+        bf = ((q[:, :, None] - sup[:, None]) ** 2).sum(-1)
+        want = np.sort(bf, -1)[..., :3]
+        np.testing.assert_allclose(np.sort(d2, -1), want, atol=1e-5)
+
+    def test_grid_subsample_numpy_fallback(self, monkeypatch, rng):
+        from pointsecguard_tpu.data import native
+
+        monkeypatch.setattr(native, "_lib", None)
+        monkeypatch.setattr(native, "_LIB_PATH", "/nonexistent/lib.so")
+        pts = rng.rand(200, 3).astype(np.float32) * 3
+        sub = native.grid_subsample_native(pts, sample_dl=1.0)
+        assert sub.shape[1] == 3 and sub.shape[0] < 200
+
+
+class TestViz:
+    def test_render_subsampling_path(self, tmp_path, rng):
+        from pointsecguard_tpu.utils.viz import render_cloud
+
+        p = render_cloud(
+            rng.rand(500, 3),
+            colors=rng.randint(0, 256, (500, 3)),
+            out_path=str(tmp_path / "c.png"),
+            max_points=100,
+        )
+        assert os.path.getsize(p) > 1000
