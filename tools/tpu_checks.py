@@ -1,0 +1,91 @@
+"""On-hardware validation of the TPU-only code paths.
+
+The pytest suite forces CPU (fast, virtual 8-device mesh), so the Pallas
+kernels and the approx/pallas selection strategies never execute there.
+This script runs their correctness checks on the real chip:
+
+    python tools/tpu_checks.py
+
+Exits non-zero on any mismatch. Run after touching ops/pallas/ or
+ops/selection.py.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def check(name: str, ok: bool, detail: str = "") -> bool:
+    print(f"{'PASS' if ok else 'FAIL'}  {name}  {detail}")
+    return ok
+
+
+def main() -> int:
+    if jax.default_backend() != "tpu":
+        print(f"not on TPU (backend={jax.default_backend()}); nothing to check")
+        return 0
+
+    from pointsecguard_tpu.ops.pallas.bottomk import bottom_k_pallas
+    from pointsecguard_tpu.ops.pallas.fps import fps_pallas
+    from pointsecguard_tpu.ops.sampling import farthest_point_sample
+    from pointsecguard_tpu.ops.selection import bottom_k_indices
+
+    rng = np.random.RandomState(0)
+    ok = True
+
+    # Pallas FPS — bit-identical to the lax.scan recurrence
+    for B, N, S in [(1, 4096, 1024), (2, 1024, 256), (1, 512, 16)]:
+        xyz = jnp.array(rng.rand(B, N, 3).astype(np.float32))
+        start = jnp.array(rng.randint(0, N, B), jnp.int32)
+        ref = farthest_point_sample(xyz, S, start_idx=start, impl="scan")
+        got = fps_pallas(xyz, S, start)
+        ok &= check(f"fps_pallas B={B} N={N} S={S}", bool((ref == got).all()))
+
+    # Pallas bottom-k — matches topk selection (values + tie-break order)
+    for B, S, N, k in [(1, 4096, 4096, 16), (2, 64, 2048, 32), (1, 1024, 4096, 3)]:
+        v = jnp.array(rng.rand(B, S, N).astype(np.float32))
+        rv, ri = bottom_k_indices(v, k, strategy="topk")
+        pv, pi = bottom_k_pallas(v, k)
+        ok &= check(
+            f"bottom_k_pallas [{B},{S},{N}] k={k}",
+            bool(jnp.allclose(rv, pv)) and bool((ri == pi).all()),
+        )
+
+    # approx strategy — recall against exact at the RandLA scale
+    x = jnp.array(rng.rand(1, 16384, 3).astype(np.float32))
+    from pointsecguard_tpu.ops.distance import square_distance
+
+    d = square_distance(x, x)
+    _, ie = bottom_k_indices(d, 16, strategy="topk")
+    _, ia = bottom_k_indices(d, 16, strategy="approx")
+    hits = 0
+    rows = range(0, 16384, 256)
+    for r in rows:
+        hits += len(
+            set(np.asarray(ie[0, r]).tolist()) & set(np.asarray(ia[0, r]).tolist())
+        )
+    recall = hits / (len(list(rows)) * 16)
+    ok &= check("approx recall @16384", recall >= 0.99, f"recall={recall:.4f}")
+
+    # selection auto strategy routes through pallas and stays exact
+    v = jnp.array(rng.rand(1, 1024, 4096).astype(np.float32))
+    rv, ri = bottom_k_indices(v, 32, strategy="topk")
+    av, ai = bottom_k_indices(v, 32, strategy="auto")
+    ok &= check(
+        "auto==exact [1,1024,4096] k=32",
+        bool(jnp.allclose(rv, av)) and bool((ri == ai).all()),
+    )
+
+    print("ALL PASS" if ok else "FAILURES PRESENT")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
