@@ -185,6 +185,10 @@ def train_randla(args):
         model, tx, weighted_softmax_ce_loss, model_args=model_args,
         output_head=lambda out: out,
     )
+    from pointsecguard_tpu.train import make_eval_step
+
+    eval_fn = make_eval_step(model, model_args=model_args,
+                             output_head=lambda out: out)
     ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
     key = jax.random.PRNGKey(args.seed + 1)
     best_miou = 0.0
@@ -200,13 +204,7 @@ def train_randla(args):
                 sub,
             )
         # validation confusion over val_steps batches (`RandLANet.py:255-311`)
-        import jax as _jax
-
         cm = np.zeros((13, 13))
-        from pointsecguard_tpu.train import make_eval_step
-
-        eval_fn = make_eval_step(model, model_args=model_args,
-                                 output_head=lambda out: out)
         for _, feats, labels, _, _ in val_sampler.batches(
             cfg.val_batch_size, min(cfg.val_steps, 20)
         ):
