@@ -95,8 +95,15 @@ def cw_color_attack(
     cfg: CWConfig,
     *,
     mask: jnp.ndarray | None = None,
+    trajectory: bool = False,
 ) -> AttackResult:
-    """Run the C&W color attack on a batch (see PGD docstring for args)."""
+    """Run the C&W color attack on a batch (see PGD docstring for args).
+
+    With ``trajectory=True``, runs a fixed-length ``lax.scan`` (no early
+    exit) and additionally returns per-iteration {acc, sr, l2} — the ares
+    per-step logging capability (`NUattack.py:160-210` prints per-binary-
+    search-step metrics; `bim.py:216-237` per-iteration).
+    """
     color0 = get_color(points)
     B, N = labels.shape
     m = None if mask is None else mask.astype(points.dtype)[..., None]
@@ -201,16 +208,27 @@ def cw_color_attack(
         jnp.zeros((), jnp.int32),
         jnp.asarray(cfg.lr),
     )
-    steps, _, _, best_color, acc, sr, adv_pred = jax.lax.while_loop(
-        cond,
-        body,
-        (
-            jnp.zeros((), jnp.int32), w0, st0, color0, jnp.ones(()),
-            jnp.zeros(()), jnp.zeros_like(labels),
-        ),
+    init = (
+        jnp.zeros((), jnp.int32), w0, st0, color0, jnp.ones(()),
+        jnp.zeros(()), jnp.zeros_like(labels),
     )
+    if trajectory:
+        def scan_body(carry, _):
+            new = body(carry)
+            l2 = jnp.linalg.norm((new[3] - color0).reshape(B, -1), axis=1)
+            return new, {"acc": new[4], "sr": new[5], "l2": l2}
+
+        (steps, _, _, best_color, acc, sr, adv_pred), traj = jax.lax.scan(
+            scan_body, init, None, length=cfg.steps
+        )
+    else:
+        traj = None
+        steps, _, _, best_color, acc, sr, adv_pred = jax.lax.while_loop(
+            cond, body, init
+        )
     adv = set_color(points, best_color)
-    return AttackResult(adv, steps, acc, sr, color_l2(adv, points), adv_pred)
+    result = AttackResult(adv, steps, acc, sr, color_l2(adv, points), adv_pred)
+    return (result, traj) if trajectory else result
 
 
 def _true_margin(outputs, labels, num_classes):

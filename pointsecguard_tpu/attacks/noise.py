@@ -34,7 +34,10 @@ def equal_norm_color_noise(
     """
     color0 = get_color(points)
     B = points.shape[0]
-    noise = jax.random.uniform(key, color0.shape, minval=-1.0, maxval=1.0)
+    # uniform *positive* noise before normalization — both references draw
+    # U[0,1): `NUattack.py:236` np.random.uniform(0,1), `test.py:77`
+    # torch.empty_like(...).uniform_(0, 1)
+    noise = jax.random.uniform(key, color0.shape, minval=0.0, maxval=1.0)
     if mask is not None:
         noise = noise * mask.astype(noise.dtype)[..., None]
     flat = noise.reshape(B, -1)

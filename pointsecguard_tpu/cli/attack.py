@@ -51,6 +51,20 @@ def main(argv=None):
     ap.add_argument("--visual", action="store_true",
                     help="dump clean/adv/pred/gt .xyzrgb clouds per room "
                          "(`NB_nontarget_test_semseg.py:131-136` artifacts)")
+    ap.add_argument("--devices", "-d", type=int, default=1,
+                    help="data-parallel over the first N chips; blocks are "
+                         "batched over the mesh (batch_size must divide N)")
+    ap.add_argument("--control", action="store_true",
+                    help="also evaluate the equal-norm random-noise control "
+                         "at the attack's measured L2 per block "
+                         "(`NUattack.py:236-254` protocol)")
+    ap.add_argument("--noise_norm", type=float, default=1.0,
+                    help="L2 norm for --attack random "
+                         "(`sem_seg_dense/test.py:68` data_result = 1.0)")
+    ap.add_argument("--log_steps", action="store_true",
+                    help="write per-iteration acc/sr/L2 trajectories to "
+                         "*_steps.tsv (ares `bim.py:216-237` per-step logs); "
+                         "disables the attack's early exit (fixed-length scan)")
     args = ap.parse_args(argv)
 
     import jax
@@ -84,6 +98,14 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(message)s", force=True)
     log = logging.getLogger("attack")
 
+    # ResGCN targeted protocol gates operate per cloud (`sem_seg_dense/
+    # attacks.py:204-207,280-285`) — enforce the reference's batch size
+    # before any model/checkpoint work
+    resgcn_gates = args.model == "resgcn" and args.attack.startswith("tar_")
+    if resgcn_gates and args.batch_size != 1:
+        raise SystemExit("resgcn targeted attacks use --batch_size 1 "
+                         "(per-cloud skip gates, `attacks.py:204-207`)")
+
     if args.model == "randla":
         return _attack_randla(args, log)
 
@@ -114,6 +136,15 @@ def main(argv=None):
         raise SystemExit(f"no checkpoint under {args.log_dir}/checkpoints")
     state, _ = restored
 
+    from pointsecguard_tpu.parallel import (
+        data_parallel_mesh,
+        make_batch_put,
+        replicate,
+    )
+
+    mesh = data_parallel_mesh(args.devices)
+    put = make_batch_put(mesh, batch_size=B)
+    state = replicate(mesh, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     if args.model in ("pointnet2", "pointnet2_msg"):
         # hoist the xyz-only geometry out of the attack loop (~2× faster;
@@ -143,7 +174,8 @@ def main(argv=None):
         attack_cfg = attack_preset(preset_family, args.attack, **overrides)
 
     # one fused dispatch per block: clean forward + attack + adv forward
-    # (three separate calls cost ~3 host round-trips each on tunneled TPUs)
+    # (+ optional equal-norm control forward and per-step trajectory) —
+    # three separate calls cost ~3 host round-trips each on tunneled TPUs
     if attack_cfg is not None:
 
         @jax.jit
@@ -152,12 +184,26 @@ def main(argv=None):
             clean_pred = jnp.argmax(f(pts), axis=-1)
             if isinstance(attack_cfg, PGDConfig):
                 res = pgd_color_attack(
-                    f, pts, labels, attack_cfg, mask=mask, key=key
+                    f, pts, labels, attack_cfg, mask=mask, key=key,
+                    trajectory=args.log_steps,
                 )
             else:
-                res = cw_color_attack(f, pts, labels, attack_cfg, mask=mask)
+                res = cw_color_attack(
+                    f, pts, labels, attack_cfg, mask=mask,
+                    trajectory=args.log_steps,
+                )
+            res, traj = res if args.log_steps else (res, None)
+            if args.control:
+                # equal-norm random control at the attack's *measured* L2
+                # (`NUattack.py:236-254`)
+                rand = equal_norm_color_noise(
+                    jax.random.fold_in(key, 7), pts, res.l2_dist, mask=mask
+                )
+                rand_pred = jnp.argmax(f(rand), axis=-1)
+            else:
+                rand_pred = None
             # the attack's final forward already produced adv predictions
-            return clean_pred, res.adv_pred, res
+            return clean_pred, res.adv_pred, res, traj, rand_pred
     else:
         run_attack = None
 
@@ -166,7 +212,14 @@ def main(argv=None):
         args.log_dir, f"{args.model}_{args.attack}_area{args.test_area}.tsv"
     )
     tsv = open(tsv_path, "w")
-    tsv.write("room\tblock\tclean_acc\tadv_acc\tl2\tsr\tother_acc\tsteps\ttime_s\n")
+    header = "room\tblock\tclean_acc\tadv_acc\tl2\tsr\tother_acc\tsteps\ttime_s"
+    if args.control:
+        header += "\trand_acc"
+    tsv.write(header + "\n")
+    steps_tsv = None
+    if args.log_steps and attack_cfg is not None:
+        steps_tsv = open(tsv_path.replace(".tsv", "_steps.tsv"), "w")
+        steps_tsv.write("room\tblock\titer\tacc\tsr\tl2\n")
 
     ws = WholeSceneBlocks(rooms, block_points=args.num_point)
     rng = np.random.default_rng(args.seed)
@@ -183,55 +236,95 @@ def main(argv=None):
             rooms.points[room_idx][:, 3:6].copy() / 255.0 if args.visual else None
         )
         nb = data.shape[0]
-        for start in range(0, nb - B + 1, B):
+        for start in range(0, nb, B):
+            valid = min(B, nb - start)  # keep the room tail (DataLoader
+            # drop_last=False); pad to the jitted shape, drop padded outputs
             t0 = time.time()
-            pts = jnp.array(data[start : start + B])
-            labs = jnp.array(labels[start : start + B].astype(np.int32))
+            pts_np = data[start : start + valid]
+            labs_np = labels[start : start + valid].astype(np.int32)
+            if valid < B:
+                reps = [1] * (valid - 1) + [B - valid + 1]
+                pts_np = np.repeat(pts_np, reps, axis=0)
+                labs_np = np.repeat(labs_np, reps, axis=0)
+            pts = put(pts_np)
+            labs = put(labs_np)
             if targeted:
                 _, mask = make_target_labels(labs, args.origin, args.target)
-                if int(np.asarray(mask).sum()) == 0:
+                mask_np = np.asarray(mask)[:valid]
+                count = int(mask_np.sum())
+                if resgcn_gates:
+                    # `attacks.py:204-205`: skip clouds with ≤500 origin pts
+                    if count <= 500:
+                        continue
+                    # `attacks.py:206-207`: skip if masked clean acc < 0.5
+                    cp = np.asarray(predict(pts))[:valid]
+                    if (cp[mask_np] == labs_np[:valid][mask_np]).mean() < 0.5:
+                        continue
+                elif count == 0:
                     continue  # skip blocks without origin points (`:174`)
             else:
                 mask = None
             key, sub = jax.random.split(key)
+            rand_acc = None
             if args.attack == "random":
                 clean_pred = np.asarray(predict(pts))
-                norm = jnp.full((B,), 5.0)
+                norm = jnp.full((B,), args.noise_norm)
                 adv = equal_norm_color_noise(sub, pts, norm, mask=mask)
                 adv_pred = np.asarray(predict(adv))
-                res = None
+                res, traj = None, None
                 steps, sr, l2 = 0, 0.0, float(norm[0])
             else:
-                clean_pred, adv_pred, res = run_attack(pts, labs, mask, sub)
+                clean_pred, adv_pred, res, traj, rand_pred = run_attack(
+                    pts, labs, mask, sub
+                )
                 clean_pred = np.asarray(clean_pred)
                 adv_pred = np.asarray(adv_pred)
                 steps = int(res.steps)
                 sr = float(res.success_rate)
-                l2 = float(np.mean(np.asarray(res.l2_dist)))
+                l2 = float(np.mean(np.asarray(res.l2_dist)[:valid]))
+                if rand_pred is not None:
+                    rand_acc = float(
+                        (np.asarray(rand_pred)[:valid] == labs_np[:valid]).mean()
+                    )
             dt = time.time() - t0
 
-            lab_np = np.asarray(labs)
+            clean_pred = clean_pred[:valid]
+            adv_pred = adv_pred[:valid]
+            lab_np = labs_np[:valid]
             clean_acc = float((clean_pred == lab_np).mean())
             adv_acc = float((adv_pred == lab_np).mean())
             if targeted:
                 # accuracy on the untouched points (`tar_NU` "other acc",
                 # `target.py:110`, `bim.py:510`)
-                inv = ~np.asarray(mask)
+                inv = ~mask_np
                 other_acc = float((adv_pred[inv] == lab_np[inv]).mean()) if inv.any() else 1.0
             else:
                 other_acc = adv_acc
-            w = weights[start : start + B]
-            pi = pidx[start : start + B]
+            w = weights[start : start + valid]
+            pi = pidx[start : start + valid]
             add_votes(clean_pool, pi, clean_pred, w)
             add_votes(adv_pool, pi, adv_pred, w)
             if adv_colors_room is not None and args.attack != "random":
-                adv_c = np.asarray(res.points_adv[..., 3:6]).reshape(-1, 3)
+                adv_c = np.asarray(res.points_adv[:valid, :, 3:6]).reshape(-1, 3)
                 adv_colors_room[pi.reshape(-1)] = adv_c
-            tsv.write(
+            row = (
                 f"{room_name}\t{start}\t{clean_acc:.4f}\t{adv_acc:.4f}"
-                f"\t{l2:.4f}\t{sr:.4f}\t{other_acc:.4f}\t{steps}\t{dt:.2f}\n"
+                f"\t{l2:.4f}\t{sr:.4f}\t{other_acc:.4f}\t{steps}\t{dt:.2f}"
             )
+            if args.control:
+                row += f"\t{rand_acc if rand_acc is not None else float('nan'):.4f}"
+            tsv.write(row + "\n")
             tsv.flush()
+            if steps_tsv is not None and traj is not None:
+                t_acc = np.asarray(traj["acc"])
+                t_sr = np.asarray(traj["sr"])
+                t_l2 = np.asarray(traj["l2"])[:, :valid].mean(axis=1)
+                for it in range(t_acc.shape[0]):
+                    steps_tsv.write(
+                        f"{room_name}\t{start}\t{it}\t{t_acc[it]:.4f}"
+                        f"\t{t_sr[it]:.4f}\t{t_l2[it]:.4f}\n"
+                    )
+                steps_tsv.flush()
             n_blocks_done += 1
             if args.max_blocks and n_blocks_done >= args.max_blocks:
                 break
@@ -266,6 +359,8 @@ def main(argv=None):
         if args.max_blocks and n_blocks_done >= args.max_blocks:
             break
     tsv.close()
+    if steps_tsv is not None:
+        steps_tsv.close()
     clean_m = metrics_from_confusion(jnp.array(clean_cm))
     adv_m = metrics_from_confusion(jnp.array(adv_cm))
     log.info(
@@ -324,6 +419,17 @@ def _attack_randla(args, log):
     if restored is None:
         raise SystemExit(f"no checkpoint under {args.log_dir}/checkpoints")
     state, _ = restored
+
+    from pointsecguard_tpu.attacks import equal_norm_color_noise
+    from pointsecguard_tpu.parallel import (
+        data_parallel_mesh,
+        make_batch_put,
+        replicate,
+    )
+
+    mesh = data_parallel_mesh(args.devices)
+    put = make_batch_put(mesh, batch_size=B)
+    state = replicate(mesh, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     targeted = args.attack.startswith("tar_")
@@ -335,10 +441,26 @@ def _attack_randla(args, log):
         pyr = pyramid_fn(feats[..., :3])
         outputs_fn = lambda f: model.apply(variables, f, pyr)
         if isinstance(attack_cfg, PGDConfig):
-            return pgd_color_attack(
-                outputs_fn, feats, labels, attack_cfg, mask=mask, key=key
+            res = pgd_color_attack(
+                outputs_fn, feats, labels, attack_cfg, mask=mask, key=key,
+                trajectory=args.log_steps,
             )
-        return cw_color_attack(outputs_fn, feats, labels, attack_cfg, mask=mask)
+        else:
+            res = cw_color_attack(
+                outputs_fn, feats, labels, attack_cfg, mask=mask,
+                trajectory=args.log_steps,
+            )
+        res, traj = res if args.log_steps else (res, None)
+        if args.control:
+            # ares runs the control at the *found* distortion norm
+            # (`NUattack.py:236-254`), inside the same evaluation
+            rand = equal_norm_color_noise(
+                jax.random.fold_in(key, 7), feats, res.l2_dist, mask=mask
+            )
+            rand_pred = jnp.argmax(outputs_fn(rand), axis=-1)
+        else:
+            rand_pred = None
+        return res, traj, rand_pred
 
     predict = jax.jit(
         lambda f: jnp.argmax(
@@ -353,7 +475,14 @@ def _attack_randla(args, log):
         args.log_dir, f"randla_{args.attack}_area{args.test_area}.tsv"
     )
     tsv = open(tsv_path, "w")
-    tsv.write("cloud\tclean_acc\tadv_acc\tl2\tsr\tsteps\ttime_s\n")
+    header = "cloud\tclean_acc\tadv_acc\tl2\tsr\tsteps\ttime_s"
+    if args.control:
+        header += "\trand_acc"
+    tsv.write(header + "\n")
+    steps_tsv = None
+    if args.log_steps:
+        steps_tsv = open(tsv_path.replace(".tsv", "_steps.tsv"), "w")
+        steps_tsv.write("cloud\titer\tacc\tsr\tl2\n")
     clean_cm = np.zeros((13, 13))
     adv_cm = np.zeros((13, 13))
     key = jax.random.PRNGKey(args.seed)
@@ -361,8 +490,8 @@ def _attack_randla(args, log):
     for i, (xyz, feats, labels, _, cloud_idx) in enumerate(
         sampler.batches(B, args.num_clouds)
     ):
-        feats_j = jnp.array(feats)
-        labels_j = jnp.array(labels)
+        feats_j = put(feats)
+        labels_j = put(labels)
         if targeted:
             _, mask = make_target_labels(labels_j, args.origin, args.target)
             # skip clouds with <500 origin points (`tester_S3DIS.py:253-258`)
@@ -373,19 +502,33 @@ def _attack_randla(args, log):
         t0 = time.time()
         clean_pred = np.asarray(predict(feats_j))
         key, sub = jax.random.split(key)
-        res = run(feats_j, labels_j, mask, sub)
+        res, traj, rand_pred = run(feats_j, labels_j, mask, sub)
         adv_pred = np.asarray(res.adv_pred)
         dt = time.time() - t0
         clean_acc = float((clean_pred == labels).mean())
         adv_acc = float((adv_pred == labels).mean())
         np.add.at(clean_cm, (labels.reshape(-1), clean_pred.reshape(-1)), 1)
         np.add.at(adv_cm, (labels.reshape(-1), adv_pred.reshape(-1)), 1)
-        tsv.write(
+        row = (
             f"{int(cloud_idx[0])}\t{clean_acc:.4f}\t{adv_acc:.4f}"
             f"\t{float(np.mean(np.asarray(res.l2_dist))):.4f}"
-            f"\t{float(res.success_rate):.4f}\t{int(res.steps)}\t{dt:.2f}\n"
+            f"\t{float(res.success_rate):.4f}\t{int(res.steps)}\t{dt:.2f}"
         )
+        if args.control:
+            rand_acc = float((np.asarray(rand_pred) == labels).mean())
+            row += f"\t{rand_acc:.4f}"
+        tsv.write(row + "\n")
         tsv.flush()
+        if steps_tsv is not None and traj is not None:
+            t_acc = np.asarray(traj["acc"])
+            t_sr = np.asarray(traj["sr"])
+            t_l2 = np.asarray(traj["l2"]).mean(axis=1)
+            for it in range(t_acc.shape[0]):
+                steps_tsv.write(
+                    f"{int(cloud_idx[0])}\t{it}\t{t_acc[it]:.4f}"
+                    f"\t{t_sr[it]:.4f}\t{t_l2[it]:.4f}\n"
+                )
+            steps_tsv.flush()
         n_done += 1
         if n_done % 10 == 0:
             cm = metrics_from_confusion(jnp.array(clean_cm))
@@ -395,6 +538,8 @@ def _attack_randla(args, log):
                 n_done, float(cm.miou), float(am.miou),
             )
     tsv.close()
+    if steps_tsv is not None:
+        steps_tsv.close()
     cm = metrics_from_confusion(jnp.array(clean_cm))
     am = metrics_from_confusion(jnp.array(adv_cm))
     log.info(

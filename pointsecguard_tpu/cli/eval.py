@@ -28,6 +28,9 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--num_votes", type=int, default=5)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--devices", "-d", type=int, default=1,
+                    help="data-parallel over the first N chips (batch size "
+                         "must divide N); 1 = no sharding")
     args = ap.parse_args(argv)
 
     import jax
@@ -75,8 +78,17 @@ def main(argv=None):
     state, step = restored
     log.info("restored checkpoint step %d", step)
 
+    from pointsecguard_tpu.parallel import (
+        data_parallel_mesh,
+        make_batch_put,
+        replicate,
+    )
+
+    mesh = data_parallel_mesh(args.devices)
+    put = make_batch_put(mesh, batch_size=args.batch_size)
+    state = replicate(mesh, state)
     eval_fn = make_eval_step(model)
-    predict = lambda p: np.asarray(eval_fn(state, jnp.array(p)))
+    predict = lambda p: np.asarray(eval_fn(state, put(p)))
     total, per_room = evaluate_whole_scenes(
         predict, rooms, batch_size=args.batch_size, num_votes=args.num_votes,
         block_points=args.num_point, rng=np.random.default_rng(args.seed),
@@ -141,6 +153,16 @@ def _eval_randla(args, log):
     if restored is None:
         raise SystemExit(f"no checkpoint under {args.log_dir}/checkpoints")
     state, _ = restored
+
+    from pointsecguard_tpu.parallel import (
+        data_parallel_mesh,
+        make_batch_put,
+        replicate,
+    )
+
+    mesh = data_parallel_mesh(args.devices)
+    put = make_batch_put(mesh, batch_size=B)
+    state = replicate(mesh, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     probs_fn = jax.jit(
@@ -152,7 +174,7 @@ def _eval_randla(args, log):
     # per-sub-cloud probability vote pools
     pools = [np.zeros((len(c.labels), 13), np.float64) for c in sampler.clouds]
     for _, feats, labels, idx, cloud_idx in sampler.batches(B, args.num_clouds):
-        probs = np.asarray(probs_fn(jnp.array(feats)))
+        probs = np.asarray(probs_fn(put(feats)))
         for b in range(B):
             np.add.at(pools[int(cloud_idx[b])], idx[b], probs[b])
 

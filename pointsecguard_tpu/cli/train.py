@@ -34,6 +34,9 @@ def main(argv=None):
     ap.add_argument("--eval_every", type=int, default=1)
     ap.add_argument("--profile", default=None,
                     help="dump a jax.profiler trace of the first epoch here")
+    ap.add_argument("--devices", "-d", type=int, default=1,
+                    help="data-parallel over the first N chips (batch size "
+                         "must divide N); 1 = no sharding")
     args = ap.parse_args(argv)
 
     import jax

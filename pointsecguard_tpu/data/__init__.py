@@ -7,6 +7,7 @@ from pointsecguard_tpu.data.randla import (
     SpatiallyRegularSampler,
     prepare_room,
 )
+from pointsecguard_tpu.data.synthetic import make_room, make_synthetic_rooms
 from pointsecguard_tpu.data.s3dis import (
     NUM_CLASSES,
     S3DIS_CLASSES,
@@ -30,6 +31,8 @@ __all__ = [
     "collect_room",
     "collect_s3dis",
     "inverse_cube_root_weights",
+    "make_room",
+    "make_synthetic_rooms",
     "prepare_room",
     "read_ply",
     "write_ply",

@@ -191,10 +191,23 @@ class S3DISBlockSampler:
         )
         return feats, labels[sel]
 
-    def batches(self, rng: np.random.Generator, batch_size: int):
-        """Yield (points [B,P,9], labels [B,P]) for one epoch."""
+    def batches(
+        self, rng: np.random.Generator, batch_size: int, *, keep_tail: bool = True
+    ):
+        """Yield (points [B,P,9], labels [B,P]) for one epoch.
+
+        The reference DataLoader keeps the final partial batch
+        (``drop_last`` defaults False, `train_semseg.py:117-123`); a
+        partial batch would force a second XLA program here, so the tail
+        instead wraps around to the start of the shuffled order — every
+        sample is seen at least once per epoch, ≤ B−1 seen twice.
+        """
         order = rng.permutation(len(self))
-        for start in range(0, len(self) - batch_size + 1, batch_size):
+        if keep_tail and len(order) % batch_size:
+            order = np.resize(
+                order, len(order) + batch_size - len(order) % batch_size
+            )
+        for start in range(0, len(order) - batch_size + 1, batch_size):
             feats, labs = zip(
                 *(self.sample(rng, int(i)) for i in order[start : start + batch_size])
             )

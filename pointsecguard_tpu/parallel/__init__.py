@@ -2,9 +2,20 @@
 
 from pointsecguard_tpu.parallel.mesh import (
     batch_sharding,
+    data_parallel_mesh,
+    make_batch_put,
     make_mesh,
+    replicate,
     replicated,
     shard_batch,
 )
 
-__all__ = ["batch_sharding", "make_mesh", "replicated", "shard_batch"]
+__all__ = [
+    "batch_sharding",
+    "data_parallel_mesh",
+    "make_batch_put",
+    "make_mesh",
+    "replicate",
+    "replicated",
+    "shard_batch",
+]

@@ -50,3 +50,54 @@ def shard_batch(mesh: Mesh, tree, *, shard_points: bool = False):
         return jax.device_put(x, sh if np.ndim(x) >= 1 else replicated(mesh))
 
     return jax.tree_util.tree_map(put, tree)
+
+
+def data_parallel_mesh(n_devices: int) -> Mesh | None:
+    """Driver-facing mesh factory behind the CLIs' ``--devices`` flag.
+
+    The TPU-native equivalent of the reference's ``torch.nn.DataParallel``
+    wrap (`ResGCN/sem_seg_dense/train.py:22-23`): a 1-D "data" mesh over
+    the first ``n_devices`` chips. Returns None for n ≤ 1 (single-device
+    program, no sharding annotations at all).
+    """
+    if n_devices is None or n_devices <= 1:
+        return None
+    devs = jax.devices()
+    if n_devices > len(devs):
+        raise ValueError(
+            f"--devices {n_devices} > {len(devs)} available ({devs[0].platform})"
+        )
+    return make_mesh(devs[:n_devices])
+
+
+def make_batch_put(mesh: Mesh | None, *, batch_size: int | None = None):
+    """host array → device array, batch-sharded over the mesh.
+
+    With ``mesh=None`` this is a plain transfer (identical semantics to the
+    pre-mesh drivers). Arrays whose leading dim is not the batch (ndim 0/1)
+    are replicated. Validates the batch divides the mesh once up front.
+    """
+    import jax.numpy as jnp
+
+    if mesh is None:
+        return jnp.asarray
+    n = mesh.devices.size
+    if batch_size is not None and batch_size % n:
+        raise ValueError(
+            f"batch size {batch_size} not divisible by --devices {n}"
+        )
+    sh = batch_sharding(mesh)
+    rep = replicated(mesh)
+
+    def put(x):
+        return jax.device_put(x, sh if np.ndim(x) >= 2 else rep)
+
+    return put
+
+
+def replicate(mesh: Mesh | None, tree):
+    """Replicate a pytree (model/optimizer state) across the mesh."""
+    if mesh is None:
+        return tree
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), tree)

@@ -46,11 +46,21 @@ def train_pointnet_family(args):
     from pointsecguard_tpu.utils.logging import EventLog, SummaryLogger
     from pointsecguard_tpu.utils.profiling import maybe_trace
 
+    from pointsecguard_tpu.parallel import (
+        data_parallel_mesh,
+        make_batch_put,
+        replicate,
+    )
+
     rooms = RoomSet.load(args.data_root, "train", args.test_area)
     test_rooms = RoomSet.load(args.data_root, "test", args.test_area)
     sampler = S3DISBlockSampler(rooms, num_point=args.npoint)
     batch_size = args.batch_size or 32
     base_lr = args.learning_rate or 0.001
+    # --devices N: batch-sharded data parallelism over a 1-D mesh (the
+    # TPU-native DataParallel, `ResGCN/sem_seg_dense/train.py:22-23`)
+    mesh = data_parallel_mesh(getattr(args, "devices", 1))
+    put = make_batch_put(mesh, batch_size=batch_size)
 
     if args.model == "pointnet2":
         model = PointNet2SemSegSSG()
@@ -77,6 +87,7 @@ def train_pointnet_family(args):
     if resumed:
         state, start_epoch = resumed
         log.info("resumed from epoch %d", start_epoch)
+    state = replicate(mesh, state)
 
     key = jax.random.PRNGKey(args.seed + 1)
     events = EventLog(f"{args.log_dir}/events.jsonl")
@@ -95,8 +106,7 @@ def train_pointnet_family(args):
                 pts[:, :, :3] = augment.rotate_point_cloud_z(pts[:, :, :3], rng)
                 key, sub = jax.random.split(key)
                 state, loss, _ = step_fn(
-                    state, jnp.array(pts), jnp.array(labels), weights, lr, bn_m,
-                    sub,
+                    state, put(pts), put(labels), weights, lr, bn_m, sub,
                 )
                 loss_f = float(loss)
                 if not np.isfinite(loss_f):
@@ -117,7 +127,7 @@ def train_pointnet_family(args):
         tb.scalars(epoch, loss=loss_sum / max(n_batches - nan_batches, 1),
                    learning_rate=lr)
         if (epoch + 1) % args.eval_every == 0 or epoch == args.epochs - 1:
-            predict = lambda p: np.asarray(eval_fn(state, jnp.array(p)))
+            predict = lambda p: np.asarray(eval_fn(state, put(p)))
             total, _ = evaluate_whole_scenes(
                 predict, test_rooms, block_points=args.npoint,
                 rng=np.random.default_rng(args.seed),
@@ -149,6 +159,12 @@ def train_randla(args):
     from pointsecguard_tpu.utils.checkpoint import CheckpointManager
     from pointsecguard_tpu.utils.metrics import metrics_from_confusion
 
+    from pointsecguard_tpu.parallel import (
+        data_parallel_mesh,
+        make_batch_put,
+        replicate,
+    )
+
     cfg = RandlaConfig()
     num_points = getattr(args, "randla_points", 0) or cfg.num_points
     train_steps = getattr(args, "steps_per_epoch", 0) or cfg.train_steps
@@ -175,6 +191,8 @@ def train_randla(args):
     weights = jnp.array(get_class_weights("S3DIS"))
 
     batch_size = args.batch_size or cfg.batch_size
+    mesh = data_parallel_mesh(getattr(args, "devices", 1))
+    put = make_batch_put(mesh, batch_size=batch_size)
     _, f0, l0, _, _ = next(iter(train_sampler.batches(batch_size, 1)))
     # tf.train.AdamOptimizer has no weight decay (`RandLANet.py:127`)
     state, tx = create_train_state(
@@ -190,6 +208,7 @@ def train_randla(args):
     eval_fn = make_eval_step(model, model_args=model_args,
                              output_head=lambda out: out)
     ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
+    state = replicate(mesh, state)
     key = jax.random.PRNGKey(args.seed + 1)
     best_miou = 0.0
     for epoch in range(args.epochs):
@@ -200,8 +219,7 @@ def train_randla(args):
         ):
             key, sub = jax.random.split(key)
             state, loss, _ = step_fn(
-                state, jnp.array(feats), jnp.array(labels), weights, lr, 0.01,
-                sub,
+                state, put(feats), put(labels), weights, lr, 0.01, sub,
             )
         # validation confusion over val_steps batches (`RandLANet.py:255-311`)
         cm = np.zeros((13, 13))
@@ -230,6 +248,12 @@ def train_resgcn(args):
     from pointsecguard_tpu.train import create_train_state, make_train_step, resgcn_lr
     from pointsecguard_tpu.utils.checkpoint import CheckpointManager
 
+    from pointsecguard_tpu.parallel import (
+        data_parallel_mesh,
+        make_batch_put,
+        replicate,
+    )
+
     cfg = ResgcnConfig()
     rooms = RoomSet.load(args.data_root, "train", args.test_area)
     sampler = S3DISBlockSampler(rooms, num_point=cfg.num_point)
@@ -244,6 +268,8 @@ def train_resgcn(args):
 
     rng = np.random.default_rng(args.seed)
     batch_size = args.batch_size or 8
+    mesh = data_parallel_mesh(getattr(args, "devices", 1))
+    put = make_batch_put(mesh, batch_size=batch_size)
     pts0, lab0 = next(iter(sampler.batches(rng, batch_size)))
     # torch.optim.Adam without weight_decay (`sem_seg_dense/train.py:31`)
     state, tx = create_train_state(
@@ -252,6 +278,7 @@ def train_resgcn(args):
     )
     step_fn = make_train_step(model, tx, ce_loss, output_head=lambda o: o)
     ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
+    state = replicate(mesh, state)
     key = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(args.epochs):
         lr = resgcn_lr(epoch, base=args.learning_rate or cfg.lr)
@@ -259,8 +286,7 @@ def train_resgcn(args):
         for pts, labels in sampler.batches(rng, batch_size):
             key, sub = jax.random.split(key)
             state, loss, _ = step_fn(
-                state, jnp.array(pts), jnp.array(labels), jnp.ones(13), lr,
-                0.1, sub,
+                state, put(pts), put(labels), jnp.ones(13), lr, 0.1, sub,
             )
             losses.append(float(loss))
         log.info("epoch %d loss %.4f (%.1fs)", epoch, np.mean(losses),
