@@ -83,6 +83,42 @@ def main() -> int:
         bool(jnp.allclose(rv, av)) and bool((ri == ai).all()),
     )
 
+    # chunked bottom-k — exact at the RandLA width and at the ResGCN
+    # dilated budget k·d = 448 (VERDICT r1 item 2 acceptance)
+    from pointsecguard_tpu.ops.pallas.bottomk import bottom_k_pallas_chunked
+
+    for B, S, N, k in [(1, 512, 40960, 16), (1, 64, 4096, 448),
+                       (1, 64, 1000, 20)]:
+        v = jnp.array(
+            np.round(rng.rand(B, S, N) * 500).astype(np.float32) / 500
+        )  # duplicates exercise the tie-break
+        rv, ri = bottom_k_indices(v, k, strategy="topk")
+        pv, pi = bottom_k_pallas_chunked(v, k)
+        ok &= check(
+            f"bottom_k_chunked [{B},{S},{N}] k={k}",
+            bool(jnp.allclose(rv, pv)) and bool((ri == pi).all()),
+        )
+
+    # fused kNN — exact vs square_distance+topk at the full RandLA level-0
+    # scale (pyramid level [40960, 40960], k=16) and in ResGCN feature space
+    from pointsecguard_tpu.ops.neighbors import knn
+    from pointsecguard_tpu.ops.pallas.knn import knn_pallas
+
+    for B, S, N, D, k in [(1, 40960, 40960, 3, 16), (1, 4096, 4096, 64, 16),
+                          (2, 100, 999, 3, 8)]:
+        q = jnp.array(rng.rand(B, S, D).astype(np.float32) * 4)
+        p = q if S == N else jnp.array(rng.rand(B, N, D).astype(np.float32) * 4)
+        rv, ri = knn(q, p, k, strategy="topk", tile=4096 if N > 16384 else None)
+        fv, fi = knn_pallas(q, p, k)
+        # values: float-rounding tolerance (tiny shapes may take a VPU
+        # einsum in XLA); indices must agree except across near-ties
+        near_tie = bool(jnp.any(jnp.abs(fv - rv) > 1e-4))
+        ok &= check(
+            f"knn_fused [{B},{S},{N}] D={D} k={k}",
+            bool(jnp.allclose(rv, fv, atol=1e-4)) and not near_tie
+            and bool((ri == fi).all()),
+        )
+
     print("ALL PASS" if ok else "FAILURES PRESENT")
     return 0 if ok else 1
 
