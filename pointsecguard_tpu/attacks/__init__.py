@@ -16,8 +16,11 @@ from pointsecguard_tpu.attacks.common import (
     point_accuracy,
 )
 from pointsecguard_tpu.attacks.benchmark import (
+    ATTACKS,
+    AttackBenchmark,
     distortion_binsearch,
     iteration_curve,
+    load_attack,
 )
 from pointsecguard_tpu.attacks.cw import CWConfig, cw_color_attack
 from pointsecguard_tpu.attacks.defenses import (
@@ -106,6 +109,8 @@ def attack_preset(model: str, attack: str, **overrides):
 
 
 __all__ = [
+    "ATTACKS",
+    "AttackBenchmark",
     "AttackResult",
     "CWConfig",
     "PGDConfig",
@@ -116,6 +121,7 @@ __all__ = [
     "distortion_binsearch",
     "equal_norm_color_noise",
     "iteration_curve",
+    "load_attack",
     "make_target_labels",
     "pgd_color_attack",
     "point_accuracy",

@@ -16,7 +16,10 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
+from pointsecguard_tpu.attacks.common import make_target_labels
+from pointsecguard_tpu.attacks.cw import CWConfig, cw_color_attack
 from pointsecguard_tpu.attacks.pgd import PGDConfig, pgd_color_attack
 
 
@@ -109,3 +112,138 @@ def iteration_curve(
              "l2": float(jnp.mean(res.l2_dist))}
         )
     return probes
+
+
+# --- ares-style attack registry + batched benchmark runner ----------------
+# (`benchmark/utils.py:8-38` ATTACKS/load_attack, `benchmark/attack.py:8-133`
+# AttackBenchmark). The image-only methods (deepfool/nes/spsa/nattack/
+# boundary/evolutionary) have no point-cloud reference path and are not
+# registered; the gradient attacks map onto the two unified engines.
+
+ATTACKS: dict[str, type] = {
+    "fgsm": PGDConfig,  # single step, α = ε, no random init
+    "bim": PGDConfig,  # iterative, no random init
+    "pgd": PGDConfig,  # iterative with random init
+    "cw": CWConfig,
+}
+
+
+def load_attack(attack_name: str, init_kwargs: dict) -> PGDConfig | CWConfig:
+    """Build an attack config by registry name, keeping only the kwargs the
+    config actually declares — the reference filters by the attack class's
+    ``__init__`` signature the same way (`benchmark/utils.py:23-38`)."""
+    cls = ATTACKS[attack_name]
+    fields = {f.name for f in dataclasses.fields(cls)}
+    kwargs = {k: v for k, v in init_kwargs.items() if k in fields}
+    cfg = cls(**kwargs)
+    if attack_name == "fgsm":
+        cfg = dataclasses.replace(
+            cfg, iters=1, alpha=cfg.eps, rand_init_eps=0.0
+        )
+    elif attack_name == "bim":
+        cfg = dataclasses.replace(cfg, rand_init_eps=0.0)
+    return cfg
+
+
+class AttackBenchmark:
+    """Run a registered attack over a dataset and report ares' five result
+    arrays (`benchmark/attack.py:52-115`): per-point clean correctness,
+    per-point adversarial correctness, per-point eligibility ("total"),
+    per-point success, and per-block distortion.
+
+    Goals follow ares (`attack.py:128-135`): ``'ut'``/``'tm'`` count a
+    point iff the clean prediction is correct and success = the adversarial
+    prediction differs from the label; ``'t'`` counts a point iff the clean
+    prediction differs from the target and success = the adversarial
+    prediction equals the target. ares benchmarks image classifiers (one
+    prediction per example); the point-cloud port scores per point, which
+    is the reference's own segmentation-attack accounting
+    (`NB_nontarget_test_semseg.py:210-214`).
+    """
+
+    def __init__(
+        self,
+        attack_name: str,
+        outputs_fn: Callable,
+        *,
+        goal: str = "ut",
+        distance_metric: str = "l_2",
+        origin: int | None = None,
+        target: int | None = None,
+        **kwargs,
+    ):
+        if goal not in ("ut", "tm", "t"):
+            raise ValueError(f"unknown goal {goal!r}")
+        if distance_metric not in ("l_2", "l_inf"):
+            raise ValueError(f"unknown distance metric {distance_metric!r}")
+        if goal == "t" and (origin is None or target is None):
+            raise ValueError("targeted goal needs origin= and target=")
+        kwargs.setdefault("targeted", goal == "t")
+        if target is not None:
+            kwargs.setdefault("target", target)
+        self.attack_name = attack_name
+        self.cfg = load_attack(attack_name, kwargs)
+        self.outputs_fn = outputs_fn
+        self.goal = goal
+        self.distance_metric = distance_metric
+        self.origin, self.target = origin, target
+
+    def config(self, **kwargs):
+        """(Re)configure the attack (`attack.py:45-50`)."""
+        self.cfg = dataclasses.replace(self.cfg, **kwargs)
+
+    def _attack(self, points, labels, mask, key):
+        if isinstance(self.cfg, CWConfig):
+            return cw_color_attack(
+                self.outputs_fn, points, labels, self.cfg, mask=mask
+            )
+        return pgd_color_attack(
+            self.outputs_fn, points, labels, self.cfg, mask=mask, key=key
+        )
+
+    def run(self, batches, logger=None, *, key: jax.Array | None = None):
+        """Attack every (points [B,N,C], labels [B,N]) batch; returns the
+        five concatenated numpy arrays in ares' order
+        (acc, acc_adv, total, succ, dist)."""
+        acc, acc_adv, total, succ, dist = [], [], [], [], []
+        key = jax.random.PRNGKey(0) if key is None else key
+        for points, labels in batches:
+            points = jnp.asarray(points)
+            labels = jnp.asarray(labels)
+            key, sub = jax.random.split(key)
+            if self.goal == "t":
+                ys_attack, mask = make_target_labels(
+                    labels, self.origin, self.target
+                )
+            else:
+                ys_attack, mask = labels, None
+            clean_pred = jnp.argmax(self.outputs_fn(points), axis=-1)
+            res = self._attack(points, ys_attack, mask, sub)
+            accs = np.asarray(clean_pred == labels).ravel()
+            accs_adv = np.asarray(res.adv_pred == labels).ravel()
+            if self.goal == "t":
+                totals = np.asarray(clean_pred != self.target).ravel()
+                succs = totals & np.asarray(
+                    res.adv_pred == self.target
+                ).ravel()
+            else:
+                totals = accs
+                succs = totals & ~accs_adv
+            diff = np.asarray(res.points_adv - points).reshape(len(points), -1)
+            if self.distance_metric == "l_2":
+                dists = np.linalg.norm(diff, axis=1)
+            else:
+                dists = np.max(np.abs(diff), axis=1)
+            acc.append(accs)
+            acc_adv.append(accs_adv)
+            total.append(totals)
+            succ.append(succs)
+            dist.append(dists)
+            if logger is not None:
+                logger.info(
+                    "acc={:3f}, adv_acc={:3f}, succ={:3f}, dist_mean={:3f}".format(
+                        accs.mean(), accs_adv.mean(),
+                        succs.sum() / max(totals.sum(), 1), dists.mean(),
+                    )
+                )
+        return tuple(map(np.concatenate, (acc, acc_adv, total, succ, dist)))

@@ -153,21 +153,58 @@ def rotate_perturbation_point_cloud(
     B = batch.shape[0]
     out = np.empty_like(batch)
     for b in range(B):
-        a = np.clip(angle_sigma * rng.standard_normal(3), -angle_clip, angle_clip)
-        Rx = np.array(
-            [[1, 0, 0], [0, np.cos(a[0]), -np.sin(a[0])],
-             [0, np.sin(a[0]), np.cos(a[0])]]
-        )
-        Ry = np.array(
-            [[np.cos(a[1]), 0, np.sin(a[1])], [0, 1, 0],
-             [-np.sin(a[1]), 0, np.cos(a[1])]]
-        )
-        Rz = np.array(
-            [[np.cos(a[2]), -np.sin(a[2]), 0],
-             [np.sin(a[2]), np.cos(a[2]), 0], [0, 0, 1]]
-        )
-        out[b] = batch[b] @ (Rz @ Ry @ Rx).T
+        R = _small_rotation(rng, angle_sigma, angle_clip)
+        out[b] = batch[b] @ R
     return out.astype(np.float32)
+
+
+def _small_rotation(
+    rng: np.random.Generator, angle_sigma: float, angle_clip: float
+) -> np.ndarray:
+    """R = Rz·Ry·Rx with clipped-gaussian angles; the reference applies it
+    as ``points @ R`` (`provider.py:116-126` — row-vector convention)."""
+    a = np.clip(angle_sigma * rng.standard_normal(3), -angle_clip, angle_clip)
+    Rx = np.array(
+        [[1, 0, 0], [0, np.cos(a[0]), -np.sin(a[0])],
+         [0, np.sin(a[0]), np.cos(a[0])]]
+    )
+    Ry = np.array(
+        [[np.cos(a[1]), 0, np.sin(a[1])], [0, 1, 0],
+         [-np.sin(a[1]), 0, np.cos(a[1])]]
+    )
+    Rz = np.array(
+        [[np.cos(a[2]), -np.sin(a[2]), 0],
+         [np.sin(a[2]), np.cos(a[2]), 0], [0, 0, 1]]
+    )
+    return Rz @ Ry @ Rx
+
+
+def rotate_perturbation_point_cloud_with_normal(
+    batch: np.ndarray,
+    rng: np.random.Generator,
+    angle_sigma: float = 0.06,
+    angle_clip: float = 0.18,
+) -> np.ndarray:
+    """Small random 3-axis rotations applied to xyz AND normals
+    (`provider.py:106-131`). Input [B, N, 6]: xyz | normal."""
+    out = np.empty_like(batch)
+    for b in range(batch.shape[0]):
+        R = _small_rotation(rng, angle_sigma, angle_clip)
+        out[b, :, :3] = batch[b, :, :3] @ R
+        out[b, :, 3:6] = batch[b, :, 3:6] @ R
+    return out.astype(np.float32)
+
+
+def rotate_point_cloud_by_angle_with_normal(
+    batch: np.ndarray, rotation_angle: float
+) -> np.ndarray:
+    """Deterministic y-rotation of xyz AND normals (`provider.py:152-175`).
+    Input [B, N, 6]: xyz | normal."""
+    angles = np.full(batch.shape[0], rotation_angle)
+    out = batch.copy()
+    out[:, :, :3] = _rotate_y(batch[:, :, :3], angles)
+    out[:, :, 3:6] = _rotate_y(batch[:, :, 3:6], angles)
+    return out
 
 
 def rotate_point_cloud_by_angle(

@@ -19,13 +19,13 @@ def sample_data(
     data: np.ndarray, num_sample: int, rng: np.random.Generator
 ) -> tuple[np.ndarray, np.ndarray]:
     """Pad or subsample to exactly ``num_sample`` rows
-    (`indoor3d_util.py:120-139` semantics: sample without replacement when
-    shrinking, duplicate random rows when growing)."""
+    (`indoor3d_util.py:120-139`: both directions use ``np.random.choice``
+    with its default replace=True — shrinking may repeat rows)."""
     n = data.shape[0]
     if n == num_sample:
         return data, np.arange(n)
     if n > num_sample:
-        sel = rng.choice(n, num_sample, replace=False)
+        sel = rng.choice(n, num_sample, replace=True)
         return data[sel], sel
     extra = rng.choice(n, num_sample - n, replace=True)
     idx = np.concatenate([np.arange(n), extra])

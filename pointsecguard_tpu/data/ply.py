@@ -1,9 +1,12 @@
-"""Minimal binary PLY I/O with named fields.
+"""Minimal PLY I/O with named fields.
 
 Fresh implementation of the functionality of the reference's
-`RandLA-Net/helper_ply.py` (`read_ply:116`, `write_ply:217`): binary
-little-endian PLY vertex clouds with arbitrary named scalar properties,
-returned as a numpy structured array.
+`RandLA-Net/helper_ply.py` (`read_ply:116`, `write_ply:217`): PLY vertex
+clouds with arbitrary named scalar properties, returned as a numpy
+structured array. Reads binary little/big-endian AND ascii (the reference
+raises ``ValueError('The file is not binary')`` on ascii,
+`helper_ply.py:162-163`; we accept it — documented superset for foreign
+PLY files); writes binary little-endian like the reference.
 """
 
 from __future__ import annotations
@@ -22,8 +25,15 @@ _INV_DTYPES = {
 }
 
 
+_FORMAT_ENDIAN = {
+    "binary_little_endian": "<",
+    "binary_big_endian": ">",
+    "ascii": "=",
+}
+
+
 def read_ply(path: str) -> np.ndarray:
-    """Read a binary-little-endian PLY file → structured array of the
+    """Read a PLY file (binary LE/BE or ascii) → structured array of the
     vertex element's properties."""
     with open(path, "rb") as f:
         if f.readline().strip() != b"ply":
@@ -47,9 +57,18 @@ def read_ply(path: str) -> np.ndarray:
                     count = int(parts[2])
             elif parts[0] == "property" and in_vertex:
                 props.append((parts[2], _PLY_DTYPES[parts[1]]))
-        if fmt != "binary_little_endian":
+        if fmt not in _FORMAT_ENDIAN:
             raise NotImplementedError(f"PLY format {fmt} not supported")
-        dtype = np.dtype([(name, "<" + t) for name, t in props])
+        dtype = np.dtype(
+            [(name, _FORMAT_ENDIAN[fmt] + t) for name, t in props]
+        )
+        if fmt == "ascii":
+            rows = [f.readline().split() for _ in range(count)]
+            rec = np.empty(count, dtype=dtype)
+            for j, (name, _) in enumerate(props):
+                col = np.array([r[j] for r in rows])
+                rec[name] = col.astype(dtype[name])
+            return rec
         return np.frombuffer(f.read(count * dtype.itemsize), dtype=dtype)
 
 

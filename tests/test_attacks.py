@@ -285,3 +285,73 @@ class TestTrajectory:
         l2 = np.asarray(traj["l2"]).mean(1)
         assert l2[-1] >= l2[0]
         assert int(res.steps) == 12
+
+
+class TestAttackBenchmark:
+    """ares benchmark runner + registry (`benchmark/attack.py:8-133`,
+    `benchmark/utils.py:8-38`)."""
+
+    def test_load_attack_filters_kwargs(self):
+        from pointsecguard_tpu.attacks import load_attack
+
+        cfg = load_attack(
+            "pgd", {"eps": 0.2, "alpha": 0.05, "iters": 7, "session": object()}
+        )
+        assert isinstance(cfg, PGDConfig)
+        assert (cfg.eps, cfg.alpha, cfg.iters) == (0.2, 0.05, 7)
+
+    def test_fgsm_is_single_step(self):
+        from pointsecguard_tpu.attacks import load_attack
+
+        cfg = load_attack("fgsm", {"eps": 0.1, "alpha": 99.0, "iters": 50})
+        assert cfg.iters == 1 and cfg.alpha == cfg.eps
+        assert cfg.rand_init_eps == 0.0
+
+    def test_untargeted_run(self, surrogate, batch):
+        from pointsecguard_tpu.attacks import AttackBenchmark
+
+        pts, labels = batch
+        bench = AttackBenchmark(
+            "bim", surrogate, goal="ut", eps=0.3, alpha=0.05, iters=10
+        )
+        acc, acc_adv, total, succ, dist = bench.run([(pts, labels)])
+        n = B * N
+        assert acc.shape == (n,) and succ.shape == (n,)
+        assert dist.shape == (B,)
+        assert acc.all()  # labels were defined as the clean argmax
+        np.testing.assert_array_equal(total, acc)
+        assert acc_adv.mean() < 1.0  # the attack flips some points
+        np.testing.assert_array_equal(succ, total & ~acc_adv)
+        assert (dist > 0).all()
+
+    def test_targeted_run(self, proto_surrogate, proto_batch):
+        from pointsecguard_tpu.attacks import AttackBenchmark
+
+        pts, labels = proto_batch
+        target = int(np.asarray(labels).ravel()[0]) ^ 1
+        origin = int(np.asarray(labels).ravel()[-1])
+        bench = AttackBenchmark(
+            "pgd", proto_surrogate, goal="t", origin=origin, target=target,
+            eps=0.6, alpha=0.1, iters=40, ce_reduction="mean",
+        )
+        acc, acc_adv, total, succ, dist = bench.run(
+            [(pts, labels)], key=jax.random.PRNGKey(0)
+        )
+        # eligibility per ares: clean prediction != target
+        clean_pred = np.asarray(jnp.argmax(proto_surrogate(pts), -1)).ravel()
+        np.testing.assert_array_equal(total, clean_pred != target)
+        assert succ.sum() > 0  # some masked points driven to the target
+        # success implies eligibility
+        assert not (succ & ~total).any()
+
+    def test_cw_registry_path(self, surrogate, batch):
+        from pointsecguard_tpu.attacks import AttackBenchmark
+
+        pts, labels = batch
+        bench = AttackBenchmark(
+            "cw", surrogate, goal="ut", steps=30, lr=0.05,
+            distance_metric="l_inf",
+        )
+        acc, acc_adv, total, succ, dist = bench.run([(pts, labels)])
+        assert acc_adv.mean() < acc.mean()
+        assert dist.shape == (B,) and (dist >= 0).all()

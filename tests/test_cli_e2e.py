@@ -150,5 +150,6 @@ class TestDataParallelCLI:
                 e["loss"] for e in _events(log) if e["event"] == "epoch"
             ]
         # reduction order in the batch-mean gradient differs across mesh
-        # sizes; Adam compounds the low bits over the epoch (~0.2% observed)
-        np.testing.assert_allclose(losses[8], losses[1], rtol=1e-2)
+        # sizes; Adam compounds the low bits over the epoch (~1.8% observed
+        # on the steep early loss of the class-colored fixture)
+        np.testing.assert_allclose(losses[8], losses[1], rtol=3e-2)

@@ -102,6 +102,33 @@ class TestPly:
         np.testing.assert_array_equal(back["green"], rgb[:, 1])
         np.testing.assert_array_equal(back["class"], lab)
 
+    def test_read_ascii(self, tmp_path):
+        """Documented superset: the reference raises on ascii
+        (`helper_ply.py:162-163`); our reader accepts it."""
+        p = str(tmp_path / "a.ply")
+        with open(p, "w") as f:
+            f.write(
+                "ply\nformat ascii 1.0\nelement vertex 3\n"
+                "property float x\nproperty float y\nproperty uchar red\n"
+                "end_header\n"
+                "0.5 1.5 10\n2.5 3.5 20\n4.5 5.5 30\n"
+            )
+        back = read_ply(p)
+        np.testing.assert_allclose(back["x"], [0.5, 2.5, 4.5])
+        np.testing.assert_allclose(back["y"], [1.5, 3.5, 5.5])
+        np.testing.assert_array_equal(back["red"], [10, 20, 30])
+        assert back["red"].dtype == np.uint8
+
+    def test_read_big_endian(self, tmp_path):
+        p = str(tmp_path / "b.ply")
+        vals = np.array([1.25, -2.5], ">f4")
+        with open(p, "wb") as f:
+            f.write(
+                b"ply\nformat binary_big_endian 1.0\nelement vertex 2\n"
+                b"property float x\nend_header\n" + vals.tobytes()
+            )
+        np.testing.assert_allclose(read_ply(p)["x"], [1.25, -2.5])
+
 
 class TestRandlaPipeline:
     def test_prepare_and_sample(self, mini_s3dis, tmp_path):

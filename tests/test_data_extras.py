@@ -42,8 +42,11 @@ class TestLegacyBlocks:
         d = rng.rand(50, 6)
         up, idx = sample_data(d, 80, g)
         assert up.shape == (80, 6) and len(idx) == 80
+        # shrink uses np.random.choice's default replace=True
+        # (`indoor3d_util.py:130`) — rows may repeat
         down, idx2 = sample_data(d, 20, g)
-        assert down.shape == (20, 6) and len(set(idx2)) == 20
+        assert down.shape == (20, 6)
+        np.testing.assert_array_equal(down, d[idx2])
 
     def test_room2blocks(self, rng):
         data = rng.rand(5000, 6) * [3, 3, 2.5, 255, 255, 255]
@@ -113,6 +116,56 @@ class TestExtraAugment:
         dots_before = (xyz * normal).sum(-1)
         dots_after = (out[..., :3] * out[..., 3:]).sum(-1)
         np.testing.assert_allclose(dots_after, dots_before, atol=1e-4)
+
+    def test_rotate_perturbation_with_normal_consistent(self):
+        g = np.random.default_rng(3)
+        xyz = g.random((2, 30, 3)).astype(np.float32)
+        normal = g.random((2, 30, 3)).astype(np.float32)
+        b = np.concatenate([xyz, normal], -1)
+        out = augment.rotate_perturbation_point_cloud_with_normal(b, g)
+        dots_before = (xyz * normal).sum(-1)
+        dots_after = (out[..., :3] * out[..., 3:]).sum(-1)
+        np.testing.assert_allclose(dots_after, dots_before, atol=1e-4)
+        # small-angle: rotation stays close to identity
+        assert np.abs(out[..., :3] - xyz).max() < 0.5
+
+    def test_rotate_by_angle_with_normal_matches_plain(self):
+        g = np.random.default_rng(4)
+        xyz = g.random((1, 20, 3)).astype(np.float32)
+        normal = g.random((1, 20, 3)).astype(np.float32)
+        b = np.concatenate([xyz, normal], -1)
+        out = augment.rotate_point_cloud_by_angle_with_normal(b, 0.9)
+        np.testing.assert_allclose(
+            out[..., :3], augment.rotate_point_cloud_by_angle(xyz, 0.9),
+            atol=1e-6,
+        )
+        np.testing.assert_allclose(
+            out[..., 3:], augment.rotate_point_cloud_by_angle(normal, 0.9),
+            atol=1e-6,
+        )
+
+    def test_rotate_perturbation_row_vector_convention(self):
+        """The reference applies points @ R (not R.T) — `provider.py:126`.
+        Reproduce one draw by hand and compare."""
+        b = np.random.default_rng(99).random((1, 10, 3)).astype(np.float32)
+        g = np.random.default_rng(5)
+        g2 = np.random.default_rng(5)
+        a = np.clip(0.06 * g2.standard_normal(3), -0.18, 0.18)
+        Rx = np.array(
+            [[1, 0, 0], [0, np.cos(a[0]), -np.sin(a[0])],
+             [0, np.sin(a[0]), np.cos(a[0])]]
+        )
+        Ry = np.array(
+            [[np.cos(a[1]), 0, np.sin(a[1])], [0, 1, 0],
+             [-np.sin(a[1]), 0, np.cos(a[1])]]
+        )
+        Rz = np.array(
+            [[np.cos(a[2]), -np.sin(a[2]), 0],
+             [np.sin(a[2]), np.cos(a[2]), 0], [0, 0, 1]]
+        )
+        expect = b[0] @ (Rz @ Ry @ Rx)
+        out = augment.rotate_perturbation_point_cloud(b, g)
+        np.testing.assert_allclose(out[0], expect, atol=1e-6)
 
     def test_shuffle_data(self):
         g = np.random.default_rng(2)
