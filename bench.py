@@ -1,19 +1,27 @@
-"""Headline benchmark: NB (PGD) attack iterations/sec/chip on PointNet++.
+"""Benchmark entry point. Prints exactly ONE JSON line.
 
-Protocol matches the reference NB driver
+Headline: NB (PGD) attack iterations/sec/chip on PointNet++. Protocol
+matches the reference NB driver
 (`PointNet/NB_nontarget_test_semseg.py:169-171`): 4096-point S3DIS-shaped
 blocks, ε=0.1, α=0.05, 10 iterations, batch 1 — but fused into one
 on-device ``lax.while_loop`` instead of a host python loop with a separate
 backward per iteration.
 
-Baseline: the reference publishes no numbers (BASELINE.md). The reference
-loop's cost per iteration is one PointNet++ fwd+bwd on a single CUDA GPU
-plus the per-iteration host round-trip; measured equivalents of the
-yanx27 codebase on a V100-class GPU run ~20-30 attack iters/s at bs=1.
-We use 25 iters/s as the documented reference estimate, so
-``vs_baseline = value / 25`` (the driver target is ≥5×).
+Baseline: the reference publishes no numbers (BASELINE.md), so
+``vs_baseline`` divides by a documented ESTIMATE: the reference loop's
+cost per iteration is one PointNet++ fwd+bwd on a single CUDA GPU plus
+the per-iteration host round-trip; measured equivalents of the yanx27
+codebase on a V100-class GPU run ~20-30 attack iters/s at bs=1. We use
+25 iters/s (driver target ≥5×); ``baseline_is_estimate`` marks this.
 
-Prints exactly one JSON line.
+``extras`` regression-tracks two more numbers on the same chip:
+- ``randla_nb_ms_per_cloud`` — full 40960-pt RandLA-Net NB attack
+  (pyramid build + 10 fused PGD iterations), the flagship large-cloud
+  path (`tester_S3DIS.py:142-145` protocol);
+- ``pointnet2_train_blocks_per_sec`` — jitted PointNet++ train step
+  throughput at the reference batch 16 (`train_semseg.py:33`).
+Each extra is measured independently; a failure records an "error" string
+instead of aborting the headline.
 """
 
 from __future__ import annotations
@@ -32,7 +40,18 @@ ITERS = 10
 REPEATS = 5
 
 
-def main():
+def _time_best(fn, repeats):
+    """Best-of-N wall time; fn must fetch a scalar to host itself
+    (block_until_ready can return early on tunneled TPU transports)."""
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - t0)
+    return min(times)
+
+
+def headline_nb_iters_per_sec():
     from pointsecguard_tpu.attacks import attack_preset, pgd_color_attack
     from pointsecguard_tpu.models import PointNet2SemSegSSG, build_geometry
 
@@ -54,19 +73,91 @@ def main():
         return pgd_color_attack(outputs_fn, pts, labs, cfg)
 
     attack = jax.jit(attack_fn)
-    # compile + warmup. NOTE: fetch a scalar to host per repeat —
-    # block_until_ready can return early on tunneled TPU transports.
-    res = attack(points, labels)
-    float(res.l2_dist.sum())
+    float(attack(points, labels).l2_dist.sum())  # compile + warmup
+    best = _time_best(lambda: float(attack(points, labels).l2_dist.sum()),
+                      REPEATS)
+    return ITERS / best
 
+
+def extra_randla_nb_ms():
+    from pointsecguard_tpu.attacks import attack_preset, pgd_color_attack
+    from pointsecguard_tpu.configs import RandlaConfig
+    from pointsecguard_tpu.models import RandLANet, build_pyramid
+    from pointsecguard_tpu.train import create_train_state
+
+    cfg = RandlaConfig()
+    model = RandLANet(d_out=cfg.d_out)
+
+    def pyramid_fn(xyz):
+        return build_pyramid(
+            xyz, num_layers=cfg.num_layers, k=cfg.k_n,
+            sub_ratios=cfg.sub_sampling_ratio,
+        )
+
+    rng = np.random.RandomState(1)
+    feats = jnp.array(rng.rand(1, cfg.num_points, 6).astype(np.float32))
+    labels = jnp.array(rng.randint(0, 13, (1, cfg.num_points)))
+    model_args = lambda f: (f, pyramid_fn(f[..., :3]))
+    state, _ = create_train_state(
+        model, (feats, None), rng=jax.random.PRNGKey(0), model_args=model_args
+    )
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    attack_cfg = attack_preset("randla", "nb")  # eps=17, 10 it, L2 steps
+
+    @jax.jit
+    def run(f, labs, key):
+        pyr = pyramid_fn(f[..., :3])
+        outputs_fn = lambda x: model.apply(variables, x, pyr)
+        return pgd_color_attack(outputs_fn, f, labs, attack_cfg, key=key)
+
+    key = jax.random.PRNGKey(3)
+    float(run(feats, labels, key).l2_dist.sum())
+    best = _time_best(lambda: float(run(feats, labels, key).l2_dist.sum()), 3)
+    return best * 1e3
+
+
+def extra_pointnet2_train_blocks_per_sec():
+    from pointsecguard_tpu.models import PointNet2SemSegSSG, weighted_nll_loss
+    from pointsecguard_tpu.train import create_train_state, make_train_step
+
+    bs = 16  # reference default (`train_semseg.py:33`)
+    model = PointNet2SemSegSSG(num_classes=13)
+    rng = np.random.RandomState(2)
+    points = jnp.array(rng.rand(bs, N_POINTS, 9).astype(np.float32))
+    labels = jnp.array(rng.randint(0, 13, (bs, N_POINTS)))
+    weights = jnp.ones((13,), jnp.float32)
+    state, tx = create_train_state(
+        model, (points, labels), rng=jax.random.PRNGKey(0)
+    )
+    step = make_train_step(model, tx, weighted_nll_loss)
+    key = jax.random.PRNGKey(1)
+
+    def one(s):
+        s, loss, _ = step(s, points, labels, weights, 1e-3, 0.9, key)
+        float(loss)
+        return s
+
+    state = one(state)  # compile + warmup (donated state: keep the result)
     times = []
-    for _ in range(REPEATS):
+    for _ in range(3):
         t0 = time.perf_counter()
-        res = attack(points, labels)
-        float(res.l2_dist.sum())
+        state = one(state)
         times.append(time.perf_counter() - t0)
-    best = min(times)
-    iters_per_sec = ITERS / best
+    return bs / min(times)
+
+
+def main():
+    iters_per_sec = headline_nb_iters_per_sec()
+    extras = {}
+    for name, fn, nd in (
+        ("randla_nb_ms_per_cloud", extra_randla_nb_ms, 1),
+        ("pointnet2_train_blocks_per_sec",
+         extra_pointnet2_train_blocks_per_sec, 1),
+    ):
+        try:
+            extras[name] = round(fn(), nd)
+        except Exception as e:  # never let an extra break the headline
+            extras[name] = f"error: {type(e).__name__}: {e}"
 
     print(
         json.dumps(
@@ -75,6 +166,8 @@ def main():
                 "value": round(iters_per_sec, 2),
                 "unit": "attack_iters/s (PointNet++ 4096pt bs1, NB eps=.1)",
                 "vs_baseline": round(iters_per_sec / REF_ITERS_PER_SEC_EST, 2),
+                "baseline_is_estimate": True,
+                "extras": extras,
             }
         )
     )

@@ -12,6 +12,10 @@ from pointsecguard_tpu.models.pointnet2_cls import (
     PointNet2ClsSSG,
     PointNet2PartSegMSG,
     PointNet2PartSegSSG,
+    build_geometry_cls,
+    build_geometry_cls_msg,
+    build_geometry_partseg,
+    build_geometry_partseg_msg,
 )
 from pointsecguard_tpu.models.pointnet2 import (
     FeaturePropagation,
@@ -20,6 +24,8 @@ from pointsecguard_tpu.models.pointnet2 import (
     SetAbstraction,
     SetAbstractionMSG,
     build_geometry,
+    build_geometry_msg,
+    three_nn_plan,
     weighted_nll_loss,
 )
 from pointsecguard_tpu.models.randlanet import (
@@ -45,8 +51,15 @@ __all__ = [
     "RandLANet",
     "SetAbstraction",
     "SetAbstractionMSG",
+    "build_geometry",
+    "build_geometry_cls",
+    "build_geometry_cls_msg",
+    "build_geometry_msg",
+    "build_geometry_partseg",
+    "build_geometry_partseg_msg",
     "build_pyramid",
     "feature_transform_regularizer",
+    "three_nn_plan",
     "weighted_nll_loss",
     "weighted_softmax_ce_loss",
 ]

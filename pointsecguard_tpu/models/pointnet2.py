@@ -145,6 +145,19 @@ _SSG_RADII = (0.1, 0.2, 0.4, 0.8)
 _SSG_NSAMPLES = (32, 32, 32, 32)
 
 
+def three_nn_plan(dst: jnp.ndarray, src: jnp.ndarray):
+    """3-NN interpolation plan (idx [B,N,3], weight [B,N,3]) for a
+    FeaturePropagation hop — the gather/weight half of
+    `pointnet_util.py:270-297` with the search hoisted out."""
+    from pointsecguard_tpu.ops.selection import bottom_k_indices
+
+    d = ops.square_distance(dst, src)
+    dists, idx3 = bottom_k_indices(d, 3)
+    recip = 1.0 / (dists + 1e-8)
+    weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
+    return idx3, weight
+
+
 def build_geometry(xyz: jnp.ndarray) -> dict:
     """Precompute the SSG geometry plan (FPS centers, ball-query groups,
     3-NN interpolation indices/weights) from coordinates alone.
@@ -165,14 +178,7 @@ def build_geometry(xyz: jnp.ndarray) -> dict:
     levels = [xyz] + [p[0] for p in sa_plans]  # l0..l4 coordinates
     fp_plans = []
     for li in range(len(levels) - 1):  # (l0←l1), (l1←l2), ...
-        dst, src = levels[li], levels[li + 1]
-        d = ops.square_distance(dst, src)
-        from pointsecguard_tpu.ops.selection import bottom_k_indices
-
-        dists, idx3 = bottom_k_indices(d, 3)
-        recip = 1.0 / (dists + 1e-8)
-        weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
-        fp_plans.append((idx3, weight))
+        fp_plans.append(three_nn_plan(levels[li], levels[li + 1]))
     return {"sa": tuple(sa_plans), "fp": tuple(fp_plans)}
 
 
@@ -307,8 +313,6 @@ _MSG_SPEC = (
 def build_geometry_msg(xyz: jnp.ndarray) -> dict:
     """MSG geometry plan (see ``build_geometry``): per level the FPS
     centers plus one ball-query index set per radius."""
-    from pointsecguard_tpu.ops.selection import bottom_k_indices
-
     sa_plans = []
     cur = xyz
     for npoint, radii, nsamples in _MSG_SPEC:
@@ -322,9 +326,5 @@ def build_geometry_msg(xyz: jnp.ndarray) -> dict:
     levels = [xyz] + [p[0] for p in sa_plans]
     fp_plans = []
     for li in range(len(levels) - 1):
-        d = ops.square_distance(levels[li], levels[li + 1])
-        dists, idx3 = bottom_k_indices(d, 3)
-        recip = 1.0 / (dists + 1e-8)
-        weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
-        fp_plans.append((idx3, weight))
+        fp_plans.append(three_nn_plan(levels[li], levels[li + 1]))
     return {"sa": tuple(sa_plans), "fp": tuple(fp_plans)}

@@ -186,6 +186,72 @@ class TestGeometryPlans:
         )(variables, pts, geo)
         np.testing.assert_array_equal(np.asarray(plain), np.asarray(planned))
 
+    def test_cls_geometry_identical(self, rng, key):
+        from pointsecguard_tpu.models import (
+            PointNet2ClsSSG,
+            build_geometry_cls,
+        )
+
+        model = PointNet2ClsSSG(num_classes=10)
+        pts = jnp.array(rng.rand(B, 64, 6).astype(np.float32))
+        variables = jax.jit(model.init)(key, pts)
+        plain, _ = jax.jit(model.apply)(variables, pts)
+        geo = jax.jit(build_geometry_cls)(pts[..., :3])
+        planned, _ = jax.jit(
+            lambda v, p, g: model.apply(v, p, geometry=g)
+        )(variables, pts, geo)
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(planned))
+
+    def test_cls_msg_geometry_identical(self, rng, key):
+        from pointsecguard_tpu.models import (
+            PointNet2ClsMSG,
+            build_geometry_cls_msg,
+        )
+
+        model = PointNet2ClsMSG(num_classes=10)
+        pts = jnp.array(rng.rand(B, 64, 6).astype(np.float32))
+        variables = jax.jit(model.init)(key, pts)
+        plain, _ = jax.jit(model.apply)(variables, pts)
+        geo = jax.jit(build_geometry_cls_msg)(pts[..., :3])
+        planned, _ = jax.jit(
+            lambda v, p, g: model.apply(v, p, geometry=g)
+        )(variables, pts, geo)
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(planned))
+
+    def test_partseg_geometry_identical(self, rng, key):
+        from pointsecguard_tpu.models import (
+            PointNet2PartSegSSG,
+            build_geometry_partseg,
+        )
+
+        model = PointNet2PartSegSSG(num_classes=8, num_object_classes=4)
+        pts = jnp.array(rng.rand(B, 64, 3).astype(np.float32))
+        one_hot = jnp.eye(4)[jnp.array(rng.randint(0, 4, B))]
+        variables = jax.jit(model.init)(key, pts, one_hot)
+        plain, _ = jax.jit(model.apply)(variables, pts, one_hot)
+        geo = jax.jit(build_geometry_partseg)(pts[..., :3])
+        planned, _ = jax.jit(
+            lambda v, p, c, g: model.apply(v, p, c, geometry=g)
+        )(variables, pts, one_hot, geo)
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(planned))
+
+    def test_partseg_msg_geometry_identical(self, rng, key):
+        from pointsecguard_tpu.models import (
+            PointNet2PartSegMSG,
+            build_geometry_partseg_msg,
+        )
+
+        model = PointNet2PartSegMSG(num_classes=8, num_object_classes=4)
+        pts = jnp.array(rng.rand(B, 64, 3).astype(np.float32))
+        one_hot = jnp.eye(4)[jnp.array(rng.randint(0, 4, B))]
+        variables = jax.jit(model.init)(key, pts, one_hot)
+        plain, _ = jax.jit(model.apply)(variables, pts, one_hot)
+        geo = jax.jit(build_geometry_partseg_msg)(pts[..., :3])
+        planned, _ = jax.jit(
+            lambda v, p, c, g: model.apply(v, p, c, geometry=g)
+        )(variables, pts, one_hot, geo)
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(planned))
+
 
 class TestRandlaIgnoredLabels:
     def test_ignored_label_loss(self, rng):
