@@ -22,6 +22,13 @@ codebase on a V100-class GPU run ~20-30 attack iters/s at bs=1. We use
   throughput at the reference batch 16 (`train_semseg.py:33`).
 Each extra is measured independently; a failure records an "error" string
 instead of aborting the headline.
+
+Measurement: per-call dispatch through the tunneled TPU costs ~25-30 ms,
+comparable to the work itself — so every number here repeats the full
+unit of work (whole block-attack / whole train step) inside one jitted
+``lax.scan``, chains each repeat on the previous result, fetches a
+scalar to host, and divides. `block_until_ready` alone is NOT trusted
+(can return before remote execution finishes).
 """
 
 from __future__ import annotations
@@ -38,6 +45,7 @@ BATCH = 1
 N_POINTS = 4096
 ITERS = 10
 REPEATS = 5
+SCAN_ATTACKS = 20  # whole attacks per program (amortizes ~28 ms dispatch)
 
 
 def _time_best(fn, repeats):
@@ -52,6 +60,8 @@ def _time_best(fn, repeats):
 
 
 def headline_nb_iters_per_sec():
+    from jax import lax
+
     from pointsecguard_tpu.attacks import attack_preset, pgd_color_attack
     from pointsecguard_tpu.models import PointNet2SemSegSSG, build_geometry
 
@@ -66,17 +76,32 @@ def headline_nb_iters_per_sec():
 
     def attack_fn(pts, labs):
         # geometry depends only on xyz, which the color attack never
-        # touches — computed once here, XLA hoists it out of the attack
-        # loop (bit-identical outputs to the in-forward computation)
+        # touches — computed once per attack (as the protocol does per
+        # block), XLA hoists it out of the attack loop (bit-identical
+        # outputs to the in-forward computation)
         geo = build_geometry(pts[..., :3])
         outputs_fn = lambda p: model.apply(variables, p, geometry=geo)[0]
         return pgd_color_attack(outputs_fn, pts, labs, cfg)
 
-    attack = jax.jit(attack_fn)
-    float(attack(points, labels).l2_dist.sum())  # compile + warmup
-    best = _time_best(lambda: float(attack(points, labels).l2_dist.sum()),
-                      REPEATS)
-    return ITERS / best
+    # Per-call dispatch through the tunneled TPU costs ~25-30 ms — at
+    # ~1 ms/iteration that would dominate the measurement. Repeat whole
+    # block-attacks (geometry build included) inside one program and
+    # divide; each repeat consumes the previous adversarial output so
+    # nothing can be elided.
+    @jax.jit
+    def attack_scan(pts, labs):
+        def body(p, _):
+            res = attack_fn(p, labs)
+            return res.points_adv, res.l2_dist
+        p, l2s = lax.scan(body, pts, None, length=SCAN_ATTACKS)
+        return p, l2s
+
+    p, l2s = attack_scan(points, labels)
+    float(l2s.sum())  # compile + warmup
+    best = _time_best(
+        lambda: float(attack_scan(points, labels)[1].sum()), REPEATS
+    )
+    return ITERS * SCAN_ATTACKS / best
 
 
 def extra_randla_nb_ms():
@@ -104,16 +129,27 @@ def extra_randla_nb_ms():
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     attack_cfg = attack_preset("randla", "nb")  # eps=17, 10 it, L2 steps
 
-    @jax.jit
+    from jax import lax
+
     def run(f, labs, key):
         pyr = pyramid_fn(f[..., :3])
         outputs_fn = lambda x: model.apply(variables, x, pyr)
         return pgd_color_attack(outputs_fn, f, labs, attack_cfg, key=key)
 
+    @jax.jit
+    def run_scan(f, labs, key):
+        def body(x, _):
+            res = run(x, labs, key)
+            return res.points_adv, res.l2_dist
+        x, l2s = lax.scan(body, f, None, length=4)
+        return l2s
+
     key = jax.random.PRNGKey(3)
-    float(run(feats, labels, key).l2_dist.sum())
-    best = _time_best(lambda: float(run(feats, labels, key).l2_dist.sum()), 3)
-    return best * 1e3
+    float(run_scan(feats, labels, key).sum())
+    best = _time_best(
+        lambda: float(run_scan(feats, labels, key).sum()), 3
+    )
+    return best / 4 * 1e3
 
 
 def extra_pointnet2_train_blocks_per_sec():
@@ -129,21 +165,28 @@ def extra_pointnet2_train_blocks_per_sec():
     state, tx = create_train_state(
         model, (points, labels), rng=jax.random.PRNGKey(0)
     )
+    from jax import lax
+
     step = make_train_step(model, tx, weighted_nll_loss)
     key = jax.random.PRNGKey(1)
 
-    def one(s):
-        s, loss, _ = step(s, points, labels, weights, 1e-3, 0.9, key)
-        float(loss)
-        return s
+    @jax.jit
+    def ten_steps(s):
+        def body(c, _):
+            c, loss, _ = step(c, points, labels, weights, 1e-3, 0.9, key)
+            return c, loss
+        s, losses = lax.scan(body, s, None, length=10)
+        return s, losses
 
-    state = one(state)  # compile + warmup (donated state: keep the result)
+    state, losses = ten_steps(state)  # compile + warmup
+    float(losses.sum())
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        state = one(state)
+        state, losses = ten_steps(state)
+        float(losses.sum())
         times.append(time.perf_counter() - t0)
-    return bs / min(times)
+    return 10 * bs / min(times)
 
 
 def main():

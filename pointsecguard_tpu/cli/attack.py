@@ -45,6 +45,9 @@ def main(argv=None):
     ap.add_argument("--target", type=int, default=7)
     ap.add_argument("--max_blocks", type=int, default=0, help="0 = all")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--resgcn_blocks", type=int, default=0,
+                    help="override ResGCN depth (must match the trained "
+                         "checkpoint; default: config 28 blocks)")
     ap.add_argument("--resgcn_fast", action="store_true",
                     help="resgcn: dilated_mode=subsample + approx kNN "
                          "(6x faster; documented deviation, PARITY.md)")
@@ -110,11 +113,12 @@ def main(argv=None):
         return _attack_randla(args, log)
 
     if args.model == "resgcn":
-        model = (
-            DenseDeepGCN(dilated_mode="subsample", knn_strategy="approx")
-            if args.resgcn_fast
-            else DenseDeepGCN()
-        )
+        overrides = {}
+        if args.resgcn_blocks:
+            overrides["n_blocks"] = args.resgcn_blocks
+        if args.resgcn_fast:
+            overrides.update(dilated_mode="subsample", knn_strategy="approx")
+        model = DenseDeepGCN(**overrides)
         preset_family = "resgcn"
         head = lambda out: out
     else:

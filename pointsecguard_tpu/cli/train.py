@@ -29,6 +29,8 @@ def main(argv=None):
                     help="override RandLA sample size (default: config 40960)")
     ap.add_argument("--steps_per_epoch", type=int, default=0,
                     help="override RandLA train steps per epoch (default 500)")
+    ap.add_argument("--resgcn_blocks", type=int, default=0,
+                    help="override ResGCN depth (default: config 28 blocks)")
     ap.add_argument("--learning_rate", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--eval_every", type=int, default=1)

@@ -256,9 +256,12 @@ def train_resgcn(args):
 
     cfg = ResgcnConfig()
     rooms = RoomSet.load(args.data_root, "train", args.test_area)
-    sampler = S3DISBlockSampler(rooms, num_point=cfg.num_point)
+    sampler = S3DISBlockSampler(
+        rooms, num_point=getattr(args, "npoint", 0) or cfg.num_point
+    )
     model = DenseDeepGCN(
-        n_blocks=cfg.n_blocks, n_filters=cfg.n_filters, k=cfg.k,
+        n_blocks=getattr(args, "resgcn_blocks", 0) or cfg.n_blocks,
+        n_filters=cfg.n_filters, k=cfg.k,
         epsilon=cfg.epsilon, stochastic=cfg.stochastic, dropout=cfg.dropout,
     )
 
