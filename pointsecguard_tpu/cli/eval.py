@@ -13,7 +13,13 @@ import logging
 def main(argv=None):
     ap = argparse.ArgumentParser("eval")
     ap.add_argument("--model", default="pointnet2",
-                    choices=["pointnet2", "pointnet2_msg", "pointnet", "randla"])
+                    choices=["pointnet2", "pointnet2_msg", "pointnet",
+                             "randla", "resgcn"])
+    ap.add_argument("--resgcn_blocks", type=int, default=0,
+                    help="override ResGCN depth (must match the trained "
+                         "checkpoint; default: config 28 blocks)")
+    ap.add_argument("--resgcn_fast", action="store_true",
+                    help="resgcn: dilated_mode=subsample + approx kNN")
     ap.add_argument("--randla_dir", default="data/randla_input_0.040")
     ap.add_argument("--num_clouds", type=int, default=200,
                     help="randla: spatially-regular samples to vote over")
@@ -60,11 +66,25 @@ def main(argv=None):
     if args.model == "randla":
         return _eval_randla(args, log)
 
-    model = {
-        "pointnet2": PointNet2SemSegSSG,
-        "pointnet2_msg": PointNet2SemSegMSG,
-        "pointnet": PointNetSemSeg,
-    }[args.model]()
+    if args.model == "resgcn":
+        # block evaluation of the dense GCN (`ResGCN/sem_seg_dense/
+        # test.py:40-66` computes overall acc + per-class IoU over the
+        # Area-5 blocks; whole-scene voting at num_votes=1 is the same
+        # sliding-window pass with vote pooling)
+        from pointsecguard_tpu.models import DenseDeepGCN
+
+        overrides = {}
+        if args.resgcn_blocks:
+            overrides["n_blocks"] = args.resgcn_blocks
+        if args.resgcn_fast:
+            overrides.update(dilated_mode="subsample", knn_strategy="approx")
+        model = DenseDeepGCN(**overrides)
+    else:
+        model = {
+            "pointnet2": PointNet2SemSegSSG,
+            "pointnet2_msg": PointNet2SemSegMSG,
+            "pointnet": PointNetSemSeg,
+        }[args.model]()
 
     rooms = RoomSet.load(args.data_root, "test", args.test_area)
     dummy = jnp.zeros((args.batch_size, args.num_point, 9), jnp.float32)

@@ -107,6 +107,18 @@ class TestResgcnCLI:
         rows = open(tsv).read().strip().splitlines()
         assert rows[0].startswith("room")
 
+    def test_eval_cli(self, trained):
+        from pointsecguard_tpu.cli import eval as eval_cli
+
+        data, log = trained
+        total = eval_cli.main([
+            "--model", "resgcn", "--data_root", data, "--log_dir", log,
+            "--num_point", "128", "--resgcn_blocks", "3",
+            "--batch_size", "4", "--num_votes", "1",
+        ])
+        assert np.isfinite(float(total.accuracy))
+        assert 0.0 <= float(total.miou) <= 1.0
+
     def test_tar_requires_bs1(self, trained):
         from pointsecguard_tpu.cli import attack
 

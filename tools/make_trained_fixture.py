@@ -33,7 +33,7 @@ FIXDIR = os.path.join(REPO, "tests", "fixtures")
 SEED = 0
 POINTS_PER_ROOM = 6000
 NPOINT = 128
-EPOCHS = 16
+EPOCHS = 32
 
 
 def main():
@@ -50,7 +50,7 @@ def main():
         "--model", "pointnet2", "--data_root", data, "--log_dir", log,
         "--epochs", str(EPOCHS), "--npoint", str(NPOINT),
         "--batch_size", "8", "--learning_rate", "0.003",
-        "--eval_every", "16", "--seed", str(SEED),
+        "--eval_every", "32", "--seed", str(SEED),
     ])
 
     model = PointNet2SemSegSSG(num_classes=13)
