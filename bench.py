@@ -133,7 +133,8 @@ def extra_randla_nb_ms():
 
     def run(f, labs, key):
         pyr = pyramid_fn(f[..., :3])
-        outputs_fn = lambda x: model.apply(variables, x, pyr)
+        _, pos = model.apply(variables, f, pyr, collect_pos=True)
+        outputs_fn = lambda x: model.apply(variables, x, pyr, pos_plan=pos)
         return pgd_color_attack(outputs_fn, f, labs, attack_cfg, key=key)
 
     @jax.jit

@@ -443,7 +443,11 @@ def _attack_randla(args, log):
     @jax.jit
     def run(feats, labels, mask, key):
         pyr = pyramid_fn(feats[..., :3])
-        outputs_fn = lambda f: model.apply(variables, f, pyr)
+        # position encodings depend only on xyz + params — computed once
+        # here, XLA hoists them out of the attack loop (the feature/
+        # decoder half of this collect call is dead code and eliminated)
+        _, pos = model.apply(variables, feats, pyr, collect_pos=True)
+        outputs_fn = lambda f: model.apply(variables, f, pyr, pos_plan=pos)
         if isinstance(attack_cfg, PGDConfig):
             res = pgd_color_attack(
                 outputs_fn, feats, labels, attack_cfg, mask=mask, key=key,

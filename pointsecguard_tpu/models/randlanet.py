@@ -119,33 +119,54 @@ class AttentivePooling(nn.Module):
 class LocalFeatureAggregation(nn.Module):
     """Local Feature Aggregation: the `building_block` of
     `RandLANet.py:332-344` (relative position encoding + two rounds of
-    attentive pooling over the kNN neighborhood)."""
+    attentive pooling over the kNN neighborhood).
+
+    ``pos``: optional precomputed (f_xyz1, f_xyz2) position encodings.
+    They depend only on xyz + params — both constant during color
+    attacks — so attack loops compute them once (``collect_pos=True``)
+    and every iteration skips the neighbor-xyz gather, the relative-pos
+    tensor, both position convs, AND their backward (the widest
+    [N, K, C] tensors in the block). Bit-identical outputs; eval-mode
+    only (BN batch statistics would differ under ``train=True``).
+    """
 
     d_out: int
 
     @nn.compact
-    def __call__(self, xyz, feature, neigh_idx, *, train=False):
+    def __call__(self, xyz, feature, neigh_idx, *, train=False, pos=None,
+                 collect_pos=False):
         d_in = feature.shape[-1]
-        K = neigh_idx.shape[-1]
 
-        # relative_pos_encoding (`RandLANet.py:346-352`): [dist, rel, center, neighbor]
-        neighbor_xyz = ops.gather_points(xyz, neigh_idx)  # [B, N, K, 3]
-        center = jnp.broadcast_to(xyz[:, :, None, :], neighbor_xyz.shape)
-        rel = center - neighbor_xyz
-        dist = jnp.sqrt(jnp.sum(rel**2, axis=-1, keepdims=True))
-        f_xyz = jnp.concatenate([dist, rel, center, neighbor_xyz], axis=-1)
-
-        f_xyz1 = _conv(d_in)(f_xyz, train=train, momentum=_BN_MOM)
+        if pos is None:
+            # relative_pos_encoding (`RandLANet.py:346-352`):
+            # [dist, rel, center, neighbor]
+            neighbor_xyz = ops.gather_points(xyz, neigh_idx)  # [B, N, K, 3]
+            center = jnp.broadcast_to(xyz[:, :, None, :], neighbor_xyz.shape)
+            rel = center - neighbor_xyz
+            dist = jnp.sqrt(jnp.sum(rel**2, axis=-1, keepdims=True))
+            f_xyz = jnp.concatenate([dist, rel, center, neighbor_xyz], axis=-1)
+            f_xyz1 = _conv(d_in)(f_xyz, train=train, momentum=_BN_MOM)
+        else:
+            f_xyz1 = pos[0]
         f_neigh = ops.gather_points(feature, neigh_idx)  # [B, N, K, d_in]
         f_agg = AttentivePooling(self.d_out // 2)(
             jnp.concatenate([f_neigh, f_xyz1], axis=-1), train=train
         )
 
-        f_xyz2 = _conv(self.d_out // 2)(f_xyz1, train=train, momentum=_BN_MOM)
+        # NOTE: module declaration order (conv1, pooling1, conv2,
+        # pooling2) is load-bearing — it fixes the flax param names that
+        # checkpoints and the logit fixtures were written with.
+        if pos is None:
+            f_xyz2 = _conv(self.d_out // 2)(f_xyz1, train=train, momentum=_BN_MOM)
+        else:
+            f_xyz2 = pos[1]
         f_neigh2 = ops.gather_points(f_agg, neigh_idx)
-        return AttentivePooling(self.d_out)(
+        out = AttentivePooling(self.d_out)(
             jnp.concatenate([f_neigh2, f_xyz2], axis=-1), train=train
         )
+        if collect_pos:
+            return out, (f_xyz1, f_xyz2)
+        return out
 
 
 class DilatedResBlock(nn.Module):
@@ -154,14 +175,22 @@ class DilatedResBlock(nn.Module):
     d_out: int
 
     @nn.compact
-    def __call__(self, feature, xyz, neigh_idx, *, train=False):
+    def __call__(self, feature, xyz, neigh_idx, *, train=False, pos=None,
+                 collect_pos=False):
         f = _conv(self.d_out // 2)(feature, train=train, momentum=_BN_MOM)
-        f = LocalFeatureAggregation(self.d_out)(xyz, f, neigh_idx, train=train)
+        f = LocalFeatureAggregation(self.d_out)(
+            xyz, f, neigh_idx, train=train, pos=pos, collect_pos=collect_pos
+        )
+        if collect_pos:
+            f, pos_out = f
         f = _conv(2 * self.d_out, act="none")(f, train=train, momentum=_BN_MOM)
         shortcut = _conv(2 * self.d_out, act="none")(
             feature, train=train, momentum=_BN_MOM
         )
-        return nn.leaky_relu(f + shortcut, negative_slope=0.2)
+        out = nn.leaky_relu(f + shortcut, negative_slope=0.2)
+        if collect_pos:
+            return out, pos_out
+        return out
 
 
 class RandLANet(nn.Module):
@@ -176,9 +205,13 @@ class RandLANet(nn.Module):
     d_out: Sequence[int] = (16, 64, 128, 256, 512)
 
     @nn.compact
-    def __call__(self, features, pyramid, *, train: bool = False, momentum=None):
+    def __call__(self, features, pyramid, *, train: bool = False, momentum=None,
+                 pos_plan=None, collect_pos: bool = False):
         # `momentum` accepted for trainer-API uniformity; RandLA's BN decay
         # is fixed at the reference's TF default (0.99) — see _BN_MOM.
+        # ``pos_plan``: per-encoder-layer (f_xyz1, f_xyz2) position
+        # encodings from a prior ``collect_pos=True`` call — xyz/params-
+        # only, so attack loops hoist them (see LocalFeatureAggregation).
         del momentum
         num_layers = len(self.d_out)
         xyz = pyramid["xyz"]
@@ -195,10 +228,16 @@ class RandLANet(nn.Module):
 
         # Encoder
         enc = []
+        pos_out = []
         for i in range(num_layers):
             f_enc = DilatedResBlock(self.d_out[i])(
-                f, xyz[i], neigh_idx[i], train=train
+                f, xyz[i], neigh_idx[i], train=train,
+                pos=pos_plan[i] if pos_plan is not None else None,
+                collect_pos=collect_pos,
             )
+            if collect_pos:
+                f_enc, p = f_enc
+                pos_out.append(p)
             f = ops.random_sample_pool(f_enc, sub_idx[i])
             if i == 0:
                 enc.append(f_enc)
@@ -218,7 +257,10 @@ class RandLANet(nn.Module):
         f = _conv(64)(f, train=train, momentum=_BN_MOM)
         f = _conv(32)(f, train=train, momentum=_BN_MOM)
         f = nn.Dropout(0.5, deterministic=not train)(f)
-        return nn.Dense(self.num_classes)(f)
+        logits = nn.Dense(self.num_classes)(f)
+        if collect_pos:
+            return logits, tuple(pos_out)
+        return logits
 
 
 def weighted_softmax_ce_loss(

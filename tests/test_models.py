@@ -122,6 +122,47 @@ class TestRandLANet:
         logits = jax.jit(model.apply)(variables, feats, pyr)
         assert logits.shape == (B, 512, C_CLS)
 
+    def test_pos_plan_identical(self, rng, key):
+        """The hoisted position-encoding plan must reproduce the plain
+        forward bit-exactly, in outputs AND color gradients (the RandLA
+        attack loop runs on the plan path)."""
+        xyz = jnp.array(rng.rand(B, 512, 3).astype(np.float32))
+        feats = jnp.array(rng.rand(B, 512, 6).astype(np.float32))
+        pyr = build_pyramid(xyz, knn_tile=None)
+        model = RandLANet(num_classes=C_CLS)
+        variables = jax.jit(model.init)(key, feats, pyr)
+
+        # un-jitted: the plan path must be BIT-identical to the plain
+        # forward (jit variants differ by ~1e-7 fusion reassociation)
+        plain = model.apply(variables, feats, pyr)
+        logits_c, pos = model.apply(variables, feats, pyr, collect_pos=True)
+        planned = model.apply(variables, feats, pyr, pos_plan=pos)
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(logits_c))
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(planned))
+        # jitted end-to-end (the attack composition): allow fusion noise
+        jplain = jax.jit(model.apply)(variables, feats, pyr)
+        jplanned = jax.jit(
+            lambda v, f: model.apply(
+                v, f, pyr,
+                pos_plan=model.apply(v, f, pyr, collect_pos=True)[1],
+            )
+        )(variables, feats)
+        np.testing.assert_allclose(
+            np.asarray(jplain), np.asarray(jplanned), atol=2e-6
+        )
+
+        labels = jnp.array(rng.randint(0, C_CLS, (B, 512)))
+
+        def loss(colors, plan):
+            f = feats.at[..., 3:6].set(colors)
+            kw = {} if plan is None else {"pos_plan": plan}
+            lp = jax.nn.log_softmax(model.apply(variables, f, pyr, **kw))
+            return -jnp.mean(jnp.take_along_axis(lp, labels[..., None], -1))
+
+        g_plain = jax.grad(loss)(feats[..., 3:6], None)
+        g_plan = jax.grad(loss)(feats[..., 3:6], pos)
+        np.testing.assert_array_equal(np.asarray(g_plain), np.asarray(g_plan))
+
     def test_loss(self, rng):
         logits = jnp.array(rng.randn(B, 32, C_CLS).astype(np.float32))
         labels = jnp.array(rng.randint(0, C_CLS, (B, 32)))
