@@ -32,11 +32,15 @@ def main(argv=None):
         rooms = sorted(
             f for f in os.listdir(args.out_root) if f.endswith(".npy")
         )
+        # sibling original_ply dir, reference layout
+        # (`data_prepare_s3dis.py:22`)
+        original = os.path.join(os.path.dirname(args.randla_out), "original_ply")
         for r in rooms:
             name = prepare_room(
                 os.path.join(args.out_root, r),
                 args.randla_out,
                 sub_grid_size=args.sub_grid_size,
+                original_dir=original,
             )
             print(f"prepared {name}")
 

@@ -29,18 +29,29 @@ from pointsecguard_tpu.data.s3dis import NUM_CLASSES
 
 
 def prepare_room(
-    room_npy: str, out_dir: str, sub_grid_size: float = 0.04
+    room_npy: str, out_dir: str, sub_grid_size: float = 0.04,
+    original_dir: str | None = None,
 ) -> str:
     """One-off preparation of a collected room file (Nx7 xyzrgbl .npy):
     writes ``<name>.ply`` (sub-sampled cloud, colors scaled to [0,1]),
     ``<name>_KDTree.pkl`` and ``<name>_proj.pkl``, mirroring
-    `data_prepare_s3dis.py:29-72`."""
+    `data_prepare_s3dis.py:29-72`. With ``original_dir``, also writes the
+    full-resolution labeled cloud there (`data_prepare_s3dis.py:22,41-43`
+    ``original_ply`` output — the ground truth `6_fold_cv.py:12` reads)."""
     os.makedirs(out_dir, exist_ok=True)
     name = os.path.splitext(os.path.basename(room_npy))[0]
     data = np.load(room_npy)
     xyz = data[:, :3].astype(np.float32)
     colors = data[:, 3:6].astype(np.uint8)
     labels = data[:, 6].astype(np.uint8)
+
+    if original_dir is not None:
+        os.makedirs(original_dir, exist_ok=True)
+        write_ply(
+            os.path.join(original_dir, name + ".ply"),
+            [xyz, colors, labels],
+            ["x", "y", "z", "red", "green", "blue", "class"],
+        )
 
     sub_xyz, sub_colors, sub_labels = grid_subsample_native(
         xyz, colors, labels, sample_dl=sub_grid_size, num_classes=NUM_CLASSES

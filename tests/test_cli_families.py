@@ -23,25 +23,49 @@ class TestRandlaCLI:
         root = tmp_path_factory.mktemp("randla_e2e")
         data = str(root / "rooms")
         rd = str(root / "randla_input")
+        orig = str(root / "original_ply")
         log = str(root / "log")
         make_synthetic_rooms(data, points_per_room=4000, seed=2)
         for f in sorted(os.listdir(data)):
-            prepare_room(os.path.join(data, f), rd, sub_grid_size=0.2)
+            prepare_room(
+                os.path.join(data, f), rd, sub_grid_size=0.2,
+                original_dir=orig,
+            )
         train.main([
             "--model", "randla", "--randla_dir", rd, "--log_dir", log,
             "--epochs", "2", "--randla_points", "512",
             "--steps_per_epoch", "4", "--batch_size", "2", "--seed", "0",
         ])
-        return rd, log
+        return rd, orig, log
 
     def test_train_writes_checkpoints(self, trained):
-        _, log = trained
+        _, _, log = trained
         assert os.path.isdir(os.path.join(log, "checkpoints"))
+
+    def test_eval_save_preds_then_cv6fold(self, trained, tmp_path):
+        """eval --save_preds writes full-resolution prediction PLYs that
+        cv6fold aggregates against the prepared original_ply ground truth
+        (`6_fold_cv.py:12` pipeline)."""
+        from pointsecguard_tpu.cli import cv6fold
+        from pointsecguard_tpu.cli import eval as eval_cli
+
+        rd, orig, log = trained
+        preds = str(tmp_path / "preds")
+        eval_cli.main([
+            "--model", "randla", "--randla_dir", rd, "--log_dir", log,
+            "--randla_points", "512", "--num_clouds", "2",
+            "--save_preds", preds,
+        ])
+        assert os.listdir(preds)
+        m = cv6fold.main([
+            "--results_dir", preds, "--original_dir", orig,
+        ])
+        assert 0.0 <= float(m.miou) <= 1.0
 
     def test_nb_attack_cli(self, trained):
         from pointsecguard_tpu.cli import attack
 
-        rd, log = trained
+        rd, _, log = trained
         cm, am = attack.main([
             "--model", "randla", "--attack", "nb", "--randla_dir", rd,
             "--log_dir", log, "--randla_points", "512", "--num_clouds", "2",
