@@ -45,6 +45,10 @@ def main(argv=None):
     ap.add_argument("--target", type=int, default=7)
     ap.add_argument("--max_blocks", type=int, default=0, help="0 = all")
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--fused_ap", action="store_true",
+                    help="randla: use the fused Pallas attentive-pooling "
+                         "kernel (TPU only; numerics differ from the "
+                         "exact composition at float-reassociation level)")
     ap.add_argument("--resgcn_blocks", type=int, default=0,
                     help="override ResGCN depth (must match the trained "
                          "checkpoint; default: config 28 blocks)")
@@ -405,7 +409,14 @@ def _attack_randla(args, log):
         args.randla_dir, split="test", test_area=args.test_area,
         num_points=num_points, rng=np.random.default_rng(args.seed),
     )
-    model = RandLANet(d_out=cfg.d_out)
+    # --fused_ap: Pallas attentive pooling (reassociation-level numeric
+    # difference only — tests/test_models.py asserts equivalence).
+    # Measured net-neutral end-to-end on v5e (500 vs 466 ms/cloud NB:
+    # the AP-composition layout copies that dominate microbenchmarks are
+    # not the full model's bottleneck), so the exact unfused composition
+    # stays the default.
+    ap_impl = "fused" if args.fused_ap else "reference"
+    model = RandLANet(d_out=cfg.d_out, ap_impl=ap_impl)
     pyramid_fn = jax.jit(
         lambda xyz: build_pyramid(
             xyz, num_layers=cfg.num_layers, k=cfg.k_n,

@@ -102,17 +102,39 @@ def build_pyramid(
 
 
 class AttentivePooling(nn.Module):
-    """Attention-weighted neighbor aggregation (`RandLANet.py:397-410`)."""
+    """Attention-weighted neighbor aggregation (`RandLANet.py:397-410`).
+
+    Two input forms, same parameters and math:
+    - ``feature_set`` [B, N, K, d] — the unfused composition (default;
+      bit-matches the original goldens);
+    - ``fn_fx`` = (fn [K, M, d/2], fx [K, M, d/2]) — k-major halves
+      executed by the fused Pallas kernel (ops/pallas/attentive.py),
+      ~equal to float reassociation. The Dense kernel is recovered
+      exactly via ``dense(I)`` so the parameter tree is identical.
+    """
 
     d_out: int
+    interpret: bool = False  # pallas interpret mode (CPU tests)
 
     @nn.compact
-    def __call__(self, feature_set, *, train=False):
-        # feature_set: [B, N, K, d]
-        d = feature_set.shape[-1]
-        scores = nn.Dense(d, use_bias=False)(feature_set)
-        scores = nn.softmax(scores, axis=2)
-        agg = jnp.sum(feature_set * scores, axis=2)  # [B, N, d]
+    def __call__(self, feature_set=None, *, fn_fx=None, train=False):
+        if fn_fx is not None:
+            from pointsecguard_tpu.ops.pallas.attentive import (
+                attentive_pool_fused,
+            )
+
+            fn, fx = fn_fx
+            d = 2 * fn.shape[-1]
+            dense = nn.Dense(d, use_bias=False)
+            w = dense(jnp.eye(d, dtype=fn.dtype))  # == dense kernel
+            afn, afx = attentive_pool_fused(fn, fx, w, self.interpret)
+            agg = jnp.concatenate([afn, afx], axis=-1)  # [M, d]
+        else:
+            # feature_set: [B, N, K, d]
+            d = feature_set.shape[-1]
+            scores = nn.Dense(d, use_bias=False)(feature_set)
+            scores = nn.softmax(scores, axis=2)
+            agg = jnp.sum(feature_set * scores, axis=2)  # [B, N, d]
         return _conv(self.d_out)(agg, train=train, momentum=_BN_MOM)
 
 
@@ -131,11 +153,15 @@ class LocalFeatureAggregation(nn.Module):
     """
 
     d_out: int
+    ap_impl: str = "reference"  # "reference" | "fused" | "fused_interpret"
 
     @nn.compact
     def __call__(self, xyz, feature, neigh_idx, *, train=False, pos=None,
                  collect_pos=False):
+        from pointsecguard_tpu.ops.pallas.attentive import fused_supported
+
         d_in = feature.shape[-1]
+        K = neigh_idx.shape[-1]
 
         if pos is None:
             # relative_pos_encoding (`RandLANet.py:346-352`):
@@ -148,10 +174,35 @@ class LocalFeatureAggregation(nn.Module):
             f_xyz1 = _conv(d_in)(f_xyz, train=train, momentum=_BN_MOM)
         else:
             f_xyz1 = pos[0]
-        f_neigh = ops.gather_points(feature, neigh_idx)  # [B, N, K, d_in]
-        f_agg = AttentivePooling(self.d_out // 2)(
-            jnp.concatenate([f_neigh, f_xyz1], axis=-1), train=train
+
+        # fused path only where it helps: 2·d_in below the 128-lane
+        # width (wider levels already fill the VPU lanes and XLA's own
+        # composition is fine there)
+        fused = (
+            self.ap_impl != "reference"
+            and fused_supported(K, 2 * d_in)
+            and fused_supported(K, self.d_out)
         )
+        interp = self.ap_impl == "fused_interpret"
+        if fused:
+            B, N = feature.shape[0], feature.shape[1]
+            M = B * N
+            # k-major flat row indices into [B·N, ·] — loop-invariant in
+            # attacks (hoisted with the pyramid)
+            offs = (jnp.arange(B) * N)[:, None, None]
+            cols = jnp.transpose(neigh_idx + offs, (2, 0, 1)).reshape(K * M)
+            fn = jnp.take(
+                feature.reshape(M, d_in), cols, axis=0
+            ).reshape(K, M, d_in)
+            fx1 = jnp.transpose(f_xyz1, (2, 0, 1, 3)).reshape(K, M, d_in)
+            f_agg = AttentivePooling(self.d_out // 2, interpret=interp)(
+                fn_fx=(fn, fx1), train=train
+            )  # [M, d_out//2]
+        else:
+            f_neigh = ops.gather_points(feature, neigh_idx)  # [B, N, K, d_in]
+            f_agg = AttentivePooling(self.d_out // 2)(
+                jnp.concatenate([f_neigh, f_xyz1], axis=-1), train=train
+            )
 
         # NOTE: module declaration order (conv1, pooling1, conv2,
         # pooling2) is load-bearing — it fixes the flax param names that
@@ -160,10 +211,18 @@ class LocalFeatureAggregation(nn.Module):
             f_xyz2 = _conv(self.d_out // 2)(f_xyz1, train=train, momentum=_BN_MOM)
         else:
             f_xyz2 = pos[1]
-        f_neigh2 = ops.gather_points(f_agg, neigh_idx)
-        out = AttentivePooling(self.d_out)(
-            jnp.concatenate([f_neigh2, f_xyz2], axis=-1), train=train
-        )
+        if fused:
+            d2 = self.d_out // 2
+            fn2 = jnp.take(f_agg, cols, axis=0).reshape(K, M, d2)
+            fx2 = jnp.transpose(f_xyz2, (2, 0, 1, 3)).reshape(K, M, d2)
+            out = AttentivePooling(self.d_out, interpret=interp)(
+                fn_fx=(fn2, fx2), train=train
+            ).reshape(B, N, -1)
+        else:
+            f_neigh2 = ops.gather_points(f_agg, neigh_idx)
+            out = AttentivePooling(self.d_out)(
+                jnp.concatenate([f_neigh2, f_xyz2], axis=-1), train=train
+            )
         if collect_pos:
             return out, (f_xyz1, f_xyz2)
         return out
@@ -173,12 +232,13 @@ class DilatedResBlock(nn.Module):
     """Dilated residual block (`RandLANet.py:323-330`)."""
 
     d_out: int
+    ap_impl: str = "reference"
 
     @nn.compact
     def __call__(self, feature, xyz, neigh_idx, *, train=False, pos=None,
                  collect_pos=False):
         f = _conv(self.d_out // 2)(feature, train=train, momentum=_BN_MOM)
-        f = LocalFeatureAggregation(self.d_out)(
+        f = LocalFeatureAggregation(self.d_out, ap_impl=self.ap_impl)(
             xyz, f, neigh_idx, train=train, pos=pos, collect_pos=collect_pos
         )
         if collect_pos:
@@ -203,6 +263,11 @@ class RandLANet(nn.Module):
 
     num_classes: int = 13
     d_out: Sequence[int] = (16, 64, 128, 256, 512)
+    # "fused" runs the narrow-level attentive poolings through the
+    # lane-packed Pallas kernel (ops/pallas/attentive.py) — TPU only,
+    # ~reassociation-equal numerics; "reference" is the exact unfused
+    # composition; "fused_interpret" = fused in interpreter mode (tests).
+    ap_impl: str = "reference"
 
     @nn.compact
     def __call__(self, features, pyramid, *, train: bool = False, momentum=None,
@@ -230,7 +295,7 @@ class RandLANet(nn.Module):
         enc = []
         pos_out = []
         for i in range(num_layers):
-            f_enc = DilatedResBlock(self.d_out[i])(
+            f_enc = DilatedResBlock(self.d_out[i], ap_impl=self.ap_impl)(
                 f, xyz[i], neigh_idx[i], train=train,
                 pos=pos_plan[i] if pos_plan is not None else None,
                 collect_pos=collect_pos,

@@ -163,6 +163,42 @@ class TestRandLANet:
         g_plan = jax.grad(loss)(feats[..., 3:6], pos)
         np.testing.assert_array_equal(np.asarray(g_plain), np.asarray(g_plan))
 
+    def test_fused_ap_matches_reference(self, rng, key):
+        """ap_impl="fused" (Pallas attentive pooling, run here in
+        interpreter mode) must match the reference composition in
+        parameters (identical tree), logits, and color gradients."""
+        xyz = jnp.array(rng.rand(B, 512, 3).astype(np.float32))
+        feats = jnp.array(rng.rand(B, 512, 6).astype(np.float32))
+        pyr = build_pyramid(xyz, knn_tile=None)
+        ref = RandLANet(num_classes=C_CLS)
+        fused = RandLANet(num_classes=C_CLS, ap_impl="fused_interpret")
+        v = ref.init(key, feats, pyr)
+        v2 = fused.init(key, feats, pyr)
+        assert jax.tree_util.tree_all(
+            jax.tree_util.tree_map(
+                lambda a, b: jnp.array_equal(a, b), v, v2
+            )
+        )
+        a = ref.apply(v, feats, pyr)
+        b = fused.apply(v, feats, pyr)
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-6
+        )
+
+        labels = jnp.array(rng.randint(0, C_CLS, (B, 512)))
+
+        def loss(model, colors):
+            f = feats.at[..., 3:6].set(colors)
+            lp = jax.nn.log_softmax(model.apply(v, f, pyr))
+            return -jnp.mean(jnp.take_along_axis(lp, labels[..., None], -1))
+
+        ga = jax.grad(lambda c: loss(ref, c))(feats[..., 3:6])
+        gb = jax.grad(lambda c: loss(fused, c))(feats[..., 3:6])
+        np.testing.assert_allclose(
+            np.asarray(ga), np.asarray(gb),
+            atol=1e-8 + 1e-4 * float(jnp.abs(ga).max()),
+        )
+
     def test_loss(self, rng):
         logits = jnp.array(rng.randn(B, 32, C_CLS).astype(np.float32))
         labels = jnp.array(rng.randint(0, C_CLS, (B, 32)))

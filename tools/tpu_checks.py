@@ -119,6 +119,49 @@ def main() -> int:
             and bool((ri == fi).all()),
         )
 
+    # fused attentive pooling (opt-in RandLA ap_impl="fused"): forward
+    # and hand-written VJP vs the unfused composition + its AD, at the
+    # level-0 and level-1 shapes
+    from pointsecguard_tpu.ops.pallas.attentive import (
+        attentive_pool_fused,
+        attentive_pool_reference,
+    )
+
+    for M, K, D in [(40960, 16, 8), (10240, 16, 32)]:
+        fn = jnp.array(rng.rand(K, M, D).astype(np.float32))
+        fx = jnp.array(rng.rand(K, M, D).astype(np.float32))
+        w = jnp.array(rng.rand(2 * D, 2 * D).astype(np.float32) * 0.3)
+        g = jnp.array(rng.rand(M, 2 * D).astype(np.float32))
+        x4 = jnp.concatenate(
+            [jnp.transpose(fn, (1, 0, 2)), jnp.transpose(fx, (1, 0, 2))], -1
+        )
+        ref = attentive_pool_reference(x4, w)
+        afn, afx = jax.jit(attentive_pool_fused, static_argnums=(3,))(
+            fn, fx, w, False
+        )
+        fused = jnp.concatenate([afn, afx], -1)
+        fwd_ok = bool(jnp.allclose(ref, fused, atol=5e-5))
+
+        def loss_ref(x4, w):
+            return (attentive_pool_reference(x4, w) * g).sum()
+
+        def loss_fused(fn, fx, w):
+            a, b = attentive_pool_fused(fn, fx, w)
+            return (jnp.concatenate([a, b], -1) * g).sum()
+
+        gr = jax.jit(jax.grad(loss_ref, (0, 1)))(x4, w)
+        gf = jax.jit(jax.grad(loss_fused, (0, 1, 2)))(fn, fx, w)
+        dfn_ref = jnp.transpose(gr[0][..., :D], (1, 0, 2))
+        dfx_ref = jnp.transpose(gr[0][..., D:], (1, 0, 2))
+        scale = float(jnp.abs(gr[1]).max())
+        bwd_ok = (
+            bool(jnp.allclose(dfn_ref, gf[0], atol=5e-4))
+            and bool(jnp.allclose(dfx_ref, gf[1], atol=5e-4))
+            and bool(jnp.allclose(gr[1], gf[2], atol=5e-5 * max(scale, 1.0)))
+        )
+        ok &= check(f"fused_attentive_pool M={M} K={K} D={D}",
+                    fwd_ok and bwd_ok)
+
     print("ALL PASS" if ok else "FAILURES PRESENT")
     return 0 if ok else 1
 
