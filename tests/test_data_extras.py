@@ -1,6 +1,8 @@
 """Tests for the auxiliary data components: class weights, legacy block
 utils, extra augmentations, dataset preps."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -174,3 +176,67 @@ class TestExtraAugment:
         sd, sl, perm = augment.shuffle_data(d, l, g)
         np.testing.assert_array_equal(sd, d[perm])
         np.testing.assert_array_equal(sl, l[perm])
+
+
+class TestOtherDatasets:
+    """SemanticKITTI / Semantic3D prep paths (`helper_tool.py:118-133`,
+    `data_prepare_semantickitti.py`, `data_prepare_semantic3d.py`)."""
+
+    def test_kitti_scan_and_label_roundtrip(self, tmp_path, rng):
+        from pointsecguard_tpu.data.other_datasets import (
+            build_kitti_remap,
+            load_kitti_labels,
+            load_kitti_scan,
+        )
+
+        scan = rng.rand(50, 4).astype(np.float32)
+        p = str(tmp_path / "000000.bin")
+        scan.tofile(p)
+        xyz = load_kitti_scan(p)
+        np.testing.assert_array_equal(xyz, scan[:, :3])
+
+        # labels: semantic id in the low 16 bits, instance above
+        sem = rng.randint(0, 260, 50).astype(np.uint32)
+        inst = rng.randint(0, 5, 50).astype(np.uint32)
+        raw = (inst << 16) | sem
+        lp = str(tmp_path / "000000.label")
+        raw.tofile(lp)
+        lut = build_kitti_remap({0: 0, 10: 1, 44: 2, 252: 1, 259: 3})
+        labels = load_kitti_labels(lp, lut)
+        np.testing.assert_array_equal(labels, lut[sem])
+        assert labels.dtype == np.int32
+
+    def test_prepare_scan_artifacts(self, tmp_path, rng):
+        import pickle
+
+        from pointsecguard_tpu.data.other_datasets import prepare_scan
+
+        xyz = rng.rand(500, 3).astype(np.float32) * 5
+        labels = rng.randint(0, 20, 500).astype(np.int32)
+        out = str(tmp_path / "prep")
+        prepare_scan(xyz, labels, out, "seq00_000000", grid_size=0.5)
+        sub = np.load(os.path.join(out, "seq00_000000_xyz.npy"))
+        lab = np.load(os.path.join(out, "seq00_000000_labels.npy"))
+        assert sub.shape[0] == lab.shape[0] < 500  # grid reduced
+        with open(os.path.join(out, "seq00_000000_proj.pkl"), "rb") as f:
+            proj = pickle.load(f)
+        assert proj.shape == (500,)
+        assert proj.max() < sub.shape[0]
+
+    def test_prepare_semantic3d_cloud(self, tmp_path, rng):
+        from pointsecguard_tpu.data import read_ply
+        from pointsecguard_tpu.data.other_datasets import (
+            prepare_semantic3d_cloud,
+        )
+
+        pts = rng.rand(800, 3).astype(np.float32) * 3
+        cols = rng.randint(0, 255, (800, 3)).astype(np.uint8)
+        labels = rng.randint(0, 9, 800).astype(np.int32)
+        out = str(tmp_path / "s3d")
+        prepare_semantic3d_cloud(
+            pts, cols, labels, out, "bildstein", first_grid=0.05,
+            final_grid=0.4,
+        )
+        back = read_ply(os.path.join(out, "bildstein.ply"))
+        assert len(back) < 800
+        assert {"x", "red", "class"} <= set(back.dtype.names)
