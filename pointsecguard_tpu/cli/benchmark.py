@@ -1,0 +1,155 @@
+"""Attack benchmark driver (the ares benchmark CLIs, unified:
+`ares/benchmark/attack_cli.py`, `distortion_cli.py`, `iteration_cli.py`).
+
+  python -m pointsecguard_tpu.cli.benchmark --mode attack \
+      --attack_name pgd --goal ut --data_root data --log_dir log/pn2
+  python -m pointsecguard_tpu.cli.benchmark --mode distortion ...
+  python -m pointsecguard_tpu.cli.benchmark --mode iteration ...
+
+Loads a trained PointNet-family checkpoint, batches the Area-5 blocks,
+and runs one of the three harnesses from `attacks/benchmark.py`:
+registry-driven batched attack evaluation (ares' five result arrays),
+minimal-distortion binary search, or per-iteration accuracy curves.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser("benchmark")
+    ap.add_argument("--mode", default="attack",
+                    choices=["attack", "distortion", "iteration"])
+    ap.add_argument("--attack_name", default="pgd",
+                    choices=["fgsm", "bim", "pgd", "cw"],
+                    help="attack-mode registry name (`benchmark/utils.py`)")
+    ap.add_argument("--goal", default="ut", choices=["ut", "tm", "t"])
+    ap.add_argument("--distance", default="l_2", choices=["l_2", "l_inf"])
+    ap.add_argument("--model", default="pointnet2",
+                    choices=["pointnet2", "pointnet2_msg", "pointnet"])
+    ap.add_argument("--data_root", default="data/stanford_indoor3d")
+    ap.add_argument("--log_dir", default="log/run")
+    ap.add_argument("--test_area", type=int, default=5)
+    ap.add_argument("--num_point", type=int, default=4096)
+    ap.add_argument("--batch_size", type=int, default=4)
+    ap.add_argument("--max_blocks", type=int, default=16, help="0 = all")
+    ap.add_argument("--origin", type=int, default=11)
+    ap.add_argument("--target", type=int, default=7)
+    ap.add_argument("--eps", type=float, default=0.1)
+    ap.add_argument("--alpha", type=float, default=0.05)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--cw_steps", type=int, default=200)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+
+    from pointsecguard_tpu.utils.runtime import setup_jax
+
+    setup_jax()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pointsecguard_tpu.attacks import attack_preset
+    from pointsecguard_tpu.attacks.benchmark import (
+        AttackBenchmark,
+        distortion_binsearch,
+        iteration_curve,
+    )
+    from pointsecguard_tpu.data import RoomSet, WholeSceneBlocks
+    from pointsecguard_tpu.models import (
+        PointNet2SemSegMSG,
+        PointNet2SemSegSSG,
+        PointNetSemSeg,
+        build_geometry,
+        build_geometry_msg,
+    )
+    from pointsecguard_tpu.train import create_train_state
+    from pointsecguard_tpu.utils.checkpoint import CheckpointManager
+
+    logging.basicConfig(level=logging.INFO, format="%(message)s", force=True)
+    log = logging.getLogger("benchmark")
+
+    model = {
+        "pointnet2": PointNet2SemSegSSG,
+        "pointnet2_msg": PointNet2SemSegMSG,
+        "pointnet": PointNetSemSeg,
+    }[args.model]()
+    dummy = jnp.zeros((args.batch_size, args.num_point, 9), jnp.float32)
+    state, _ = create_train_state(model, (dummy, None),
+                                  rng=jax.random.PRNGKey(0))
+    ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
+    restored = ckpt.restore_best(state) or ckpt.restore_latest(state)
+    if restored is None:
+        raise SystemExit(f"no checkpoint under {args.log_dir}/checkpoints")
+    state, _ = restored
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    if args.model in ("pointnet2", "pointnet2_msg"):
+        geo_fn = (build_geometry if args.model == "pointnet2"
+                  else build_geometry_msg)
+
+        def outputs_fn(p):
+            return model.apply(variables, p, geometry=geo_fn(p[..., :3]))[0]
+    else:
+        def outputs_fn(p):
+            return model.apply(variables, p)[0]
+
+    rooms = RoomSet.load(args.data_root, "test", args.test_area)
+    scene = WholeSceneBlocks(rooms, block_points=args.num_point)
+    feats, labs, _w, _i = scene.room_blocks(0, np.random.default_rng(args.seed))
+    if args.max_blocks:
+        feats, labs = feats[: args.max_blocks], labs[: args.max_blocks]
+    B = args.batch_size
+
+    def batches():
+        for s in range(0, len(feats) - B + 1, B):
+            yield jnp.array(feats[s:s + B]), jnp.array(labs[s:s + B])
+
+    if args.mode == "attack":
+        kwargs = dict(eps=args.eps, alpha=args.alpha, iters=args.iters,
+                      steps=args.cw_steps)
+        if args.goal == "t":
+            kwargs.update(origin=args.origin, target=args.target,
+                          ce_reduction="mean")
+        bench = AttackBenchmark(
+            args.attack_name, jax.jit(outputs_fn), goal=args.goal,
+            distance_metric=args.distance, **kwargs,
+        )
+        acc, acc_adv, total, succ, dist = bench.run(
+            batches(), logger=log, key=jax.random.PRNGKey(args.seed)
+        )
+        log.info(
+            "TOTAL acc=%.4f adv_acc=%.4f succ=%.4f dist_mean=%.4f (%d pts)",
+            acc.mean(), acc_adv.mean(),
+            succ.sum() / max(total.sum(), 1), dist.mean(), len(acc),
+        )
+        return acc, acc_adv, total, succ, dist
+
+    pts, ys = next(batches())
+    cfg = attack_preset("pointnet2", "nb",
+                        eps=args.eps, alpha=args.alpha, iters=args.iters)
+    if args.mode == "distortion":
+        eps, details = distortion_binsearch(
+            jax.jit(outputs_fn), pts, ys, cfg,
+            key=jax.random.PRNGKey(args.seed),
+        )
+        for probe in details["probes"]:
+            log.info("eps=%.5f acc=%.4f sr=%.4f success=%s",
+                     probe["eps"], probe["acc"], probe["sr"],
+                     probe["success"])
+        log.info("MINIMAL EPSILON %.5f", eps)
+        return eps, details
+
+    probes = iteration_curve(
+        jax.jit(outputs_fn), pts, ys, cfg, key=jax.random.PRNGKey(args.seed)
+    )
+    for p in probes:
+        log.info("iters=%d acc=%.4f sr=%.4f l2=%.4f",
+                 p["iters"], p["acc"], p["sr"], p["l2"])
+    return probes
+
+
+if __name__ == "__main__":
+    main()
