@@ -355,6 +355,18 @@ def main(argv=None):
             )
             write_label_cloud(base + "_pred.xyzrgb", room_xyz, adv_room)
             write_label_cloud(base + "_gt.xyzrgb", room_xyz, labels_room)
+            # interactive viewer (the reference's open3d/vtk windows,
+            # as a self-contained HTML file)
+            from pointsecguard_tpu.utils.viz import export_html_viewer
+
+            export_html_viewer(
+                base + "_adv.html", room_xyz, colors=adv_colors_room,
+                title=f"{room_name} {args.attack} adversarial",
+            )
+            export_html_viewer(
+                base + "_pred.html", room_xyz, labels=adv_room,
+                title=f"{room_name} {args.attack} predictions",
+            )
         seen = clean_pool.sum(1) > 0
         np.add.at(clean_cm, (labels_room[seen], clean_room[seen]), 1)
         np.add.at(adv_cm, (labels_room[seen], adv_room[seen]), 1)

@@ -85,7 +85,7 @@ class TestAttackCLI:
         clean_m, adv_m = attack.main([
             "--model", "pointnet", "--attack", "nb", "--data_root", data,
             "--log_dir", log, "--num_point", "128", "--batch_size", "2",
-            "--max_blocks", "8", "--control", "--log_steps",
+            "--max_blocks", "8", "--control", "--log_steps", "--visual",
         ])
         # deterministic run (seeded rng + PRNG): the attack must strictly
         # degrade both protocol metrics
@@ -102,6 +102,10 @@ class TestAttackCLI:
         steps = open(tsv.replace(".tsv", "_steps.tsv")).read().splitlines()
         # 10 NB iterations logged per attacked block (header + 10·blocks)
         assert len(steps) == 1 + 10 * (len(rows) - 1)
+        # --visual artifacts: .xyzrgb dumps + interactive HTML viewers
+        vis = os.listdir(os.path.join(log, "visual"))
+        assert any(f.endswith("_adv_raw.xyzrgb") for f in vis)
+        assert any(f.endswith("_adv.html") for f in vis)
 
     def test_tar_nb_attack_writes_protocol_tsv(self, trained):
         from pointsecguard_tpu.cli import attack

@@ -61,3 +61,29 @@ class TestViz:
             max_points=100,
         )
         assert os.path.getsize(p) > 1000
+
+    def test_export_html_viewer(self, tmp_path, rng):
+        from pointsecguard_tpu.utils.viz import export_html_viewer
+
+        xyz = rng.rand(200, 3).astype(np.float32)
+        labels = rng.randint(0, 13, 200)
+        p = export_html_viewer(
+            str(tmp_path / "v.html"), xyz, labels=labels, title="room A",
+        )
+        html = open(p).read()
+        assert "room A" in html and "OrbitControls" in html
+        # embedded arrays have N*3 floats each
+        import re
+
+        pos = re.search(r"new Float32Array\(\[([^\]]*)\]\)", html).group(1)
+        assert len(pos.split(",")) == 200 * 3
+
+    def test_export_html_viewer_subsamples(self, tmp_path, rng):
+        from pointsecguard_tpu.utils.viz import export_html_viewer
+
+        p = export_html_viewer(
+            str(tmp_path / "s.html"), rng.rand(500, 3),
+            colors=rng.randint(0, 256, (500, 3)), max_points=50,
+        )
+        html = open(p).read()
+        assert "50 points" in html
