@@ -55,6 +55,12 @@ def main(argv=None):
     ap.add_argument("--resgcn_fast", action="store_true",
                     help="resgcn: dilated_mode=subsample + approx kNN "
                          "(6x faster; documented deviation, PARITY.md)")
+    ap.add_argument("--defense", default="none",
+                    choices=["none", "bit_depth", "jitter"],
+                    help="input-transformation defense on the model "
+                         "(attack sees the defended model, BPDA-style)")
+    ap.add_argument("--defense_bits", type=int, default=4)
+    ap.add_argument("--defense_sigma", type=float, default=0.02)
     ap.add_argument("--visual", action="store_true",
                     help="dump clean/adv/pred/gt .xyzrgb clouds per room "
                          "(`NB_nontarget_test_semseg.py:131-136` artifacts)")
@@ -170,6 +176,29 @@ def main(argv=None):
     else:
         def make_outputs_fn(pts):
             return lambda p: head(model.apply(variables, p))
+
+    if args.defense != "none":
+        # evaluate the attack against a defended model (BPDA-style:
+        # `attacks/defenses.py`; the ares defense decorators the fork
+        # shipped but never wired, `ares/defense/input_transformation.py`)
+        from pointsecguard_tpu.attacks import (
+            apply_color_defense,
+            bit_depth_reduction,
+            random_color_jitter,
+        )
+
+        plain_make = make_outputs_fn
+        if args.defense == "bit_depth":
+            def make_outputs_fn(pts):
+                return apply_color_defense(
+                    plain_make(pts), bit_depth_reduction, args.defense_bits
+                )
+        else:  # jitter (fixed key: deterministic protocol runs)
+            def make_outputs_fn(pts):
+                return apply_color_defense(
+                    plain_make(pts), random_color_jitter,
+                    jax.random.PRNGKey(args.seed + 99), args.defense_sigma,
+                )
 
     outputs_fn = lambda pts: make_outputs_fn(pts)(pts)
     predict = jax.jit(lambda pts: jnp.argmax(outputs_fn(pts), axis=-1))
