@@ -24,3 +24,28 @@ def setup_jax(cache_dir: str | None = None) -> None:
             jax.config.update("jax_platforms", plat)
         except Exception:
             pass
+    if plat != "cpu":
+        _ensure_backend()
+
+
+def _ensure_backend(retries: int = 3, wait_s: float = 30.0) -> None:
+    """The axon tunnel intermittently rejects plugin registration while
+    its compile service is busy ("Unable to initialize backend 'axon':
+    ... not in the list of known backends"). Clearing jax's backend
+    cache re-runs plugin discovery, so probe with retries instead of
+    failing the run at the first jnp call."""
+    import time
+
+    import jax
+
+    for attempt in range(retries + 1):
+        try:
+            jax.devices()
+            return
+        except RuntimeError as e:
+            if "axon" not in str(e) or attempt == retries:
+                raise
+            from jax._src import xla_bridge as _xb
+
+            _xb._clear_backends()
+            time.sleep(wait_s)
