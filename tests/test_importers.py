@@ -1,0 +1,229 @@
+"""Legacy checkpoint importer tests.
+
+The reference ships no trained weights (verified in round 1), so these
+tests construct state dicts with the reference's exact key schema from
+standard torch layers, convert them, and assert (a) the converted tree
+is structurally identical to our `model.init` tree and loads into
+`model.apply`, and (b) layer-level numerics: a torch conv1×1+BN eval
+forward equals our PointConv with the converted parameters.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+import torch.nn as nn  # noqa: E402
+
+from pointsecguard_tpu.utils.importers import (  # noqa: E402
+    import_pointnet2_semseg,
+    import_resgcn,
+)
+
+
+def _tree_spec(tree, prefix=()):
+    out = {}
+    for k, v in tree.items():
+        if isinstance(v, dict):
+            out.update(_tree_spec(v, prefix + (k,)))
+        else:
+            out[prefix + (k,)] = tuple(np.shape(v))
+    return out
+
+
+class _SA(nn.Module):
+    """`pointnet_util.py:166-178` parameter schema."""
+
+    def __init__(self, cin, outs):
+        super().__init__()
+        self.mlp_convs = nn.ModuleList()
+        self.mlp_bns = nn.ModuleList()
+        for o in outs:
+            self.mlp_convs.append(nn.Conv2d(cin, o, 1))
+            self.mlp_bns.append(nn.BatchNorm2d(o))
+            cin = o
+
+
+class _FP(nn.Module):
+    """`pointnet_util.py:270-280` parameter schema (Conv1d)."""
+
+    def __init__(self, cin, outs):
+        super().__init__()
+        self.mlp_convs = nn.ModuleList()
+        self.mlp_bns = nn.ModuleList()
+        for o in outs:
+            self.mlp_convs.append(nn.Conv1d(cin, o, 1))
+            self.mlp_bns.append(nn.BatchNorm1d(o))
+            cin = o
+
+
+def _randomize_bn(model):
+    for m in model.modules():
+        if isinstance(m, (nn.BatchNorm1d, nn.BatchNorm2d)):
+            m.running_mean.normal_()
+            m.running_var.uniform_(0.5, 2.0)
+            m.weight.data.normal_()
+            m.bias.data.normal_()
+
+
+@pytest.fixture(scope="module")
+def ref_semseg_sd():
+    """State dict with `pointnet2_sem_seg.py:6-19` key schema."""
+    torch.manual_seed(0)
+    m = nn.Module()
+    m.sa1 = _SA(12, [32, 32, 64])
+    m.sa2 = _SA(64 + 3, [64, 64, 128])
+    m.sa3 = _SA(128 + 3, [128, 128, 256])
+    m.sa4 = _SA(256 + 3, [256, 256, 512])
+    m.fp4 = _FP(768, [256, 256])
+    m.fp3 = _FP(384, [256, 256])
+    m.fp2 = _FP(320, [256, 128])
+    m.fp1 = _FP(128, [128, 128, 128])
+    m.conv1 = nn.Conv1d(128, 128, 1)
+    m.bn1 = nn.BatchNorm1d(128)
+    m.conv2 = nn.Conv1d(128, 13, 1)
+    _randomize_bn(m)
+    return m.state_dict()
+
+
+class TestPointnet2Import:
+    def test_tree_matches_and_loads(self, ref_semseg_sd):
+        from pointsecguard_tpu.models import PointNet2SemSegSSG
+
+        converted = import_pointnet2_semseg(
+            {"model_state_dict": ref_semseg_sd, "epoch": 7}
+        )
+        model = PointNet2SemSegSSG(num_classes=13)
+        pts = jnp.array(np.random.RandomState(0).rand(1, 64, 9), jnp.float32)
+        init = model.init(jax.random.PRNGKey(0), pts)
+        assert _tree_spec(converted["params"]) == _tree_spec(init["params"])
+        assert (
+            _tree_spec(converted["batch_stats"])
+            == _tree_spec(init["batch_stats"])
+        )
+        out, _ = model.apply(
+            jax.tree_util.tree_map(jnp.asarray, converted), pts
+        )
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_layer_numerics_match_torch(self, ref_semseg_sd):
+        """torch relu(bn(conv1x1(x))) == our PointConv with converted
+        params — validates the kernel transpose + BN mapping end-to-end."""
+        from pointsecguard_tpu.models.common import PointConv
+
+        converted = import_pointnet2_semseg(ref_semseg_sd)
+        conv = nn.Conv2d(12, 32, 1)
+        bn = nn.BatchNorm2d(32)
+        conv.load_state_dict({
+            "weight": ref_semseg_sd["sa1.mlp_convs.0.weight"],
+            "bias": ref_semseg_sd["sa1.mlp_convs.0.bias"],
+        })
+        bn.load_state_dict({
+            "weight": ref_semseg_sd["sa1.mlp_bns.0.weight"],
+            "bias": ref_semseg_sd["sa1.mlp_bns.0.bias"],
+            "running_mean": ref_semseg_sd["sa1.mlp_bns.0.running_mean"],
+            "running_var": ref_semseg_sd["sa1.mlp_bns.0.running_var"],
+            "num_batches_tracked": torch.tensor(0),
+        })
+        bn.eval()
+        x = torch.randn(2, 12, 8, 16)  # [B, C, K, N]
+        with torch.no_grad():
+            y_ref = torch.relu(bn(conv(x))).numpy()
+
+        pc = PointConv(32)
+        leaf = converted["params"]["SetAbstraction_0"]["PointMLP_0"][
+            "PointConv_0"]
+        stats = converted["batch_stats"]["SetAbstraction_0"]["PointMLP_0"][
+            "PointConv_0"]
+        variables = {
+            "params": {"Dense_0": leaf["Dense_0"],
+                       "BatchNorm_0": leaf["BatchNorm_0"]},
+            "batch_stats": stats,
+        }
+        x_lastc = jnp.array(x.numpy().transpose(0, 3, 2, 1))  # [B,N,K,C]
+        y = pc.apply(jax.tree_util.tree_map(jnp.asarray, variables), x_lastc)
+        np.testing.assert_allclose(
+            np.asarray(y).transpose(0, 3, 2, 1), y_ref, atol=2e-5
+        )
+
+
+class TestResgcnImport:
+    def test_tree_matches_and_loads(self):
+        from pointsecguard_tpu.models import DenseDeepGCN
+
+        torch.manual_seed(1)
+        NB, C = 4, 64
+
+        def basic(cin, cout, act=True, norm=True):
+            mods = [nn.Conv2d(cin, cout, 1)]
+            if act:
+                mods.append(nn.LeakyReLU(0.2))
+            if norm:
+                mods.append(nn.BatchNorm2d(cout))
+            return nn.Sequential(*mods)
+
+        def gconv(cin, cout):
+            g = nn.Module()
+            g.gconv = nn.Module()
+            g.gconv.nn = basic(cin * 2, cout)
+            return g
+
+        m = nn.Module()
+        m.head = gconv(9, C)
+        body_list = []
+        for _ in range(NB - 1):
+            blk = nn.Module()
+            blk.body = gconv(C, C)
+            body_list.append(blk)
+        m.backbone = nn.Sequential(*body_list)
+        fusion_in = C + C * (NB - 1)
+        m.fusion_block = basic(fusion_in, 1024)
+        m.prediction = nn.Sequential(
+            basic(fusion_in + 1024, 512),
+            basic(512, 256),
+            nn.Dropout(),
+            basic(256, 13, act=False, norm=False),
+        )
+        _randomize_bn(m)
+        sd = {"module." + k: v for k, v in m.state_dict().items()}
+
+        converted = import_resgcn({"state_dict": sd}, n_blocks=NB)
+        model = DenseDeepGCN(n_blocks=NB, n_filters=C, k=4)
+        pts = jnp.array(np.random.RandomState(0).rand(1, 32, 9), jnp.float32)
+        init = model.init(jax.random.PRNGKey(0), pts)
+        assert _tree_spec(converted["params"]) == _tree_spec(init["params"])
+        assert (
+            _tree_spec(converted["batch_stats"])
+            == _tree_spec(init["batch_stats"])
+        )
+        logits = model.apply(
+            jax.tree_util.tree_map(jnp.asarray, converted), pts
+        )
+        assert np.isfinite(np.asarray(logits)).all()
+
+
+class TestImportCLI:
+    def test_import_then_eval(self, ref_semseg_sd, tmp_path):
+        """reference .pth → cli.import_ckpt → cli.eval restores and runs."""
+        from pointsecguard_tpu.cli import import_ckpt
+        from pointsecguard_tpu.cli import eval as eval_cli
+        from pointsecguard_tpu.data import make_synthetic_rooms
+
+        pth = str(tmp_path / "best_model.pth")
+        torch.save(
+            {"model_state_dict": ref_semseg_sd, "epoch": 42}, pth
+        )
+        log = str(tmp_path / "imported")
+        import_ckpt.main([
+            "--model", "pointnet2", "--ckpt", pth, "--log_dir", log,
+            "--num_point", "64",
+        ])
+        data = str(tmp_path / "data")
+        make_synthetic_rooms(data, points_per_room=2000, seed=5)
+        total = eval_cli.main([
+            "--model", "pointnet2", "--data_root", data, "--log_dir", log,
+            "--num_point", "64", "--batch_size", "4", "--num_votes", "1",
+        ])
+        # untrained random-but-valid weights: metrics exist and are sane
+        assert 0.0 <= float(total.accuracy) <= 1.0
