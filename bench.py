@@ -41,24 +41,14 @@ import time
 import jax
 
 
-def _ensure_backend(max_retries: int = 3) -> None:
-    """The axon tunnel intermittently rejects plugin registration when
-    its compile service is busy ("Unable to initialize backend 'axon'").
-    Clearing the backend cache re-runs plugin discovery; as a last
-    resort re-exec the process fresh."""
-    for attempt in range(max_retries):
-        try:
-            jax.devices()
-            return
-        except RuntimeError as e:
-            if "axon" not in str(e):
-                raise
-            from jax._src import xla_bridge as _xb
+def _ensure_backend() -> None:
+    """Backend probe with retries (utils.runtime._ensure_backend), plus a
+    fresh-process re-exec as last resort — the driver runs this file
+    unattended at round end."""
+    from pointsecguard_tpu.utils.runtime import _ensure_backend as probe
 
-            _xb._clear_backends()
-            time.sleep(30)
     try:
-        jax.devices()
+        probe()
     except RuntimeError as e:
         tries = int(os.environ.get("PSG_BENCH_RETRY", "0"))
         if "axon" in str(e) and tries < 2:

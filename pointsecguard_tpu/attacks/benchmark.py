@@ -142,6 +142,11 @@ def load_attack(attack_name: str, init_kwargs: dict) -> PGDConfig | CWConfig:
         )
     elif attack_name == "bim":
         cfg = dataclasses.replace(cfg, rand_init_eps=0.0)
+    elif attack_name == "pgd" and cfg.rand_init_eps == 0.0:
+        # PGD = BIM + random start (ares `pgd.py` inherits BIM with a
+        # uniform init in the ε-ball); without this the two registry
+        # entries would be identical
+        cfg = dataclasses.replace(cfg, rand_init_eps=cfg.eps)
     return cfg
 
 

@@ -317,7 +317,17 @@ def main(argv=None):
                 clean_pred = np.asarray(clean_pred)
                 adv_pred = np.asarray(adv_pred)
                 steps = int(res.steps)
-                sr = float(res.success_rate)
+                if targeted and valid < B:
+                    # the engine's success_rate averages over the padded
+                    # duplicate rows of a tail batch — recompute over the
+                    # real rows only for the protocol TSV
+                    ap, mp = adv_pred[:valid], np.asarray(mask)[:valid]
+                    sr = (
+                        float((ap[mp] == args.target).mean())
+                        if mp.any() else 0.0
+                    )
+                else:
+                    sr = float(res.success_rate)
                 l2 = float(np.mean(np.asarray(res.l2_dist)[:valid]))
                 if rand_pred is not None:
                     rand_acc = float(

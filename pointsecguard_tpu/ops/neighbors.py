@@ -36,13 +36,23 @@ def _largest_divisor_leq(n: int, cap: int) -> int:
 def _use_fused_knn(query, points, k, strategy) -> bool:
     """TPU default: the fused Pallas distance+selection kernel — exact,
     never materializes the [S, N] matrix in HBM (27× the exact XLA path
-    and ≥ the approx path at 40960², measured v5e)."""
+    and ≥ the approx path at 40960², measured v5e).
+
+    The kernel keeps the transposed points block [D, N] resident in VMEM
+    (double-buffered), so wide-feature × large-N combinations must fall
+    back to the tiled XLA path: cap that block at 4 MB (e.g. D=256 with
+    N=40960 would need 2×42 MB and Mosaic would refuse the allocation).
+    """
+    n = points.shape[1]
+    d = query.shape[-1]
+    points_block_bytes = max(d, 8) * ((n + 127) // 128 * 128) * 4
     return (
         strategy in ("auto", "fused")
         and jax.default_backend() == "tpu"
         and k <= 48
-        and points.shape[1] >= 256
-        and query.shape[-1] <= 512
+        and n >= 256
+        and d <= 512
+        and points_block_bytes <= (4 << 20)
     )
 
 

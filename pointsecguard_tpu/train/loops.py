@@ -93,11 +93,10 @@ def train_pointnet_family(args):
     events = EventLog(f"{args.log_dir}/events.jsonl")
     tb = SummaryLogger(f"{args.log_dir}/tb")
     best_miou = 0.0
-    nan_batches = 0
     for epoch in range(start_epoch, args.epochs):
         lr = pointnet2_lr(epoch, base=base_lr)
         bn_m = pointnet2_bn_momentum(epoch)
-        t0, n_batches, loss_sum = time.time(), 0, 0.0
+        t0, n_batches, loss_sum, nan_batches = time.time(), 0, 0.0, 0
         profile_dir = (
             getattr(args, "profile", None) if epoch == start_epoch else None
         )
