@@ -227,3 +227,50 @@ class TestImportCLI:
         ])
         # untrained random-but-valid weights: metrics exist and are sane
         assert 0.0 <= float(total.accuracy) <= 1.0
+
+    def test_import_resgcn_cli(self, tmp_path):
+        """ResGCN .pth import through the CLI writes a restorable ckpt."""
+        from pointsecguard_tpu.cli import import_ckpt
+
+        torch.manual_seed(2)
+        NB, C = 3, 64
+
+        def basic(cin, cout, act=True, norm=True):
+            mods = [nn.Conv2d(cin, cout, 1)]
+            if act:
+                mods.append(nn.LeakyReLU(0.2))
+            if norm:
+                mods.append(nn.BatchNorm2d(cout))
+            return nn.Sequential(*mods)
+
+        def gconv(cin, cout):
+            g = nn.Module()
+            g.gconv = nn.Module()
+            g.gconv.nn = basic(cin * 2, cout)
+            return g
+
+        m = nn.Module()
+        m.head = gconv(9, C)
+        body = []
+        for _ in range(NB - 1):
+            blk = nn.Module()
+            blk.body = gconv(C, C)
+            body.append(blk)
+        m.backbone = nn.Sequential(*body)
+        fusion_in = C + C * (NB - 1)
+        m.fusion_block = basic(fusion_in, 1024)
+        m.prediction = nn.Sequential(
+            basic(fusion_in + 1024, 512), basic(512, 256), nn.Dropout(),
+            basic(256, 13, act=False, norm=False),
+        )
+        pth = str(tmp_path / "_ckpt_best.pth")
+        torch.save({"state_dict": m.state_dict(), "epoch": 3}, pth)
+        log = str(tmp_path / "imp")
+        state = import_ckpt.main([
+            "--model", "resgcn", "--ckpt", pth, "--log_dir", log,
+            "--resgcn_blocks", str(NB), "--num_point", "64",
+        ])
+        import os
+
+        assert os.path.isdir(os.path.join(log, "checkpoints"))
+        assert state.params["BasicConv_0"]["Dense_0"]["kernel"].shape[1] == 1024
