@@ -90,3 +90,38 @@ class TestBenchmarks:
         assert [p["iters"] for p in probes] == [3, 6, 9, 12]
         # accuracy at the full budget no higher than at the smallest
         assert probes[-1]["acc"] <= probes[0]["acc"] + 1e-6
+
+
+class TestDefenseWiring:
+    def test_jitter_defense_changes_outputs_deterministically(self):
+        """random_color_jitter with a fixed key is deterministic (the CLI
+        protocol requirement) and perturbs only colors."""
+        import jax
+
+        from pointsecguard_tpu.attacks import random_color_jitter
+
+        rng = np.random.RandomState(0)
+        pts = jnp.array(rng.rand(2, 32, 9).astype(np.float32))
+        key = jax.random.PRNGKey(7)
+        a = random_color_jitter(pts, key, sigma=0.05)
+        b = random_color_jitter(pts, key, sigma=0.05)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(
+            np.asarray(a[..., :3]), np.asarray(pts[..., :3])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(a[..., 6:]), np.asarray(pts[..., 6:])
+        )
+        assert float(jnp.abs(a[..., 3:6] - pts[..., 3:6]).max()) > 0
+
+    def test_setup_jax_cpu_smoke(self, tmp_path, monkeypatch):
+        """setup_jax honors a single-value JAX_PLATFORMS and sets the
+        compile cache without touching the (possibly absent) TPU."""
+        import jax
+
+        from pointsecguard_tpu.utils.runtime import setup_jax
+
+        monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+        setup_jax(cache_dir=str(tmp_path / "cache"))
+        assert jax.config.jax_platforms == "cpu"
+        assert jax.config.jax_compilation_cache_dir.endswith("cache")
