@@ -51,13 +51,9 @@ class SetAbstraction(nn.Module):
             new_xyz, grouped = ops.sample_and_group_all(xyz, feats)
         elif plan is not None:
             new_xyz, idx = plan
-            grouped_xyz = ops.gather_points(xyz, idx) - new_xyz[:, :, None, :]
-            if feats is not None:
-                grouped = jnp.concatenate(
-                    [grouped_xyz, ops.gather_points(feats, idx)], axis=-1
-                )
-            else:
-                grouped = grouped_xyz
+            # one fused [xyz|feats] gather: halves the backward's
+            # scatter-add rows (see ops.grouping.group_relative)
+            grouped = ops.group_relative(xyz, feats, idx, new_xyz)
         else:
             fps_key = (
                 self.make_rng("sample") if self.has_rng("sample") else None
@@ -97,13 +93,11 @@ class SetAbstractionMSG(nn.Module):
                 if idx_list is not None
                 else ops.ball_query(radius, K, xyz, new_xyz)
             )
-            grouped_xyz = ops.gather_points(xyz, idx) - new_xyz[:, :, None, :]
-            if feats is not None:
-                grouped_feats = ops.gather_points(feats, idx)
-                # note MSG order: features first, then xyz (`pointnet_util.py:255`)
-                grouped = jnp.concatenate([grouped_feats, grouped_xyz], axis=-1)
-            else:
-                grouped = grouped_xyz
+            # one fused gather; MSG channel order: features first, then
+            # xyz (`pointnet_util.py:255`)
+            grouped = ops.group_relative(
+                xyz, feats, idx, new_xyz, feats_first=True
+            )
             x = PointMLP(self.mlp_list[i])(grouped, train=train, momentum=momentum)
             outs.append(jnp.max(x, axis=2))
         return new_xyz, jnp.concatenate(outs, axis=-1)

@@ -2,7 +2,11 @@
 
 from pointsecguard_tpu.ops.distance import square_distance, self_square_distance
 from pointsecguard_tpu.ops.gather import gather_points
-from pointsecguard_tpu.ops.grouping import sample_and_group, sample_and_group_all
+from pointsecguard_tpu.ops.grouping import (
+    group_relative,
+    sample_and_group,
+    sample_and_group_all,
+)
 from pointsecguard_tpu.ops.interpolate import nearest_upsample, three_nn_interpolate
 from pointsecguard_tpu.ops.neighbors import (
     ball_query,
@@ -23,6 +27,7 @@ __all__ = [
     "knn",
     "nearest_upsample",
     "random_sample_pool",
+    "group_relative",
     "sample_and_group",
     "sample_and_group_all",
     "self_square_distance",

@@ -39,14 +39,41 @@ def sample_and_group(
     fps_idx = farthest_point_sample(xyz, npoint, key=fps_key)
     new_xyz = gather_points(xyz, fps_idx)  # [B, npoint, 3]
     idx = ball_query(radius, nsample, xyz, new_xyz)
-    grouped_xyz = gather_points(xyz, idx)  # [B, npoint, nsample, 3]
-    grouped_xyz_norm = grouped_xyz - new_xyz[:, :, None, :]
-    if feats is not None:
-        grouped_feats = gather_points(feats, idx)
-        grouped = jnp.concatenate([grouped_xyz_norm, grouped_feats], axis=-1)
-    else:
-        grouped = grouped_xyz_norm
+    grouped = group_relative(xyz, feats, idx, new_xyz)
     return new_xyz, grouped
+
+
+def group_relative(
+    xyz: jnp.ndarray,
+    feats: jnp.ndarray | None,
+    idx: jnp.ndarray,
+    centers: jnp.ndarray,
+    *,
+    feats_first: bool = False,
+) -> jnp.ndarray:
+    """[center-relative xyz | feats] neighborhood gather, as ONE gather
+    (``feats_first=True`` → [feats | rel-xyz], the MSG channel order,
+    `pointnet_util.py:255`).
+
+    Bit-identical to gathering xyz and feats separately and concatenating
+    (a gather of a concat IS the concat of the gathers, and subtracting 0
+    from the feature half is an exact no-op) — but its backward is a
+    single scatter-add over the shared indices instead of two. TPU
+    scatter-add cost is per-ROW, independent of row width ≤128 lanes
+    (measured ≈67M rows/s, docs/ROUND2_NOTES.md), so this halves the
+    dominant backward op of every SetAbstraction level in attack loops.
+    """
+    if feats is None:
+        return gather_points(xyz, idx) - centers[:, :, None, :]
+    # by shape, not by slicing feats: npoint may exceed N (FPS wraps)
+    zeros = jnp.zeros(centers.shape[:2] + (feats.shape[-1],), feats.dtype)
+    if feats_first:
+        both = gather_points(jnp.concatenate([feats, xyz], axis=-1), idx)
+        offset = jnp.concatenate([zeros, centers], axis=-1)
+    else:
+        both = gather_points(jnp.concatenate([xyz, feats], axis=-1), idx)
+        offset = jnp.concatenate([centers, zeros], axis=-1)
+    return both - offset[:, :, None, :]
 
 
 def sample_and_group_all(
