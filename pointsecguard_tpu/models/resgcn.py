@@ -114,8 +114,11 @@ class DynConv(nn.Module):
     dilated_mode: str = "exact"  # "exact" | "subsample"
 
     @nn.compact
-    def __call__(self, x, *, train=False):
-        if self.dilated_mode == "subsample" and self.dilation > 1:
+    def __call__(self, x, *, train=False, idx=None):
+        if idx is not None:
+            # precomputed edge graph (fixed-graph attacks / parity tests)
+            pass
+        elif self.dilated_mode == "subsample" and self.dilation > 1:
             # fast approximation of dilation: kNN(k) among a stride-d
             # subset of candidate points instead of every d-th of the
             # sorted k·d nearest. Similar neighborhood spread, ~5× faster
@@ -178,12 +181,21 @@ class DenseDeepGCN(nn.Module):
     dilated_mode: str = "exact"
 
     @nn.compact
-    def __call__(self, points, *, train: bool = False, momentum=None):
+    def __call__(self, points, *, train: bool = False, momentum=None,
+                 graphs=None):
         # `momentum` accepted for trainer-API uniformity; torch BN default
         # (0.1 ⇒ keep 0.9) is fixed inside BasicConv.
+        # ``graphs``: optional (head_idx, block0_idx, ..., block{n-2}_idx)
+        # precomputed edge graphs overriding the in-forward kNN — used by
+        # fixed-graph evaluation and the reference-parity tests (the only
+        # legitimate cross-framework divergence is near-tie neighbor
+        # selection in feature-space kNN; with pinned graphs the logits
+        # match the reference exactly).
         del momentum
         xyz = points[..., :3]
-        head_idx = ops.dense_knn_graph(xyz, self.k)
+        head_idx = (
+            graphs[0] if graphs is not None else ops.dense_knn_graph(xyz, self.k)
+        )
         feats = [
             _graph_conv(self.conv, self.n_filters, self.act, self.norm, self.use_bias)(
                 points, head_idx, train=train
@@ -212,7 +224,11 @@ class DenseDeepGCN(nn.Module):
                 epsilon=self.epsilon,
                 knn_strategy=self.knn_strategy,
                 dilated_mode=self.dilated_mode,
-            )(feats[-1], train=train)
+            )(
+                feats[-1],
+                train=train,
+                idx=graphs[1 + i] if graphs is not None else None,
+            )
             if self.block == "res":
                 feats.append(body + feats[-1] * self.res_scale)
             elif self.block == "dense":
