@@ -1,14 +1,25 @@
-"""Import a reference (torch) checkpoint into this framework.
+"""Import a reference checkpoint into this framework.
 
   python -m pointsecguard_tpu.cli.import_ckpt --model pointnet2 \
       --ckpt /path/best_model.pth --log_dir log/imported
 
 Converts the reference's trained weights (`utils/importers.py`:
 PointNet++ semseg `train_semseg.py` checkpoints, ResGCN
-`ckpt_util.py` checkpoints) into our variable tree and writes a normal
+`ckpt_util.py` checkpoints, RandLA-Net TF1 snapshots from
+`RandLANet.py:141-142`) into our variable tree and writes a normal
 orbax checkpoint under ``<log_dir>/checkpoints`` — after which
 `cli.eval` / `cli.attack` / `cli.benchmark` restore it like any
 locally-trained model.
+
+RandLA checkpoints are accepted either as a TF1 checkpoint prefix
+(requires tensorflow, read via `tf.train.load_checkpoint`) or as a
+``.npz`` of ``{tf_variable_name: array}`` — dump one from a snapshot
+with::
+
+    python -c "import tensorflow as tf, numpy as np; \\
+      r = tf.train.load_checkpoint('snap-XXXX'); \\
+      np.savez('snap.npz', **{n: r.get_tensor(n) \\
+        for n in r.get_variable_to_shape_map()})"
 """
 
 from __future__ import annotations
@@ -16,13 +27,53 @@ from __future__ import annotations
 import argparse
 
 
+def _load_torch_ckpt(path: str):
+    """`torch.load` with `weights_only=True` first; the reference's own
+    checkpoints are plain tensor dicts and load that way. Fall back (with
+    a warning) only for pickled formats — running arbitrary pickle is a
+    trust decision the user should see (the reference loads the same way,
+    `test_semseg.py`/`ckpt_util.py`, but never says so)."""
+    import torch
+
+    try:
+        return torch.load(path, map_location="cpu", weights_only=True)
+    except Exception:
+        print(
+            f"WARNING: {path} is not a weights-only checkpoint; falling "
+            "back to full unpickling, which executes code from the file. "
+            "Only do this with checkpoints you trust."
+        )
+        return torch.load(path, map_location="cpu", weights_only=False)
+
+
+def _load_randla_arrays(path: str) -> dict:
+    if path.endswith(".npz"):
+        import numpy as np
+
+        with np.load(path) as z:
+            return {k: z[k] for k in z.files}
+    try:
+        import tensorflow as tf
+    except ImportError as e:
+        raise SystemExit(
+            "RandLA TF checkpoint import needs tensorflow, which is not "
+            "installed here. Dump the snapshot to .npz instead (see "
+            "module docstring) and pass that."
+        ) from e
+    reader = tf.train.load_checkpoint(path)  # pragma: no cover
+    return {n: reader.get_tensor(n)  # pragma: no cover
+            for n in reader.get_variable_to_shape_map()}
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser("import_ckpt")
     ap.add_argument("--model", required=True,
-                    choices=["pointnet2", "resgcn"])
+                    choices=["pointnet2", "resgcn", "randla"])
     ap.add_argument("--ckpt", required=True,
-                    help="reference .pth checkpoint (bare state dict or "
-                         "{'model_state_dict': ...})")
+                    help="reference checkpoint: .pth (torch state dict or "
+                         "{'model_state_dict': ...}) for pointnet2/resgcn; "
+                         "TF1 checkpoint prefix or .npz variable dump for "
+                         "randla")
     ap.add_argument("--log_dir", required=True,
                     help="destination run dir (checkpoints/ is created)")
     ap.add_argument("--resgcn_blocks", type=int, default=28)
@@ -34,7 +85,6 @@ def main(argv=None):
     setup_jax()
     import jax
     import jax.numpy as jnp
-    import torch
 
     from pointsecguard_tpu.models import DenseDeepGCN, PointNet2SemSegSSG
     from pointsecguard_tpu.train import create_train_state
@@ -42,28 +92,55 @@ def main(argv=None):
     from pointsecguard_tpu.utils.importers import (
         import_pointnet2_semseg,
         import_resgcn,
+        map_randla_vars,
     )
 
-    ckpt = torch.load(args.ckpt, map_location="cpu", weights_only=False)
-    if args.model == "pointnet2":
-        variables = import_pointnet2_semseg(ckpt)
-        model = PointNet2SemSegSSG(num_classes=13)
-    else:
-        variables = import_resgcn(ckpt, n_blocks=args.resgcn_blocks)
-        model = DenseDeepGCN(n_blocks=args.resgcn_blocks)
+    model_args = None
+    epoch = 0
+    miou = 0.0
+    if args.model == "randla":
+        if args.num_point % 512:
+            raise SystemExit("randla needs --num_point divisible by 512 "
+                             "(the 4-4-4-4-2 pyramid)")
+        arrays = _load_randla_arrays(args.ckpt)
+        variables = map_randla_vars(arrays)
+        from pointsecguard_tpu.configs import RandlaConfig
+        from pointsecguard_tpu.models import RandLANet, build_pyramid
 
-    dummy = (jnp.zeros((1, args.num_point, 9), jnp.float32), None)
-    state, _ = create_train_state(model, dummy, rng=jax.random.PRNGKey(0))
+        cfg = RandlaConfig()
+        ncls = variables["params"]["Dense_1"]["kernel"].shape[1]
+        model = RandLANet(num_classes=ncls, d_out=cfg.d_out)
+        model_args = lambda feats: (  # noqa: E731
+            feats,
+            build_pyramid(feats[..., :3], num_layers=cfg.num_layers,
+                          k=cfg.k_n, sub_ratios=cfg.sub_sampling_ratio),
+        )
+        d_in = variables["params"]["Dense_0"]["kernel"].shape[0]
+        dummy = (jnp.zeros((1, args.num_point, d_in), jnp.float32), None)
+    else:
+        ckpt = _load_torch_ckpt(args.ckpt)
+        if args.model == "pointnet2":
+            variables = import_pointnet2_semseg(ckpt)
+            model = PointNet2SemSegSSG(num_classes=13)
+        else:
+            variables = import_resgcn(ckpt, n_blocks=args.resgcn_blocks)
+            model = DenseDeepGCN(n_blocks=args.resgcn_blocks)
+        dummy = (jnp.zeros((1, args.num_point, 9), jnp.float32), None)
+        if isinstance(ckpt, dict):
+            epoch = int(ckpt.get("epoch", 0))
+            miou = float(ckpt.get("best_iou", 0.0))
+
+    state, _ = create_train_state(
+        model, dummy, rng=jax.random.PRNGKey(0), model_args=model_args
+    )
     # graft the converted weights onto the fresh state (optimizer state
     # stays fresh — the reference's optimizer is not transferable)
     variables = jax.tree_util.tree_map(jnp.asarray, variables)
     state = state.replace(
         params=variables["params"], batch_stats=variables["batch_stats"]
     )
-    epoch = int(ckpt.get("epoch", 0)) if isinstance(ckpt, dict) else 0
     CheckpointManager(f"{args.log_dir}/checkpoints").save(
-        max(epoch, 1), state, miou=float(ckpt.get("best_iou", 0.0))
-        if isinstance(ckpt, dict) else 0.0,
+        max(epoch, 1), state, miou=miou
     )
     print(f"imported {args.ckpt} -> {args.log_dir}/checkpoints "
           f"(epoch {epoch})")

@@ -30,10 +30,18 @@ _BN_EPS = 1e-6
 _BN_MOM = 0.99
 
 
-def _conv(feats: int, act: str = "relu", bn: bool = True) -> PointConv:
-    # helper_tf_util.conv2d/conv2d_transpose default activation is ReLU
-    # (`helper_tf_util.py:126,182`); leaky_relu appears only at fc0's BN
-    # output and the dilated-res-block output (`RandLANet.py:160,330`).
+def _conv(feats: int, act: str = "leaky_relu", bn: bool = True) -> PointConv:
+    # The fork's helper_tf_util.conv2d / conv2d_transpose HARDCODE
+    # leaky_relu(alpha=0.2) whenever an activation applies — the
+    # signature's `activation_fn=tf.nn.relu` default is dead code; the
+    # body replaces `activation_fn(outputs)` with
+    # `tf.nn.leaky_relu(outputs, alpha=0.2)` (`helper_tf_util.py:169,
+    # 249`, commented-out original at `:248`). So every conv in the
+    # RandLA graph ends in leaky_relu(0.2); the only act-free convs are
+    # the ones called with activation_fn=None (mlp2/shortcut/final fc,
+    # `RandLANet.py:326-329,189`). Round 1-2 of this rebuild used ReLU
+    # here (misread of the signature default) — fixed in round 3 with
+    # the logit fixtures regenerated.
     return PointConv(feats, act=act, bn=bn, bn_epsilon=_BN_EPS)
 
 

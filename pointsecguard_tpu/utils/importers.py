@@ -183,17 +183,135 @@ def import_randla_tf(ckpt_path: str) -> dict:
     return map_randla_vars(arrays)
 
 
-def map_randla_vars(arrays: dict) -> dict:
+def _tf_var_ignored(name: str) -> bool:
+    """Non-model variables a real snapshot would contain: the Adam slots
+    (`RandLANet.py:127-129`: AdamOptimizer under scope 'optimizer') and
+    bookkeeping scalars."""
+    if name.startswith(("optimizer/", "loss/", "results/")):
+        return True
+    leaf = name.rsplit("/", 1)[-1]
+    return leaf in (
+        "Adam", "Adam_1", "learning_rate", "global_step",
+        "beta1_power", "beta2_power",
+    )
+
+
+def map_randla_vars(arrays: dict, *, num_layers: int = 5) -> dict:
     """Map a {tf_var_name: ndarray} dict onto RandLANet flax variables.
 
-    Split out from `import_randla_tf` so it is testable without a real
-    TF checkpoint on disk.
+    The fork ships no snapshot, but its variable schema is statically
+    derivable from the graph definition:
+
+    - ``fc0/{kernel,bias}`` — `tf.layers.dense(..., name='fc0')`
+      (`RandLANet.py:158`), followed by one UNNAMED top-level
+      `tf.layers.batch_normalization` (`:160`) →
+      ``batch_normalization/{gamma,beta,moving_mean,moving_variance}``;
+    - every `helper_tf_util.conv2d(scope)` (`helper_tf_util.py:115-170`)
+      → ``<scope>/weights`` [1,1,in,out] + ``<scope>/biases`` [out], and
+      with bn=True an unnamed BN *inside* the scope →
+      ``<scope>/batch_normalization/*``;
+    - `conv2d_transpose` (`helper_tf_util.py:184-212`) is identical
+      except the kernel is **reversed**: [1,1,out,in];
+    - encoder scopes (`RandLANet.py:161-190,323-344,398-410`):
+      ``Encoder_layer_{i}{mlp1,mlp2,shortcut}``,
+      ``Encoder_layer_{i}LFA{mlp1,mlp2}``,
+      ``Encoder_layer_{i}LFAatt_pooling_{1,2}{fc,mlp}`` (the attention
+      ``fc`` is a bias-free `tf.layers.dense` → ``<scope>fc/kernel``);
+    - decoder scopes: ``decoder_0``, ``Decoder_layer_{j}`` (transpose
+      convs), ``fc1``, ``fc2``, ``fc`` (no BN on the final ``fc``).
+
+    Raises ValueError listing unmatched model variables if the snapshot
+    schema differs. Split out from `import_randla_tf` so it is testable
+    without a real TF checkpoint on disk.
     """
-    raise NotImplementedError(
-        "RandLA TF import requires a snapshot to pin the fork's exact "
-        "variable naming; the reference repository ships none "
-        "(verified: no checkpoints anywhere under /root/reference). "
-        "The torch importers above cover the formats that can be "
-        "validated; file an issue with a snapshot's "
-        "`tf.train.list_variables` output to complete this mapping."
+    arrays = {k.split(":", 1)[0]: v for k, v in arrays.items()}
+    used: set = set()
+
+    def take(name):
+        if name not in arrays:
+            raise ValueError(
+                f"RandLA TF import: expected variable '{name}' not in "
+                f"checkpoint ({len(arrays)} variables present)"
+            )
+        used.add(name)
+        return _np(arrays[name]).astype(np.float32)
+
+    def bn(scope):
+        pre = f"{scope}/" if scope else ""
+        p = {"scale": take(f"{pre}batch_normalization/gamma"),
+             "bias": take(f"{pre}batch_normalization/beta")}
+        s = {"mean": take(f"{pre}batch_normalization/moving_mean"),
+             "var": take(f"{pre}batch_normalization/moving_variance")}
+        return p, s
+
+    def conv(scope, *, transpose=False, with_bn=True):
+        """One helper_tf_util conv2d/conv2d_transpose → our PointConv."""
+        w = take(f"{scope}/weights")
+        w = w.reshape(w.shape[-2], w.shape[-1])  # [1,1,a,b] → [a,b]
+        if transpose:
+            w = np.ascontiguousarray(w.T)  # [out,in] → [in,out]
+        p = {"Dense_0": {"kernel": w, "bias": take(f"{scope}/biases")}}
+        if not with_bn:
+            return p, None
+        bn_p, bn_s = bn(scope)
+        p["BatchNorm_0"] = bn_p
+        return p, {"BatchNorm_0": bn_s}
+
+    params: dict = {}
+    stats: dict = {}
+
+    # fc0 + top-level BN (`RandLANet.py:158-160`)
+    params["Dense_0"] = {"kernel": take("fc0/kernel"),
+                         "bias": take("fc0/bias")}
+    top_bn_p, top_bn_s = bn("")
+    params["BatchNorm_0"] = top_bn_p
+    stats["BatchNorm_0"] = top_bn_s
+
+    # encoder (`RandLANet.py:161-171` → dilated_res_block `:323-330`)
+    for i in range(num_layers):
+        E = f"Encoder_layer_{i}"
+        blk_p: dict = {}
+        blk_s: dict = {}
+        blk_p["PointConv_0"], blk_s["PointConv_0"] = conv(f"{E}mlp1")
+        lfa_p: dict = {}
+        lfa_s: dict = {}
+        lfa_p["PointConv_0"], lfa_s["PointConv_0"] = conv(f"{E}LFAmlp1")
+        for a, ap in ((1, "AttentivePooling_0"), (2, "AttentivePooling_1")):
+            mlp_p, mlp_s = conv(f"{E}LFAatt_pooling_{a}mlp")
+            lfa_p[ap] = {
+                "Dense_0": {"kernel": take(f"{E}LFAatt_pooling_{a}fc/kernel")},
+                "PointConv_0": mlp_p,
+            }
+            lfa_s[ap] = {"PointConv_0": mlp_s}
+        lfa_p["PointConv_1"], lfa_s["PointConv_1"] = conv(f"{E}LFAmlp2")
+        blk_p["LocalFeatureAggregation_0"] = lfa_p
+        blk_s["LocalFeatureAggregation_0"] = lfa_s
+        blk_p["PointConv_1"], blk_s["PointConv_1"] = conv(f"{E}mlp2")
+        blk_p["PointConv_2"], blk_s["PointConv_2"] = conv(f"{E}shortcut")
+        params[f"DilatedResBlock_{i}"] = blk_p
+        stats[f"DilatedResBlock_{i}"] = blk_s
+
+    # bottleneck + decoder (`RandLANet.py:173-186`); Decoder_layer_{j}
+    # are conv2d_TRANSPOSE scopes — reversed kernels
+    params["PointConv_0"], stats["PointConv_0"] = conv("decoder_0")
+    for j in range(num_layers):
+        params[f"PointConv_{1 + j}"], stats[f"PointConv_{1 + j}"] = conv(
+            f"Decoder_layer_{j}", transpose=True
+        )
+    # heads (`RandLANet.py:188-190`); final fc has bn=False
+    n = 1 + num_layers
+    params[f"PointConv_{n}"], stats[f"PointConv_{n}"] = conv("fc1")
+    params[f"PointConv_{n + 1}"], stats[f"PointConv_{n + 1}"] = conv("fc2")
+    fc_p, _ = conv("fc", with_bn=False)
+    params["Dense_1"] = fc_p["Dense_0"]
+
+    unmatched = sorted(
+        k for k in arrays if k not in used and not _tf_var_ignored(k)
     )
+    if unmatched:
+        raise ValueError(
+            "RandLA TF import: checkpoint contains model variables that "
+            f"did not map onto the flax tree: {unmatched[:20]}"
+            + (" ..." if len(unmatched) > 20 else "")
+        )
+    return {"params": params, "batch_stats": stats}

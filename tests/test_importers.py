@@ -274,3 +274,179 @@ class TestImportCLI:
 
         assert os.path.isdir(os.path.join(log, "checkpoints"))
         assert state.params["BasicConv_0"]["Dense_0"]["kernel"].shape[1] == 1024
+
+
+def _synthetic_randla_tf_ckpt(rng, d_in=6, num_classes=13,
+                              d_out=(16, 64, 128, 256, 512),
+                              with_adam_slots=False):
+    """A {tf_var_name: array} dict with the fork's exact variable schema,
+    derived statically from the graph definition (`RandLANet.py:150-190,
+    323-344,398-410` + `helper_tf_util.py:115-170,184-212`): conv2d
+    kernels are [1,1,in,out], conv2d_transpose kernels are REVERSED
+    [1,1,out,in], every bn=True conv owns an unnamed BN scope."""
+    names = {}
+
+    def dense(scope, cin, cout, bias=True):
+        names[f"{scope}/kernel"] = rng.randn(cin, cout).astype(np.float32)
+        if bias:
+            names[f"{scope}/bias"] = rng.randn(cout).astype(np.float32)
+
+    def bn(scope, c):
+        pre = f"{scope}/" if scope else ""
+        names[f"{pre}batch_normalization/gamma"] = rng.rand(c).astype(
+            np.float32) + 0.5
+        names[f"{pre}batch_normalization/beta"] = rng.randn(c).astype(
+            np.float32)
+        names[f"{pre}batch_normalization/moving_mean"] = rng.randn(c).astype(
+            np.float32)
+        names[f"{pre}batch_normalization/moving_variance"] = (
+            rng.rand(c).astype(np.float32) + 0.5)
+
+    def conv(scope, cin, cout, with_bn=True, transpose=False):
+        shape = (1, 1, cout, cin) if transpose else (1, 1, cin, cout)
+        names[f"{scope}/weights"] = rng.randn(*shape).astype(np.float32)
+        names[f"{scope}/biases"] = rng.randn(cout).astype(np.float32)
+        if with_bn:
+            bn(scope, cout)
+
+    dense("fc0", d_in, 8)
+    bn("", 8)
+    f_in = 8
+    for i, d in enumerate(d_out):
+        E = f"Encoder_layer_{i}"
+        conv(f"{E}mlp1", f_in, d // 2)
+        conv(f"{E}LFAmlp1", 10, d // 2)
+        dense(f"{E}LFAatt_pooling_1fc", d, d, bias=False)
+        conv(f"{E}LFAatt_pooling_1mlp", d, d // 2)
+        conv(f"{E}LFAmlp2", d // 2, d // 2)
+        dense(f"{E}LFAatt_pooling_2fc", d, d, bias=False)
+        conv(f"{E}LFAatt_pooling_2mlp", d, d)
+        conv(f"{E}mlp2", d, 2 * d)
+        conv(f"{E}shortcut", f_in, 2 * d)
+        f_in = 2 * d
+    enc_dims = [2 * d_out[0]] + [2 * d for d in d_out]
+    conv("decoder_0", enc_dims[-1], enc_dims[-1])
+    f = enc_dims[-1]
+    for j in range(len(d_out)):
+        out = enc_dims[-j - 2]
+        conv(f"Decoder_layer_{j}", out + f, out, transpose=True)
+        f = out
+    conv("fc1", f, 64)
+    conv("fc2", 64, 32)
+    conv("fc", 32, num_classes, with_bn=False)
+    if with_adam_slots:
+        for k in [k for k in names if k.endswith(("kernel", "weights"))][:5]:
+            names[f"{k}/Adam"] = np.zeros_like(names[k])
+            names[f"{k}/Adam_1"] = np.zeros_like(names[k])
+        names["optimizer/learning_rate"] = np.float32(0.01)
+        names["beta1_power"] = np.float32(0.9)
+    return names
+
+
+class TestRandlaTFImport:
+    def test_tree_matches_and_loads(self):
+        """Synthetic schema-conforming snapshot → flax tree: structure
+        matches model.init and the model runs on a real pyramid."""
+        from pointsecguard_tpu.models import RandLANet, build_pyramid
+        from pointsecguard_tpu.utils.importers import map_randla_vars
+
+        rng = np.random.RandomState(11)
+        arrays = _synthetic_randla_tf_ckpt(rng, with_adam_slots=True)
+        converted = map_randla_vars(arrays)
+
+        model = RandLANet(num_classes=13)
+        xyz = jnp.array(np.random.RandomState(0).rand(1, 512, 3), jnp.float32)
+        feats = jnp.array(
+            np.random.RandomState(1).rand(1, 512, 6), jnp.float32
+        )
+        pyr = build_pyramid(xyz, knn_tile=None)
+        init = model.init(jax.random.PRNGKey(0), feats, pyr)
+        assert _tree_spec(converted["params"]) == _tree_spec(init["params"])
+        assert (
+            _tree_spec(converted["batch_stats"])
+            == _tree_spec(init["batch_stats"])
+        )
+        logits = model.apply(
+            jax.tree_util.tree_map(jnp.asarray, converted), feats, pyr
+        )
+        assert logits.shape == (1, 512, 13)
+        assert np.isfinite(np.asarray(logits)).all()
+
+    def test_transpose_conv_orientation(self):
+        """Decoder_layer kernels are [1,1,out,in] (`helper_tf_util.py:
+        210-212`): the mapped PointConv must compute
+        leaky_relu(bn(x @ W[0,0].T + b))."""
+        from pointsecguard_tpu.models.common import PointConv
+        from pointsecguard_tpu.utils.importers import map_randla_vars
+
+        rng = np.random.RandomState(3)
+        arrays = _synthetic_randla_tf_ckpt(rng)
+        converted = map_randla_vars(arrays)
+        p = converted["params"]["PointConv_1"]  # Decoder_layer_0
+        s = converted["batch_stats"]["PointConv_1"]
+
+        w = arrays["Decoder_layer_0/weights"][0, 0]  # [out=512, in=1536]
+        b = arrays["Decoder_layer_0/biases"]
+        x = rng.randn(2, 7, w.shape[1]).astype(np.float32)
+        y = x @ w.T + b
+        g = arrays["Decoder_layer_0/batch_normalization/gamma"]
+        be = arrays["Decoder_layer_0/batch_normalization/beta"]
+        mu = arrays["Decoder_layer_0/batch_normalization/moving_mean"]
+        var = arrays["Decoder_layer_0/batch_normalization/moving_variance"]
+        y = (y - mu) / np.sqrt(var + 1e-6) * g + be
+        want = np.where(y > 0, y, 0.2 * y)  # helper_tf_util.py:249
+
+        pc = PointConv(w.shape[0], act="leaky_relu", bn_epsilon=1e-6)
+        got = pc.apply(
+            jax.tree_util.tree_map(
+                jnp.asarray, {"params": p, "batch_stats": s}
+            ),
+            jnp.asarray(x),
+        )
+        # 1536-wide float32 reductions: numpy vs XLA accumulation order
+        # differs, so tolerance is relative (orientation errors would
+        # mismatch everything by O(1))
+        np.testing.assert_allclose(np.asarray(got), want, rtol=5e-4,
+                                   atol=1e-3)
+
+    def test_unmatched_variables_raise(self):
+        from pointsecguard_tpu.utils.importers import map_randla_vars
+
+        rng = np.random.RandomState(5)
+        arrays = _synthetic_randla_tf_ckpt(rng)
+        # missing model variable → clear error naming it
+        broken = dict(arrays)
+        del broken["fc1/weights"]
+        with pytest.raises(ValueError, match="fc1/weights"):
+            map_randla_vars(broken)
+        # extra unrecognized model variable → listed
+        extra = dict(arrays)
+        extra["Encoder_layer_9mlp1/weights"] = np.zeros((1, 1, 4, 4),
+                                                        np.float32)
+        with pytest.raises(ValueError, match="Encoder_layer_9mlp1"):
+            map_randla_vars(extra)
+
+
+class TestRandlaImportCLI:
+    def test_import_randla_npz_cli(self, tmp_path):
+        """.npz TF-variable dump → cli.import_ckpt --model randla writes
+        a restorable checkpoint with the converted weights."""
+        from pointsecguard_tpu.cli import import_ckpt
+
+        rng = np.random.RandomState(13)
+        arrays = _synthetic_randla_tf_ckpt(rng, with_adam_slots=True)
+        npz = str(tmp_path / "snap.npz")
+        np.savez(npz, **arrays)
+        log = str(tmp_path / "imp")
+        state = import_ckpt.main([
+            "--model", "randla", "--ckpt", npz, "--log_dir", log,
+            "--num_point", "512",
+        ])
+        import os
+
+        assert os.path.isdir(os.path.join(log, "checkpoints"))
+        # fc0 kernel made it through verbatim
+        np.testing.assert_allclose(
+            np.asarray(state.params["Dense_0"]["kernel"]),
+            arrays["fc0/kernel"], atol=0,
+        )

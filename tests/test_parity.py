@@ -144,5 +144,7 @@ class TestAttentivePoolingParity:
         st = variables["batch_stats"]["PointConv_0"]["BatchNorm_0"]
         pre = np_dense(agg, pc["Dense_0"])
         bn = np_bn_eval(pre, pc["BatchNorm_0"], st, eps=1e-6)
-        want = np.maximum(bn, 0.0)  # helper conv2d default activation: ReLU
+        # the fork's conv2d hardcodes leaky_relu(0.2)
+        # (`helper_tf_util.py:169`; the relu in the signature is dead)
+        want = np.where(bn > 0, bn, 0.2 * bn)
         np.testing.assert_allclose(np.asarray(out), want, atol=1e-4)
