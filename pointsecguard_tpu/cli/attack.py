@@ -474,7 +474,18 @@ def _attack_randla(args, log):
             sub_ratios=cfg.sub_sampling_ratio,
         )
     )
-    B = cfg.val_batch_size
+    # --batch_size N attacks N clouds per jitted program (amortizes the
+    # non-scatter portions of the step — see docs/ROUND2_NOTES.md on the
+    # scatter envelope); the reference protocol is val_batch_size=1
+    # (`configs.py:47`). Targeted runs keep B=1: the <500-origin skip
+    # gate (`tester_S3DIS.py:253-258`) is a per-cloud control-flow
+    # decision that cannot be batched faithfully.
+    B = getattr(args, "batch_size", 0) or cfg.val_batch_size
+    if args.attack.startswith("tar_") and B != 1:
+        raise SystemExit(
+            "randla targeted attacks use --batch_size 1 (per-cloud skip "
+            "gates, `tester_S3DIS.py:253-258`)"
+        )
     dummy_f = jnp.zeros((B, num_points, 6), jnp.float32)
     model_args = lambda f: (f, pyramid_fn(f[..., :3]))
     state, _ = create_train_state(
@@ -558,7 +569,7 @@ def _attack_randla(args, log):
     key = jax.random.PRNGKey(args.seed)
     n_done = 0
     for i, (xyz, feats, labels, _, cloud_idx) in enumerate(
-        sampler.batches(B, args.num_clouds)
+        sampler.batches(B, -(-args.num_clouds // B))  # ceil: ≥num_clouds total
     ):
         feats_j = put(feats)
         labels_j = put(labels)
@@ -575,31 +586,47 @@ def _attack_randla(args, log):
         res, traj, rand_pred = run(feats_j, labels_j, mask, sub)
         adv_pred = np.asarray(res.adv_pred)
         dt = time.time() - t0
-        clean_acc = float((clean_pred == labels).mean())
-        adv_acc = float((adv_pred == labels).mean())
         np.add.at(clean_cm, (labels.reshape(-1), clean_pred.reshape(-1)), 1)
         np.add.at(adv_cm, (labels.reshape(-1), adv_pred.reshape(-1)), 1)
-        row = (
-            f"{int(cloud_idx[0])}\t{clean_acc:.4f}\t{adv_acc:.4f}"
-            f"\t{float(np.mean(np.asarray(res.l2_dist))):.4f}"
-            f"\t{float(res.success_rate):.4f}\t{int(res.steps)}\t{dt:.2f}"
-        )
-        if args.control:
-            rand_acc = float((np.asarray(rand_pred) == labels).mean())
-            row += f"\t{rand_acc:.4f}"
-        tsv.write(row + "\n")
+        l2_np = np.asarray(res.l2_dist)
+        mask_np = np.asarray(mask) if mask is not None else None
+        # one protocol row per CLOUD (the round-2 loop wrote cloud_idx[0]
+        # for the whole batch — correct only at B=1)
+        for b in range(B):
+            clean_acc = float((clean_pred[b] == labels[b]).mean())
+            adv_acc = float((adv_pred[b] == labels[b]).mean())
+            if targeted and mask_np is not None and mask_np[b].any():
+                sr_b = float(
+                    (adv_pred[b][mask_np[b]] == args.target).mean()
+                )
+            else:
+                sr_b = float(res.success_rate)
+            row = (
+                f"{int(cloud_idx[b])}\t{clean_acc:.4f}\t{adv_acc:.4f}"
+                f"\t{float(l2_np[b]):.4f}"
+                f"\t{sr_b:.4f}\t{int(res.steps)}\t{dt / B:.2f}"
+            )
+            if args.control:
+                rand_acc = float(
+                    (np.asarray(rand_pred)[b] == labels[b]).mean()
+                )
+                row += f"\t{rand_acc:.4f}"
+            tsv.write(row + "\n")
         tsv.flush()
         if steps_tsv is not None and traj is not None:
+            # acc/sr trajectories are batch-global (engine reductions);
+            # l2 is per cloud
             t_acc = np.asarray(traj["acc"])
             t_sr = np.asarray(traj["sr"])
-            t_l2 = np.asarray(traj["l2"]).mean(axis=1)
-            for it in range(t_acc.shape[0]):
-                steps_tsv.write(
-                    f"{int(cloud_idx[0])}\t{it}\t{t_acc[it]:.4f}"
-                    f"\t{t_sr[it]:.4f}\t{t_l2[it]:.4f}\n"
-                )
+            t_l2 = np.asarray(traj["l2"])
+            for b in range(B):
+                for it in range(t_acc.shape[0]):
+                    steps_tsv.write(
+                        f"{int(cloud_idx[b])}\t{it}\t{t_acc[it]:.4f}"
+                        f"\t{t_sr[it]:.4f}\t{t_l2[it, b]:.4f}\n"
+                    )
             steps_tsv.flush()
-        n_done += 1
+        n_done += B
         if n_done % 10 == 0:
             cm = metrics_from_confusion(jnp.array(clean_cm))
             am = metrics_from_confusion(jnp.array(adv_cm))

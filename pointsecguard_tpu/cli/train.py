@@ -27,6 +27,9 @@ def main(argv=None):
     ap.add_argument("--npoint", type=int, default=4096)
     ap.add_argument("--randla_points", type=int, default=0,
                     help="override RandLA sample size (default: config 40960)")
+    ap.add_argument("--val_steps", type=int, default=0,
+                    help="randla validation batches per epoch "
+                         "(0 = reference protocol, configs val_steps=100)")
     ap.add_argument("--steps_per_epoch", type=int, default=0,
                     help="override RandLA train steps per epoch (default 500)")
     ap.add_argument("--resgcn_blocks", type=int, default=0,

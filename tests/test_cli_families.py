@@ -33,8 +33,9 @@ class TestRandlaCLI:
             )
         train.main([
             "--model", "randla", "--randla_dir", rd, "--log_dir", log,
-            "--epochs", "2", "--randla_points", "512",
-            "--steps_per_epoch", "4", "--batch_size", "2", "--seed", "0",
+            "--epochs", "4", "--randla_points", "512",
+            "--steps_per_epoch", "8", "--batch_size", "2", "--seed", "0",
+            "--val_steps", "4",
         ])
         return rd, orig, log
 
@@ -78,6 +79,61 @@ class TestRandlaCLI:
         assert float(am.accuracy) <= float(cm.accuracy)
         c = rows[1].split("\t")
         assert float(c[3]) > 0  # nonzero distortion
+
+    def test_batched_attack_matches_single(self, trained, tmp_path):
+        """--batch_size 2 attacks two clouds in one program; per-cloud
+        TSV rows must match the B=1 run (same sampler seed ⇒ same cloud
+        sequence; NB is fixed-steps + sign-based ⇒ per-cloud results are
+        batch-independent)."""
+        import shutil
+
+        from pointsecguard_tpu.cli import attack
+
+        rd, _, log = trained
+        log1 = str(tmp_path / "b1")
+        log2 = str(tmp_path / "b2")
+        for dst in (log1, log2):
+            shutil.copytree(os.path.join(log, "checkpoints"),
+                            os.path.join(dst, "checkpoints"))
+        base = [
+            "--model", "randla", "--attack", "nb", "--randla_dir", rd,
+            "--randla_points", "512", "--num_clouds", "2", "--seed", "3",
+        ]
+        attack.main(base + ["--log_dir", log1])
+        attack.main(base + ["--log_dir", log2, "--batch_size", "2"])
+
+        def rows(d):
+            path = os.path.join(d, "randla_nb_area5.tsv")
+            return [
+                [float(x) for x in line.split("\t")[:5]]
+                for line in open(path).read().strip().splitlines()[1:]
+            ]
+
+        # same sampler seed ⇒ same cloud sequence, written in the same
+        # order by both runs (B=1: two batches; B=2: one batch, rows in
+        # batch order)
+        r1, r2 = rows(log1), rows(log2)
+        assert len(r1) == len(r2) == 2
+        for a, b in zip(r1, r2):
+            # cloud, clean_acc, adv_acc, sr match; l2 only approximately:
+            # the B=1 and B=2 programs compile differently, and ~1e-7
+            # reduction-order noise in the gradient chaotically drifts
+            # the 200-step trajectory's norm a few percent (the attack
+            # outcome — the accuracies — is stable)
+            np.testing.assert_allclose(a[:3] + a[4:], b[:3] + b[4:],
+                                       atol=2e-3)
+            np.testing.assert_allclose(a[3], b[3], rtol=0.1)
+
+    def test_batched_targeted_rejected(self, trained):
+        from pointsecguard_tpu.cli import attack
+
+        rd, _, log = trained
+        with pytest.raises(SystemExit, match="batch_size 1"):
+            attack.main([
+                "--model", "randla", "--attack", "tar_nb",
+                "--randla_dir", rd, "--log_dir", log,
+                "--randla_points", "512", "--batch_size", "2",
+            ])
 
 
 class TestResgcnCLI:
