@@ -160,7 +160,9 @@ class AttackBenchmark:
     point iff the clean prediction is correct and success = the adversarial
     prediction differs from the label; ``'t'`` counts a point iff the clean
     prediction differs from the target and success = the adversarial
-    prediction equals the target. ares benchmarks image classifiers (one
+    prediction equals the target. ``'tm'`` DRIVES the attack with the
+    target labels and the targeted gradient direction exactly like
+    ``'t'`` (`bim.py:80-82,144`) — only the scoring is untargeted. ares benchmarks image classifiers (one
     prediction per example); the point-cloud port scores per point, which
     is the reference's own segmentation-attack accounting
     (`NB_nontarget_test_semseg.py:210-214`).
@@ -183,7 +185,12 @@ class AttackBenchmark:
             raise ValueError(f"unknown distance metric {distance_metric!r}")
         if goal == "t" and (origin is None or target is None):
             raise ValueError("targeted goal needs origin= and target=")
-        kwargs.setdefault("targeted", goal == "t")
+        if goal == "tm" and target is None:
+            raise ValueError("goal 'tm' needs target=")
+        # ares drives BOTH 't' and 'tm' with the target labels and the
+        # flipped gradient (`bim.py:80-82,144`); 'tm' differs only in
+        # scoring (misclassification, not target-hit)
+        kwargs.setdefault("targeted", goal in ("t", "tm"))
         if target is not None:
             kwargs.setdefault("target", target)
         self.attack_name = attack_name
@@ -220,6 +227,11 @@ class AttackBenchmark:
                 ys_attack, mask = make_target_labels(
                     labels, self.origin, self.target
                 )
+            elif self.goal == "tm":
+                # full target vector, no origin mask (`bim.py:144` uses
+                # ys_target verbatim); scored untargeted below
+                ys_attack = jnp.full_like(labels, self.target)
+                mask = None
             else:
                 ys_attack, mask = labels, None
             clean_pred = jnp.argmax(self.outputs_fn(points), axis=-1)

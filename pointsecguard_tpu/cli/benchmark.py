@@ -113,6 +113,9 @@ def main(argv=None):
         if args.goal == "t":
             kwargs.update(origin=args.origin, target=args.target,
                           ce_reduction="mean")
+        elif args.goal == "tm":
+            # targeted drive, untargeted scoring (`bim.py:80-82,144`)
+            kwargs.update(target=args.target, ce_reduction="mean")
         bench = AttackBenchmark(
             args.attack_name, jax.jit(outputs_fn), goal=args.goal,
             distance_metric=args.distance, **kwargs,

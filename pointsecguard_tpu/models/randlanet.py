@@ -186,10 +186,17 @@ class LocalFeatureAggregation(nn.Module):
         # fused path only where it helps: 2·d_in below the 128-lane
         # width (wider levels already fill the VPU lanes and XLA's own
         # composition is fine there)
+        # "fused" compiles a real pallas_call — TPU only (off-TPU it dies
+        # in Mosaic lowering with an opaque error); "fused_interpret"
+        # runs the kernel in interpreter mode and works anywhere (tests)
         fused = (
             self.ap_impl != "reference"
             and fused_supported(K, 2 * d_in)
             and fused_supported(K, self.d_out)
+            and (
+                self.ap_impl == "fused_interpret"
+                or jax.default_backend() == "tpu"
+            )
         )
         interp = self.ap_impl == "fused_interpret"
         if fused:

@@ -45,7 +45,11 @@ def _use_fused_knn(query, points, k, strategy) -> bool:
     """
     n = points.shape[1]
     d = query.shape[-1]
-    points_block_bytes = max(d, 8) * ((n + 127) // 128 * 128) * 4
+    # Mosaic pads the second-minor dim up to the next multiple of 8 (not
+    # just a floor of 8): d=9 occupies 16 sublanes, so round up — the
+    # old max(d, 8) undercounted by up to ~1.8x just above multiples
+    d_padded = (d + 7) // 8 * 8
+    points_block_bytes = d_padded * ((n + 127) // 128 * 128) * 4
     return (
         strategy in ("auto", "fused")
         and jax.default_backend() == "tpu"

@@ -45,7 +45,12 @@ def _ensure_backend(retries: int = 3, wait_s: float = 30.0) -> None:
         except RuntimeError as e:
             if "axon" not in str(e) or attempt == retries:
                 raise
-            from jax._src import xla_bridge as _xb
+            try:
+                from jax._src import xla_bridge as _xb
 
-            _xb._clear_backends()
+                _xb._clear_backends()
+            except (ImportError, AttributeError):
+                # private jax API moved: nothing to clear, surface the
+                # original backend error instead of an AttributeError
+                raise e from None
             time.sleep(wait_s)

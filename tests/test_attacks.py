@@ -355,3 +355,35 @@ class TestAttackBenchmark:
         acc, acc_adv, total, succ, dist = bench.run([(pts, labels)])
         assert acc_adv.mean() < acc.mean()
         assert dist.shape == (B,) and (dist >= 0).all()
+
+    def test_tm_goal_drives_targeted_scores_untargeted(
+        self, proto_surrogate, proto_batch
+    ):
+        """ares 'tm' (`bim.py:80-82,144`): the attack runs with the
+        target labels and the flipped (targeted) gradient, but scoring
+        is plain misclassification."""
+        from pointsecguard_tpu.attacks import AttackBenchmark
+
+        pts, labels = proto_batch
+        target = int(np.asarray(labels).ravel()[0]) ^ 1
+        bench = AttackBenchmark(
+            "pgd", proto_surrogate, goal="tm", target=target,
+            eps=0.6, alpha=0.1, iters=40, ce_reduction="mean",
+        )
+        assert bench.cfg.targeted  # driven like 't'
+        acc, acc_adv, total, succ, dist = bench.run(
+            [(pts, labels)], key=jax.random.PRNGKey(0)
+        )
+        # scored like 'ut': eligibility = clean-correct, success =
+        # misclassification of an eligible point
+        np.testing.assert_array_equal(total, acc)
+        np.testing.assert_array_equal(succ, total & ~acc_adv)
+        # the targeted drive moves points toward the target class, which
+        # misclassifies points whose label differs from the target
+        assert succ.sum() > 0
+
+    def test_tm_requires_target(self, surrogate):
+        from pointsecguard_tpu.attacks import AttackBenchmark
+
+        with pytest.raises(ValueError, match="tm"):
+            AttackBenchmark("bim", surrogate, goal="tm")
