@@ -26,6 +26,7 @@ from pointsecguard_tpu.attacks.cw import CWConfig, cw_color_attack
 from pointsecguard_tpu.attacks.defenses import (
     apply_color_defense,
     bit_depth_reduction,
+    jpeg_color_compression,
     random_color_jitter,
     random_point_permutation,
 )
@@ -117,6 +118,7 @@ __all__ = [
     "apply_color_defense",
     "attack_preset",
     "bit_depth_reduction",
+    "jpeg_color_compression",
     "cw_color_attack",
     "distortion_binsearch",
     "equal_norm_color_noise",

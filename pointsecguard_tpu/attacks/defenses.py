@@ -41,6 +41,61 @@ def random_color_jitter(
     return set_color(points, jnp.clip(color + noise, 0.0, 1.0))
 
 
+def _dct_matrix(n: int) -> jnp.ndarray:
+    """Orthonormal DCT-II basis [n, n] (rows = frequencies)."""
+    k = jnp.arange(n, dtype=jnp.float32)
+    basis = jnp.cos(jnp.pi * (2.0 * k[None, :] + 1.0) * k[:, None] / (2 * n))
+    basis = basis * jnp.sqrt(2.0 / n)
+    return basis.at[0].set(basis[0] / jnp.sqrt(2.0))
+
+
+def jpeg_color_compression(
+    points: jnp.ndarray, quality: int = 95, block: int = 64
+) -> jnp.ndarray:
+    """Frequency-domain color quantization — the point-cloud analogue of
+    ares' JPEG defense (`defense/jpeg_compression.py:8-30`).
+
+    JPEG's mechanism is: transform to a frequency basis, quantize with a
+    step that grows with frequency (coarser for high frequencies), invert.
+    Point clouds have no pixel grid, so the transform here is a blockwise
+    orthonormal DCT-II along the point axis per color channel (one MXU
+    matmul each way); the quantization step follows libjpeg's quality
+    scaling (S = 5000/q below 50 else 200−2q) with a linearly
+    frequency-growing base table. High-frequency adversarial color noise
+    is crushed; smooth color content survives. Straight-through gradient,
+    exactly like the reference's `jpeg_compress_grad` identity
+    (`jpeg_compression.py:25-26`) — white-box attacks see the defended
+    forward with a clean gradient path.
+
+    Capability analog, not bit-parity: the reference never wired JPEG
+    into any point-cloud path (images only), and the point axis is an
+    arbitrary ordering rather than a spatial grid.
+    """
+    color = get_color(points)  # [B, N, 3]
+    B, N, C = color.shape
+    pad = (-N) % block
+    x = jnp.pad(color, ((0, 0), (0, pad), (0, 0)))
+    nb = x.shape[1] // block
+    x = x.reshape(B, nb, block, C)
+    D = _dct_matrix(block)
+    coeffs = jnp.einsum("fk,bnkc->bnfc", D, x)
+    # libjpeg quality→scale curve; base step grows with frequency like
+    # the zigzag-ordered luminance table (16..~120 in 0..255 units)
+    q = float(quality)
+    scale = (5000.0 / q if q < 50 else 200.0 - 2.0 * q) / 100.0
+    freq = jnp.arange(block, dtype=jnp.float32)
+    step = (16.0 + 4.0 * freq) * scale / 255.0  # in [0,1] sample units
+    # orthonormal DCT coefficients carry a √(block/2) amplitude factor
+    # over per-sample amplitudes — put the table in coefficient units
+    step = step * jnp.sqrt(block / 2.0)
+    step = jnp.maximum(step, 1e-6)[None, None, :, None]
+    quant = jnp.round(coeffs / step) * step
+    y = jnp.einsum("fk,bnfc->bnkc", D, quant)  # x = Dᵀ·coeffs
+    y = jnp.clip(y.reshape(B, nb * block, C)[:, :N], 0.0, 1.0)
+    color_st = color + jax.lax.stop_gradient(y - color)
+    return set_color(points, color_st)
+
+
 def random_point_permutation(
     points: jnp.ndarray, key: jax.Array
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

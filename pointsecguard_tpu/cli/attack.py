@@ -56,11 +56,13 @@ def main(argv=None):
                     help="resgcn: dilated_mode=subsample + approx kNN "
                          "(6x faster; documented deviation, PARITY.md)")
     ap.add_argument("--defense", default="none",
-                    choices=["none", "bit_depth", "jitter"],
+                    choices=["none", "bit_depth", "jitter", "jpeg"],
                     help="input-transformation defense on the model "
                          "(attack sees the defended model, BPDA-style)")
     ap.add_argument("--defense_bits", type=int, default=4)
     ap.add_argument("--defense_sigma", type=float, default=0.02)
+    ap.add_argument("--defense_quality", type=int, default=95,
+                    help="jpeg-analog defense quality (libjpeg curve)")
     ap.add_argument("--visual", action="store_true",
                     help="dump clean/adv/pred/gt .xyzrgb clouds per room "
                          "(`NB_nontarget_test_semseg.py:131-136` artifacts)")
@@ -184,6 +186,7 @@ def main(argv=None):
         from pointsecguard_tpu.attacks import (
             apply_color_defense,
             bit_depth_reduction,
+            jpeg_color_compression,
             random_color_jitter,
         )
 
@@ -192,6 +195,12 @@ def main(argv=None):
             def make_outputs_fn(pts):
                 return apply_color_defense(
                     plain_make(pts), bit_depth_reduction, args.defense_bits
+                )
+        elif args.defense == "jpeg":
+            def make_outputs_fn(pts):
+                return apply_color_defense(
+                    plain_make(pts), jpeg_color_compression,
+                    args.defense_quality,
                 )
         else:  # jitter (fixed key: deterministic protocol runs)
             def make_outputs_fn(pts):

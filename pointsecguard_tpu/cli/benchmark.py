@@ -21,7 +21,8 @@ import logging
 def main(argv=None):
     ap = argparse.ArgumentParser("benchmark")
     ap.add_argument("--mode", default="attack",
-                    choices=["attack", "distortion", "iteration"])
+                    choices=["attack", "distortion", "iteration",
+                             "prediction"])
     ap.add_argument("--attack_name", default="pgd",
                     choices=["fgsm", "bim", "pgd", "cw"],
                     help="attack-mode registry name (`benchmark/utils.py`)")
@@ -42,6 +43,9 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--cw_steps", type=int, default=200)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--output", default="",
+                    help="prediction mode: .npz output path (default "
+                         "<log_dir>/predictions.npz)")
     args = ap.parse_args(argv)
 
     from pointsecguard_tpu.utils.runtime import setup_jax
@@ -106,6 +110,33 @@ def main(argv=None):
     def batches():
         for s in range(0, len(feats) - B + 1, B):
             yield jnp.array(feats[s:s + B]), jnp.array(labs[s:s + B])
+
+    if args.mode == "prediction":
+        # ares prediction_cli (`benchmark/prediction_cli.py:1-62`): run
+        # clean predictions, save {ys, ys_target, predictions}, log the
+        # per-batch and total accuracy in the ares format
+        import os
+
+        predict = jax.jit(lambda p: jnp.argmax(outputs_fn(p), axis=-1))
+        ys, preds = [], []
+        for i_batch, (pts, labels) in enumerate(batches()):
+            pred = np.asarray(predict(pts))
+            ys.append(np.asarray(labels))
+            preds.append(pred)
+            acc = (pred == np.asarray(labels)).mean()
+            log.info("n=%d..%d acc=%3f", i_batch * B,
+                     i_batch * B + B - 1, acc)
+        ys = np.concatenate(ys)
+        preds = np.concatenate(preds)
+        # the fixed target-label vector our targeted drives use
+        # (`target.py:29` semantics; ares reads ys_target per example)
+        ys_target = np.full_like(ys, args.target)
+        out_path = args.output or os.path.join(args.log_dir,
+                                               "predictions.npz")
+        np.savez(out_path, ys=ys, ys_target=ys_target, predictions=preds)
+        log.info("acc=%3f", (preds == ys).mean())
+        log.info("saved %s", out_path)
+        return ys, ys_target, preds
 
     if args.mode == "attack":
         kwargs = dict(eps=args.eps, alpha=args.alpha, iters=args.iters,

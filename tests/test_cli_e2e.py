@@ -182,6 +182,26 @@ class TestBenchmarkCLI:
         assert len(details["probes"]) >= 1
         assert eps > 0
 
+    def test_prediction_mode(self, trained, tmp_path):
+        """ares prediction_cli analog (`benchmark/prediction_cli.py`):
+        clean predictions + {ys, ys_target, predictions} artifact."""
+        from pointsecguard_tpu.cli import benchmark
+
+        data, log = trained
+        out = str(tmp_path / "preds.npz")
+        ys, ys_target, preds = benchmark.main([
+            "--mode", "prediction", "--model", "pointnet",
+            "--data_root", data, "--log_dir", log, "--num_point", "128",
+            "--batch_size", "2", "--max_blocks", "4", "--target", "7",
+            "--output", out,
+        ])
+        assert ys.shape == preds.shape == ys_target.shape
+        assert (ys_target == 7).all()
+        z = np.load(out)
+        np.testing.assert_array_equal(z["predictions"], preds)
+        # predictions come from the restored trained model, not chance
+        assert (preds == ys).mean() > 0.4
+
 
 class TestDataParallelCLI:
     def test_attack_metrics_match_across_mesh_sizes(self, trained):

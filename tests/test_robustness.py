@@ -125,3 +125,113 @@ class TestDefenseWiring:
         setup_jax(cache_dir=str(tmp_path / "cache"))
         assert jax.config.jax_platforms == "cpu"
         assert jax.config.jax_compilation_cache_dir.endswith("cache")
+
+
+class TestJpegColorCompression:
+    """Frequency-domain color quantization — the JPEG analog
+    (`ares/defense/jpeg_compression.py` capability)."""
+
+    def test_smooth_colors_survive_high_quality(self):
+        from pointsecguard_tpu.attacks import jpeg_color_compression
+
+        n = jnp.arange(256, dtype=jnp.float32)
+        smooth = 0.5 + 0.3 * jnp.sin(2 * jnp.pi * n / 256.0)
+        pts = jnp.zeros((1, 256, 9)).at[..., 3:6].set(smooth[None, :, None])
+        out = jpeg_color_compression(pts, quality=95)
+        err = jnp.abs(out[..., 3:6] - pts[..., 3:6]).max()
+        # signal amplitude 0.3; q=95 keeps it within a few % (blockwise
+        # transforms always leak a little low-frequency quantization)
+        assert float(err) < 0.04
+
+    def test_high_frequency_noise_crushed(self):
+        from pointsecguard_tpu.attacks import jpeg_color_compression
+
+        n = jnp.arange(256, dtype=jnp.float32)
+        smooth = 0.5 + 0.2 * jnp.sin(2 * jnp.pi * n / 256.0)
+        noise = 0.08 * jnp.where(n % 2 == 0, 1.0, -1.0)  # Nyquist noise
+        pts = jnp.zeros((1, 256, 9)).at[..., 3:6].set(
+            (smooth + noise)[None, :, None]
+        )
+        out = jpeg_color_compression(pts, quality=75)
+        resid = out[..., 3] - smooth[None, :]
+        # ≥80% of the adversarial-style alternating noise energy removed
+        assert float(jnp.abs(resid).mean()) < 0.2 * 0.08
+
+    def test_quality_monotone(self, batch):
+        from pointsecguard_tpu.attacks import jpeg_color_compression
+
+        pts, _ = batch
+        d = {
+            q: float(
+                jnp.abs(
+                    jpeg_color_compression(pts, quality=q)[..., 3:6]
+                    - pts[..., 3:6]
+                ).mean()
+            )
+            for q in (30, 60, 95)
+        }
+        assert d[30] > d[60] > d[95]
+
+    def test_straight_through_gradient(self, batch):
+        from pointsecguard_tpu.attacks import jpeg_color_compression
+
+        pts, _ = batch
+        g = jax.grad(lambda p: jpeg_color_compression(p)[..., 3:6].sum())(pts)
+        np.testing.assert_allclose(np.asarray(g[..., 3:6]), 1.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(g[..., :3]), 0.0, atol=1e-6)
+
+    def test_xyz_untouched_and_range(self, batch):
+        from pointsecguard_tpu.attacks import jpeg_color_compression
+
+        pts, _ = batch
+        out = jpeg_color_compression(pts, quality=50)
+        np.testing.assert_array_equal(
+            np.asarray(out[..., :3]), np.asarray(pts[..., :3])
+        )
+        c = np.asarray(out[..., 3:6])
+        assert c.min() >= 0.0 and c.max() <= 1.0
+
+    def test_restores_predictions_and_bpda_runs(self, surrogate):
+        """(a) On smooth color content, high-frequency adversarial-style
+        noise that flips the surrogate's predictions is removed by
+        recompression — predictions are restored. (b) BPDA wiring: the
+        defended closure differentiates and the attack engine runs on it
+        (no white-box robustness claim — coarse quantization can even
+        amplify boundary-crossing perturbations, which is why ares
+        evaluates defenses under adaptive attacks)."""
+        from pointsecguard_tpu.attacks import (
+            apply_color_defense,
+            jpeg_color_compression,
+        )
+        from pointsecguard_tpu.attacks.pgd import PGDConfig, pgd_color_attack
+
+        n = jnp.arange(N, dtype=jnp.float32)
+        smooth = jnp.stack(
+            [0.5 + 0.3 * jnp.sin(2 * jnp.pi * (n / N + ph)) for ph in
+             (0.0, 0.33, 0.66)], axis=-1,
+        )  # [N, 3]
+        pts = jnp.zeros((1, N, 9)).at[..., 3:6].set(smooth[None])
+        out = surrogate(pts)
+        labels = jnp.argmax(out, axis=-1)
+        # adversarial direction: toward each point's runner-up class,
+        # modulated at the Nyquist rate (pure high-frequency content)
+        order = jnp.argsort(out[0], axis=-1)
+        second = order[:, -2]
+        Wm = jax.random.normal(jax.random.PRNGKey(42), (3, C))
+        dirn = jnp.sign(Wm[:, second].T - Wm[:, labels[0]].T)  # [N, 3]
+        alt = jnp.where(n % 2 == 0, 1.0, -1.0)[:, None]
+        adv = pts.at[..., 3:6].add(0.2 * (alt * dirn)[None])
+
+        def acc(outputs_fn, x):
+            return float((jnp.argmax(outputs_fn(x), -1) == labels).mean())
+
+        defended = apply_color_defense(surrogate, jpeg_color_compression, 75)
+        assert acc(surrogate, adv) < 0.8  # the noise flips predictions
+        assert acc(defended, adv) > acc(surrogate, adv) + 0.15
+        assert acc(defended, pts) > 0.9  # smooth content survives
+
+        cfg = PGDConfig(eps=0.05, alpha=0.01, iters=5, step_norm="linf",
+                        num_classes=C)
+        res = pgd_color_attack(defended, pts, labels, cfg)
+        assert np.isfinite(np.asarray(res.points_adv)).all()
+        assert float(res.l2_dist.min()) > 0
