@@ -55,6 +55,10 @@ def main(argv=None):
     ap.add_argument("--resgcn_fast", action="store_true",
                     help="resgcn: dilated_mode=subsample + approx kNN "
                          "(6x faster; documented deviation, PARITY.md)")
+    ap.add_argument("--resgcn_fixed_graphs", action="store_true",
+                    help="resgcn: freeze the dynamic edge graphs at the "
+                         "clean input for the whole attack (skips 27 "
+                         "kNNs/iter; documented deviation, PARITY.md)")
     ap.add_argument("--defense", default="none",
                     choices=["none", "bit_depth", "jitter", "jpeg"],
                     help="input-transformation defense on the model "
@@ -175,6 +179,15 @@ def main(argv=None):
         def make_outputs_fn(pts):
             geo = geo_fn(pts[..., :3])
             return lambda p: head(model.apply(variables, p, geometry=geo))
+    elif args.model == "resgcn" and args.resgcn_fixed_graphs:
+        # freeze the dynamic edge graphs at the CLEAN input: skips the
+        # 27 per-iteration feature-space kNNs in the attack loop. Opt-in
+        # DEVIATION — the reference recomputes the graphs every forward
+        # (`torch_vertex.py:69-71`); the attack still sees the exact
+        # fixed-graph model it perturbs (PARITY.md deviation 6).
+        def make_outputs_fn(pts):
+            _, graphs = model.apply(variables, pts, collect_graphs=True)
+            return lambda p: head(model.apply(variables, p, graphs=graphs))
     else:
         def make_outputs_fn(pts):
             return lambda p: head(model.apply(variables, p))

@@ -209,3 +209,18 @@ class TestResgcnCLI:
                 "--data_root", data, "--log_dir", log,
                 "--batch_size", "2",
             ])
+
+    def test_fixed_graphs_attack_cli(self, trained):
+        """--resgcn_fixed_graphs: edge graphs frozen at the clean input
+        (documented deviation); the attack still degrades accuracy and
+        writes the protocol TSV."""
+        from pointsecguard_tpu.cli import attack
+
+        data, log = trained
+        clean_m, adv_m = attack.main([
+            "--model", "resgcn", "--attack", "nb", "--data_root", data,
+            "--log_dir", log, "--num_point", "128", "--resgcn_blocks", "3",
+            "--batch_size", "1", "--max_blocks", "2",
+            "--resgcn_fixed_graphs",
+        ])
+        assert float(adv_m.accuracy) <= float(clean_m.accuracy)

@@ -232,6 +232,29 @@ class TestDenseDeepGCN:
         g = jax.jit(jax.grad(loss_fn))(pts[..., 3:6])
         assert float(jnp.abs(g).max()) > 0
 
+    def test_collect_and_replay_graphs_bit_identical(self, rng, key):
+        """collect_graphs returns the graphs the forward used; re-feeding
+        them via graphs= reproduces the logits bit-exactly (the fixed-
+        graph attack path, cli.attack --resgcn_fixed_graphs)."""
+        model = DenseDeepGCN(num_classes=C_CLS, n_blocks=4, n_filters=16, k=8)
+        pts = make_points(rng, n=64)
+        variables = jax.jit(model.init)(key, pts)
+        plain = model.apply(variables, pts)
+        logits, graphs = model.apply(variables, pts, collect_graphs=True)
+        assert len(graphs) == 4  # head + n_blocks-1
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(logits))
+        replay = model.apply(variables, pts, graphs=graphs)
+        np.testing.assert_array_equal(np.asarray(plain), np.asarray(replay))
+        # perturbed colors under frozen graphs still differentiate
+        g = jax.grad(
+            lambda c: jnp.sum(
+                model.apply(
+                    variables, pts.at[..., 3:6].set(c), graphs=graphs
+                )
+            )
+        )(pts[..., 3:6])
+        assert float(jnp.abs(g).max()) > 0
+
 
 class TestGeometryPlans:
     """build_geometry(_msg) must reproduce the in-forward neighbor search
