@@ -123,7 +123,29 @@ def headline_nb_iters_per_sec():
     best = _time_best(
         lambda: float(attack_scan(points, labels)[1].sum()), REPEATS
     )
-    return ITERS * SCAN_ATTACKS / best
+    # FLOPs of ONE attack iteration (the fwd+bwd that dominates it),
+    # cost-analyzed as a standalone program — XLA's cost_analysis counts
+    # while/scan bodies ONCE, so analyzing the looped program would
+    # undercount by iters×scan_len. MFU = per-iter FLOPs × measured
+    # iters/s ÷ v5e bf16 peak (geometry build amortized over 10 iters is
+    # excluded: ≲5% effect).
+    geo = build_geometry(points[..., :3])
+
+    def _iter_loss(color):
+        p = points.at[..., 3:6].set(color)
+        out = model.apply(variables, p, geometry=geo)[0]
+        lp = jnp.take_along_axis(out, labels[..., None], axis=-1)
+        return -jnp.mean(lp)
+
+    flops_iter = _program_flops(
+        jax.jit(jax.value_and_grad(_iter_loss)), points[..., 3:6]
+    )
+    iters_per_sec = ITERS * SCAN_ATTACKS / best
+    tflops = mfu = None
+    if flops_iter:
+        tflops = flops_iter * iters_per_sec / 1e12
+        mfu = 100.0 * flops_iter * iters_per_sec / V5E_PEAK_FLOPS
+    return iters_per_sec, tflops, mfu
 
 
 def extra_randla_nb_ms():
@@ -175,6 +197,145 @@ def extra_randla_nb_ms():
     return best / 4 * 1e3
 
 
+def _program_flops(jitted, *args) -> float | None:
+    """XLA's static FLOP estimate for a compiled program (None if the
+    backend doesn't report one)."""
+    try:
+        ca = jitted.lower(*args).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        f = ca.get("flops")
+        return float(f) if f else None
+    except Exception:
+        return None
+
+
+# TPU v5e peak: 197 TFLOP/s bf16 (the MXU number MFU is conventionally
+# quoted against; these models run f32, so MFU here is a conservative
+# roofline context, not a tuning target — both flagship backwards are
+# random-scatter-bound, see docs/ROUND2_NOTES.md)
+V5E_PEAK_FLOPS = 197e12
+
+
+def extra_nu_steps_per_sec():
+    """NU (C&W-engine) optimization steps/s on PointNet++ — the README's
+    521 steps/s claim, regression-tracked (`NUattack` protocol: 2-phase
+    C&W with atanh color var, `nontarget.py:45-133` budgets)."""
+    from jax import lax
+
+    from pointsecguard_tpu.attacks import attack_preset
+    from pointsecguard_tpu.attacks.cw import cw_color_attack
+    from pointsecguard_tpu.models import PointNet2SemSegSSG, build_geometry
+
+    model = PointNet2SemSegSSG(num_classes=13)
+    rng = np.random.RandomState(3)
+    points = jnp.array(rng.rand(BATCH, N_POINTS, 9).astype(np.float32))
+    labels = jnp.array(rng.randint(0, 13, (BATCH, N_POINTS)))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), points)
+    cfg = attack_preset("pointnet2", "nu")
+    steps = cfg.steps
+
+    def attack_fn(pts, labs):
+        geo = build_geometry(pts[..., :3])
+        outputs_fn = lambda p: model.apply(variables, p, geometry=geo)[0]
+        return cw_color_attack(outputs_fn, pts, labs, cfg)
+
+    @jax.jit
+    def attack_scan(pts, labs):
+        def body(p, _):
+            res = attack_fn(p, labs)
+            return res.points_adv, res.l2_dist
+        _, l2s = lax.scan(body, pts, None, length=4)
+        return l2s
+
+    float(attack_scan(points, labels).sum())
+    best = _time_best(lambda: float(attack_scan(points, labels).sum()), 3)
+    return steps * 4 / best
+
+
+def extra_resgcn_nb_ms_per_iter():
+    """Full 28-block ResGCN NB attack, ms per attack iteration (fwd+bwd
+    incl. the 27 dynamic feature-space kNN graphs the reference
+    recomputes per iteration, `torch_edge.py:32-59`)."""
+    from jax import lax
+
+    from pointsecguard_tpu.attacks import attack_preset, pgd_color_attack
+    from pointsecguard_tpu.models import DenseDeepGCN
+
+    model = DenseDeepGCN()  # reference config: 28 blocks, 64 filters, k=16
+    rng = np.random.RandomState(4)
+    points = jnp.array(rng.rand(1, N_POINTS, 9).astype(np.float32))
+    labels = jnp.array(rng.randint(0, 13, (1, N_POINTS)))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), points)
+    cfg = attack_preset("resgcn", "nb")
+
+    def attack_fn(pts, labs):
+        outputs_fn = lambda p: model.apply(variables, p)
+        return pgd_color_attack(outputs_fn, pts, labs, cfg)
+
+    @jax.jit
+    def attack_scan(pts, labs):
+        def body(p, _):
+            res = attack_fn(p, labs)
+            return res.points_adv, res.l2_dist
+        _, l2s = lax.scan(body, pts, None, length=2)
+        return l2s
+
+    float(attack_scan(points, labels).sum())
+    best = _time_best(lambda: float(attack_scan(points, labels).sum()), 3)
+    return best / (2 * cfg.iters) * 1e3
+
+
+def extra_baseline_cpu_measured():
+    """The ACTUAL reference NB loop cost, measured: import the reference
+    torch PointNet++ (`models/pointnet2_sem_seg.py`) on the installed
+    CPU torch and run the `nontarget.py:10-42` iteration (CE on the
+    model's own log-prob output, grad wrt colors, α·sign step, ε-clip,
+    separate fwd+bwd per iteration through the full host loop). Reported
+    as iters/s — a measured anchor for the host-loop overhead next to
+    the 25 it/s GPU ESTIMATE (`vs_baseline`). CPU-vs-GPU caveat applies
+    and is embedded in the key name."""
+    import sys as _sys
+
+    import torch
+
+    ref = "/root/reference/PointNet"
+    if ref not in _sys.path:
+        _sys.path.insert(0, ref)
+    import importlib
+
+    mod = importlib.import_module("models.pointnet2_sem_seg")
+    torch.manual_seed(0)
+    model = mod.get_model(13).eval()
+    rng = np.random.RandomState(5)
+    pts = torch.from_numpy(
+        rng.rand(1, 9, N_POINTS).astype(np.float32)
+    )
+    labels = torch.from_numpy(rng.randint(0, 13, (1, N_POINTS)))
+    eps, alpha = 0.1, 0.05
+    colors0 = pts[:, 3:6].clone()
+    adv = pts.clone()
+    # 2 iterations timed (the loop cost is linear in iterations; the
+    # full 10 would take minutes on CPU)
+    n_iters = 2
+    t0 = time.perf_counter()
+    for _ in range(n_iters):
+        adv = adv.detach().requires_grad_(True)
+        out, _ = model(adv)
+        loss = torch.nn.functional.nll_loss(
+            out.reshape(-1, 13), labels.reshape(-1)
+        )
+        loss.backward()
+        with torch.no_grad():
+            step = alpha * adv.grad[:, 3:6].sign()
+            newc = (colors0 + (adv[:, 3:6] + step - colors0).clamp(
+                -eps, eps)).clamp(0, 1)
+            adv = adv.detach()
+            adv[:, 3:6] = newc
+    dt = time.perf_counter() - t0
+    return n_iters / dt
+
+
 def extra_pointnet2_train_blocks_per_sec():
     from pointsecguard_tpu.models import PointNet2SemSegSSG, weighted_nll_loss
     from pointsecguard_tpu.train import create_train_state, make_train_step
@@ -213,12 +374,19 @@ def extra_pointnet2_train_blocks_per_sec():
 
 
 def main():
-    iters_per_sec = headline_nb_iters_per_sec()
+    iters_per_sec, headline_tflops, headline_mfu = headline_nb_iters_per_sec()
     extras = {}
+    if headline_tflops is not None:
+        extras["headline_tflops_per_sec"] = round(headline_tflops, 2)
+        extras["headline_mfu_pct_v5e_bf16"] = round(headline_mfu, 2)
     for name, fn, nd in (
         ("randla_nb_ms_per_cloud", extra_randla_nb_ms, 1),
         ("pointnet2_train_blocks_per_sec",
          extra_pointnet2_train_blocks_per_sec, 1),
+        ("pointnet2_nu_steps_per_sec", extra_nu_steps_per_sec, 1),
+        ("resgcn_nb_ms_per_iter", extra_resgcn_nb_ms_per_iter, 2),
+        ("baseline_cpu_measured_nb_iters_per_sec",
+         extra_baseline_cpu_measured, 3),
     ):
         try:
             extras[name] = round(fn(), nd)
