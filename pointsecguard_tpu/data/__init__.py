@@ -7,6 +7,7 @@ from pointsecguard_tpu.data.randla import (
     SpatiallyRegularSampler,
     prepare_room,
 )
+from pointsecguard_tpu.data.partnet import PartNetDataset
 from pointsecguard_tpu.data.synthetic import make_room, make_synthetic_rooms
 from pointsecguard_tpu.data.s3dis import (
     NUM_CLASSES,
@@ -21,6 +22,7 @@ from pointsecguard_tpu.data.s3dis import (
 
 __all__ = [
     "NUM_CLASSES",
+    "PartNetDataset",
     "RandlaCloud",
     "RoomSet",
     "S3DISBlockSampler",
