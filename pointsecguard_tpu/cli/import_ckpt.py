@@ -77,6 +77,7 @@ def main(argv=None):
     ap.add_argument("--log_dir", required=True,
                     help="destination run dir (checkpoints/ is created)")
     ap.add_argument("--resgcn_blocks", type=int, default=28)
+    ap.add_argument("--resgcn_conv", default="edge", choices=["edge", "mr"])
     ap.add_argument("--num_point", type=int, default=4096)
     args = ap.parse_args(argv)
 
@@ -123,8 +124,12 @@ def main(argv=None):
             variables = import_pointnet2_semseg(ckpt)
             model = PointNet2SemSegSSG(num_classes=13)
         else:
-            variables = import_resgcn(ckpt, n_blocks=args.resgcn_blocks)
-            model = DenseDeepGCN(n_blocks=args.resgcn_blocks)
+            variables = import_resgcn(
+                ckpt, n_blocks=args.resgcn_blocks, conv=args.resgcn_conv
+            )
+            model = DenseDeepGCN(
+                n_blocks=args.resgcn_blocks, conv=args.resgcn_conv
+            )
         dummy = (jnp.zeros((1, args.num_point, 9), jnp.float32), None)
         if isinstance(ckpt, dict):
             epoch = int(ckpt.get("epoch", 0))

@@ -116,7 +116,8 @@ def import_pointnet2_semseg(ckpt: dict) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
-def import_resgcn(ckpt: dict, *, n_blocks: int = 28) -> dict:
+def import_resgcn(ckpt: dict, *, n_blocks: int = 28,
+                  conv: str = "edge") -> dict:
     """torch DenseDeepGCN state dict (`ResGCN/sem_seg_dense/
     architecture.py` + `gcn_lib/dense`) → our DenseDeepGCN variables.
 
@@ -154,9 +155,13 @@ def import_resgcn(ckpt: dict, *, n_blocks: int = 28) -> dict:
                 node = node.setdefault(part, {})
             node[tree_path[-1]] = s
 
-    put(("EdgeConv_0", "BasicConv_0"), "head.gconv.nn")
+    # flax names the graph-conv submodule by its class (`models/resgcn.py`
+    # _graph_conv): EdgeConv_0 for conv='edge', MRConv_0 for conv='mr' —
+    # the torch attribute path is `gconv.nn` either way
+    gc = {"edge": "EdgeConv_0", "mr": "MRConv_0"}[conv]
+    put((gc, "BasicConv_0"), "head.gconv.nn")
     for b in range(n_blocks - 1):
-        put((f"DynConv_{b}", "EdgeConv_0", "BasicConv_0"),
+        put((f"DynConv_{b}", gc, "BasicConv_0"),
             f"backbone.{b}.body.gconv.nn")
     put(("BasicConv_0",), "fusion_block")
     put(("BasicConv_1",), "prediction.0")

@@ -217,3 +217,52 @@ class TestResGCNFullModelParity:
         out = np.asarray(ours.apply(variables, jnp.asarray(pts)))
         assert (out.argmax(-1) == ref_logits.argmax(-1)).mean() >= 0.99
         assert np.abs(out - ref_logits).max() < 0.5
+
+
+class TestResGCNDenseMRParity:
+    """Second architecture point: block='dense' + conv='mr'
+    (`architecture.py:27-32`, MRConv2d `torch_vertex.py:8-20`) —
+    graph-pinned full-model parity like the res/edge case."""
+
+    NB, C, K, N = 3, 16, 8, 128
+
+    def test_graph_pinned_logits_match(self, ref_resgcn_module):
+        from pointsecguard_tpu.models import DenseDeepGCN
+        from pointsecguard_tpu.utils.importers import import_resgcn
+
+        opt = types.SimpleNamespace(
+            n_filters=self.C, k=self.K, act="relu", norm="batch",
+            bias=True, epsilon=0.0, stochastic=True, conv="mr",
+            n_blocks=self.NB, in_channels=9, block="dense", dropout=0.0,
+            n_classes=13,
+        )
+        torch.manual_seed(1)
+        ref = ref_resgcn_module.DenseDeepGCN(opt)
+        _randomize_bn(ref)
+        ref.eval()
+        pts = np.random.RandomState(9).rand(1, self.N, 9).astype(np.float32)
+        x_t = torch.from_numpy(pts.transpose(0, 2, 1))[..., None]
+        with torch.no_grad():
+            ref_logits = ref(x_t).numpy().transpose(0, 2, 1)
+            graphs = [ref.knn(x_t[:, 0:3])[0].numpy()]
+            feats = [ref.head(x_t, ref.knn(x_t[:, 0:3]))]
+            for i in range(self.NB - 1):
+                body = ref.backbone[i].body
+                graphs.append(
+                    body.dilated_knn_graph(feats[-1])[0].numpy()
+                )
+                feats.append(ref.backbone[i](feats[-1]))
+
+        ours = DenseDeepGCN(
+            num_classes=13, n_blocks=self.NB, n_filters=self.C, k=self.K,
+            block="dense", conv="mr", stochastic=True, epsilon=0.0,
+        )
+        variables = jax.tree_util.tree_map(
+            jnp.asarray,
+            import_resgcn(ref.state_dict(), n_blocks=self.NB, conv="mr"),
+        )
+        out = ours.apply(
+            variables, jnp.asarray(pts),
+            graphs=tuple(jnp.asarray(g) for g in graphs),
+        )
+        np.testing.assert_allclose(np.asarray(out), ref_logits, atol=1e-4)
