@@ -253,16 +253,19 @@ def extra_nu_steps_per_sec():
     return steps * 4 / best
 
 
-def extra_resgcn_nb_ms_per_iter():
+def extra_resgcn_nb_ms_per_iter(dtype=None):
     """Full 28-block ResGCN NB attack, ms per attack iteration (fwd+bwd
     incl. the 27 dynamic feature-space kNN graphs the reference
-    recomputes per iteration, `torch_edge.py:32-59`)."""
+    recomputes per iteration, `torch_edge.py:32-59`). ``dtype=bfloat16``
+    measures the --precision bfloat16 path (bf16 MXU matmuls, f32
+    neighbor search — models/common.py)."""
     from jax import lax
 
     from pointsecguard_tpu.attacks import attack_preset, pgd_color_attack
     from pointsecguard_tpu.models import DenseDeepGCN
 
-    model = DenseDeepGCN()  # reference config: 28 blocks, 64 filters, k=16
+    # reference config: 28 blocks, 64 filters, k=16
+    model = DenseDeepGCN(dtype=dtype)
     rng = np.random.RandomState(4)
     points = jnp.array(rng.rand(1, N_POINTS, 9).astype(np.float32))
     labels = jnp.array(rng.randint(0, 13, (1, N_POINTS)))
@@ -336,12 +339,12 @@ def extra_baseline_cpu_measured():
     return n_iters / dt
 
 
-def extra_pointnet2_train_blocks_per_sec():
+def extra_pointnet2_train_blocks_per_sec(dtype=None):
     from pointsecguard_tpu.models import PointNet2SemSegSSG, weighted_nll_loss
     from pointsecguard_tpu.train import create_train_state, make_train_step
 
     bs = 16  # reference default (`train_semseg.py:33`)
-    model = PointNet2SemSegSSG(num_classes=13)
+    model = PointNet2SemSegSSG(num_classes=13, dtype=dtype)
     rng = np.random.RandomState(2)
     points = jnp.array(rng.rand(bs, N_POINTS, 9).astype(np.float32))
     labels = jnp.array(rng.randint(0, 13, (bs, N_POINTS)))
@@ -385,6 +388,10 @@ def main():
          extra_pointnet2_train_blocks_per_sec, 1),
         ("pointnet2_nu_steps_per_sec", extra_nu_steps_per_sec, 1),
         ("resgcn_nb_ms_per_iter", extra_resgcn_nb_ms_per_iter, 2),
+        ("resgcn_nb_bf16_ms_per_iter",
+         lambda: extra_resgcn_nb_ms_per_iter(jnp.bfloat16), 2),
+        ("pointnet2_train_bf16_blocks_per_sec",
+         lambda: extra_pointnet2_train_blocks_per_sec(jnp.bfloat16), 1),
         ("baseline_cpu_measured_nb_iters_per_sec",
          extra_baseline_cpu_measured, 3),
     ):

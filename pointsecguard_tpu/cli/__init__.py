@@ -1,1 +1,2 @@
-"""CLI entry points: prepare / train / eval / attack."""
+"""CLI entry points: prepare / train / eval / attack / benchmark /
+cv6fold / import_ckpt / export."""

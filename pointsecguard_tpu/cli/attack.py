@@ -80,6 +80,11 @@ def main(argv=None):
     ap.add_argument("--noise_norm", type=float, default=1.0,
                     help="L2 norm for --attack random "
                          "(`sem_seg_dense/test.py:68` data_result = 1.0)")
+    ap.add_argument("--precision", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="model compute precision: bfloat16 runs the MLP "
+                         "matmuls on the MXU in bf16 (params, BN stats, "
+                         "neighbor search, softmax and logits stay f32)")
     ap.add_argument("--log_steps", action="store_true",
                     help="write per-iteration acc/sr/L2 trajectories to "
                          "*_steps.tsv (ares `bim.py:216-237` per-step logs); "
@@ -128,13 +133,14 @@ def main(argv=None):
     if args.model == "randla":
         return _attack_randla(args, log)
 
+    model_dtype = jnp.bfloat16 if args.precision == "bfloat16" else None
     if args.model == "resgcn":
         overrides = {}
         if args.resgcn_blocks:
             overrides["n_blocks"] = args.resgcn_blocks
         if args.resgcn_fast:
             overrides.update(dilated_mode="subsample", knn_strategy="approx")
-        model = DenseDeepGCN(**overrides)
+        model = DenseDeepGCN(dtype=model_dtype, **overrides)
         preset_family = "resgcn"
         head = lambda out: out
     else:
@@ -142,7 +148,7 @@ def main(argv=None):
             "pointnet2": PointNet2SemSegSSG,
             "pointnet2_msg": PointNet2SemSegMSG,
             "pointnet": PointNetSemSeg,
-        }[args.model]()
+        }[args.model](dtype=model_dtype)
         preset_family = "pointnet2"
         head = lambda out: out[0]
 
@@ -489,7 +495,11 @@ def _attack_randla(args, log):
     # not the full model's bottleneck), so the exact unfused composition
     # stays the default.
     ap_impl = "fused" if args.fused_ap else "reference"
-    model = RandLANet(d_out=cfg.d_out, ap_impl=ap_impl)
+    model = RandLANet(
+        d_out=cfg.d_out, ap_impl=ap_impl,
+        dtype=jnp.bfloat16
+        if getattr(args, "precision", "float32") == "bfloat16" else None,
+    )
     pyramid_fn = jax.jit(
         lambda xyz: build_pyramid(
             xyz, num_layers=cfg.num_layers, k=cfg.k_n,

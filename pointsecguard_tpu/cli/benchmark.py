@@ -43,6 +43,8 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--cw_steps", type=int, default=200)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--precision", default="float32",
+                    choices=["float32", "bfloat16"])
     ap.add_argument("--output", default="",
                     help="prediction mode: .npz output path (default "
                          "<log_dir>/predictions.npz)")
@@ -79,7 +81,9 @@ def main(argv=None):
         "pointnet2": PointNet2SemSegSSG,
         "pointnet2_msg": PointNet2SemSegMSG,
         "pointnet": PointNetSemSeg,
-    }[args.model]()
+    }[args.model](
+        dtype=jnp.bfloat16 if args.precision == "bfloat16" else None
+    )
     dummy = jnp.zeros((args.batch_size, args.num_point, 9), jnp.float32)
     state, _ = create_train_state(model, (dummy, None),
                                   rng=jax.random.PRNGKey(0))

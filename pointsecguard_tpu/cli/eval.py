@@ -37,6 +37,10 @@ def main(argv=None):
     ap.add_argument("--devices", "-d", type=int, default=1,
                     help="data-parallel over the first N chips (batch size "
                          "must divide N); 1 = no sharding")
+    ap.add_argument("--precision", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="model compute precision (bf16 matmuls on the MXU; "
+                         "params/BN/neighbor-search/logits stay f32)")
     args = ap.parse_args(argv)
 
     import jax
@@ -63,6 +67,7 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(message)s", force=True)
     log = logging.getLogger("eval")
 
+    model_dtype = jnp.bfloat16 if args.precision == "bfloat16" else None
     if args.model == "randla":
         return _eval_randla(args, log)
 
@@ -78,13 +83,13 @@ def main(argv=None):
             overrides["n_blocks"] = args.resgcn_blocks
         if args.resgcn_fast:
             overrides.update(dilated_mode="subsample", knn_strategy="approx")
-        model = DenseDeepGCN(**overrides)
+        model = DenseDeepGCN(dtype=model_dtype, **overrides)
     else:
         model = {
             "pointnet2": PointNet2SemSegSSG,
             "pointnet2_msg": PointNet2SemSegMSG,
             "pointnet": PointNetSemSeg,
-        }[args.model]()
+        }[args.model](dtype=model_dtype)
 
     rooms = RoomSet.load(args.data_root, "test", args.test_area)
     dummy = jnp.zeros((args.batch_size, args.num_point, 9), jnp.float32)
@@ -155,7 +160,11 @@ def _eval_randla(args, log):
         args.randla_dir, split="test", test_area=args.test_area,
         num_points=num_points, rng=np.random.default_rng(args.seed),
     )
-    model = RandLANet(d_out=cfg.d_out)
+    model = RandLANet(
+        d_out=cfg.d_out,
+        dtype=jnp.bfloat16
+        if getattr(args, "precision", "float32") == "bfloat16" else None,
+    )
     pyramid_fn = jax.jit(
         lambda xyz: build_pyramid(
             xyz, num_layers=cfg.num_layers, k=cfg.k_n,

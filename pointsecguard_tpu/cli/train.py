@@ -36,6 +36,11 @@ def main(argv=None):
                     help="override ResGCN depth (default: config 28 blocks)")
     ap.add_argument("--learning_rate", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--precision", default="float32",
+                    choices=["float32", "bfloat16"],
+                    help="compute precision: bf16 matmuls on the MXU "
+                         "(f32 params/BN/loss — the standard TPU mixed-"
+                         "precision training recipe)")
     ap.add_argument("--eval_every", type=int, default=1)
     ap.add_argument("--profile", default=None,
                     help="dump a jax.profiler trace of the first epoch here")

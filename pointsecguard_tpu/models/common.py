@@ -15,10 +15,18 @@ avoids a recompile at every momentum change.
 
 from __future__ import annotations
 
-from typing import Callable, Sequence
+from typing import Any, Callable, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
+
+# Mixed precision (TPU MXU recipe): modules take a ``dtype`` attribute —
+# ``None`` keeps the exact float32 path; ``jnp.bfloat16`` runs the Dense
+# matmuls in bf16 (params stay float32; flax casts both operands at the
+# dot). BatchNorm statistics, softmaxes, losses, and all geometry ops
+# (FPS / ball query / kNN) stay in float32, so the neighbor structure is
+# IDENTICAL between precisions and only the MLP arithmetic is rounded.
+Dtype = Any
 
 
 class BatchNorm(nn.Module):
@@ -39,6 +47,10 @@ class BatchNorm(nn.Module):
         use_running_average: bool,
         momentum: jnp.ndarray | float = 0.9,
     ) -> jnp.ndarray:
+        # Statistics always in float32 (bf16 mean/var would corrupt the
+        # running stats); the output is returned in the caller's dtype.
+        out_dtype = x.dtype
+        x = x.astype(jnp.float32)
         features = x.shape[-1]
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
@@ -64,7 +76,7 @@ class BatchNorm(nn.Module):
                 ra_var.value = momentum * ra_var.value + (1.0 - momentum) * unbiased
 
         inv = jnp.reciprocal(jnp.sqrt(var + self.epsilon))
-        return (x - mean) * inv * scale + bias
+        return ((x - mean) * inv * scale + bias).astype(out_dtype)
 
 
 def leaky_relu(x: jnp.ndarray) -> jnp.ndarray:
@@ -86,6 +98,7 @@ class PointConv(nn.Module):
     bn: bool = True
     use_bias: bool = True
     bn_epsilon: float = 1e-5
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(
@@ -95,7 +108,7 @@ class PointConv(nn.Module):
         train: bool = False,
         momentum: jnp.ndarray | float = 0.9,
     ) -> jnp.ndarray:
-        x = nn.Dense(self.features, use_bias=self.use_bias)(x)
+        x = nn.Dense(self.features, use_bias=self.use_bias, dtype=self.dtype)(x)
         if self.bn:
             x = BatchNorm(epsilon=self.bn_epsilon)(
                 x, use_running_average=not train, momentum=momentum
@@ -110,6 +123,7 @@ class PointMLP(nn.Module):
     act: str = "relu"
     bn: bool = True
     bn_epsilon: float = 1e-5
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(
@@ -120,7 +134,11 @@ class PointMLP(nn.Module):
         momentum: jnp.ndarray | float = 0.9,
     ) -> jnp.ndarray:
         for f in self.features:
-            x = PointConv(f, act=self.act, bn=self.bn, bn_epsilon=self.bn_epsilon)(
-                x, train=train, momentum=momentum
-            )
+            x = PointConv(
+                f,
+                act=self.act,
+                bn=self.bn,
+                bn_epsilon=self.bn_epsilon,
+                dtype=self.dtype,
+            )(x, train=train, momentum=momentum)
         return x

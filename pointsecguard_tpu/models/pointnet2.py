@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from pointsecguard_tpu import ops
-from pointsecguard_tpu.models.common import PointMLP
+from pointsecguard_tpu.models.common import Dtype, PointMLP
 
 
 class SetAbstraction(nn.Module):
@@ -43,6 +43,7 @@ class SetAbstraction(nn.Module):
     nsample: int
     mlp: Sequence[int]
     group_all: bool = False
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, xyz, feats, *, train=False, momentum=0.9, plan=None):
@@ -62,7 +63,9 @@ class SetAbstraction(nn.Module):
                 self.npoint, self.radius, self.nsample, xyz, feats, fps_key=fps_key
             )
         # grouped: [B, S, K, C]; shared MLP then max over the K axis
-        x = PointMLP(self.mlp)(grouped, train=train, momentum=momentum)
+        x = PointMLP(self.mlp, dtype=self.dtype)(
+            grouped, train=train, momentum=momentum
+        )
         return new_xyz, jnp.max(x, axis=2)
 
 
@@ -75,6 +78,7 @@ class SetAbstractionMSG(nn.Module):
     radius_list: Sequence[float]
     nsample_list: Sequence[int]
     mlp_list: Sequence[Sequence[int]]
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, xyz, feats, *, train=False, momentum=0.9, plan=None):
@@ -98,7 +102,9 @@ class SetAbstractionMSG(nn.Module):
             grouped = ops.group_relative(
                 xyz, feats, idx, new_xyz, feats_first=True
             )
-            x = PointMLP(self.mlp_list[i])(grouped, train=train, momentum=momentum)
+            x = PointMLP(self.mlp_list[i], dtype=self.dtype)(
+                grouped, train=train, momentum=momentum
+            )
             outs.append(jnp.max(x, axis=2))
         return new_xyz, jnp.concatenate(outs, axis=-1)
 
@@ -110,6 +116,7 @@ class FeaturePropagation(nn.Module):
     interpolation plan (geometry-only; see ``build_geometry``)."""
 
     mlp: Sequence[int]
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, xyz1, xyz2, feats1, feats2, *, train=False,
@@ -130,7 +137,7 @@ class FeaturePropagation(nn.Module):
             x = jnp.concatenate([feats1, interpolated], axis=-1)
         else:
             x = interpolated
-        return PointMLP(self.mlp)(x, train=train, momentum=momentum)
+        return PointMLP(self.mlp, dtype=self.dtype)(x, train=train, momentum=momentum)
 
 
 # SSG architecture spec (`pointnet2_sem_seg.py:9-16`)
@@ -186,6 +193,7 @@ class PointNet2SemSegSSG(nn.Module):
     """
 
     num_classes: int = 13
+    dtype: Dtype = None  # None = exact f32; jnp.bfloat16 = MXU mixed precision
 
     @nn.compact
     def __call__(self, points, *, train: bool = False, momentum=0.9,
@@ -195,7 +203,7 @@ class PointNet2SemSegSSG(nn.Module):
         sa_plan = geometry["sa"] if geometry is not None else (None,) * 4
         fp_plan = geometry["fp"] if geometry is not None else (None,) * 4
 
-        sa = lambda n, r, k, mlp: SetAbstraction(n, r, k, mlp)
+        sa = lambda n, r, k, mlp: SetAbstraction(n, r, k, mlp, dtype=self.dtype)
         l1_xyz, l1 = sa(1024, 0.1, 32, (32, 32, 64))(
             l0_xyz, l0_feats, train=train, momentum=momentum, plan=sa_plan[0]
         )
@@ -209,26 +217,27 @@ class PointNet2SemSegSSG(nn.Module):
             l3_xyz, l3, train=train, momentum=momentum, plan=sa_plan[3]
         )
 
-        l3 = FeaturePropagation((256, 256))(
+        l3 = FeaturePropagation((256, 256), dtype=self.dtype)(
             l3_xyz, l4_xyz, l3, l4, train=train, momentum=momentum,
             plan=fp_plan[3],
         )
-        l2 = FeaturePropagation((256, 256))(
+        l2 = FeaturePropagation((256, 256), dtype=self.dtype)(
             l2_xyz, l3_xyz, l2, l3, train=train, momentum=momentum,
             plan=fp_plan[2],
         )
-        l1 = FeaturePropagation((256, 128))(
+        l1 = FeaturePropagation((256, 128), dtype=self.dtype)(
             l1_xyz, l2_xyz, l1, l2, train=train, momentum=momentum,
             plan=fp_plan[1],
         )
-        l0 = FeaturePropagation((128, 128, 128))(
+        l0 = FeaturePropagation((128, 128, 128), dtype=self.dtype)(
             l0_xyz, l1_xyz, None, l1, train=train, momentum=momentum,
             plan=fp_plan[0],
         )
 
-        x = PointMLP((128,))(l0, train=train, momentum=momentum)
+        x = PointMLP((128,), dtype=self.dtype)(l0, train=train, momentum=momentum)
         x = nn.Dropout(0.5, deterministic=not train)(x)
-        x = nn.Dense(self.num_classes)(x)
+        # head logits + log_softmax always in float32
+        x = nn.Dense(self.num_classes, dtype=self.dtype)(x).astype(jnp.float32)
         return nn.log_softmax(x, axis=-1), l4
 
 
@@ -236,6 +245,7 @@ class PointNet2SemSegMSG(nn.Module):
     """PointNet++ MSG semantic segmentation (`pointnet2_sem_seg_msg.py:6-41`)."""
 
     num_classes: int = 13
+    dtype: Dtype = None  # None = exact f32; jnp.bfloat16 = MXU mixed precision
 
     @nn.compact
     def __call__(self, points, *, train: bool = False, momentum=0.9,
@@ -246,38 +256,43 @@ class PointNet2SemSegMSG(nn.Module):
         fp_plan = geometry["fp"] if geometry is not None else (None,) * 4
 
         l1_xyz, l1 = SetAbstractionMSG(
-            1024, (0.05, 0.1), (16, 32), ((16, 16, 32), (32, 32, 64))
+            1024, (0.05, 0.1), (16, 32), ((16, 16, 32), (32, 32, 64)),
+            dtype=self.dtype,
         )(l0_xyz, l0_feats, train=train, momentum=momentum, plan=sa_plan[0])
         l2_xyz, l2 = SetAbstractionMSG(
-            256, (0.1, 0.2), (16, 32), ((64, 64, 128), (64, 96, 128))
+            256, (0.1, 0.2), (16, 32), ((64, 64, 128), (64, 96, 128)),
+            dtype=self.dtype,
         )(l1_xyz, l1, train=train, momentum=momentum, plan=sa_plan[1])
         l3_xyz, l3 = SetAbstractionMSG(
-            64, (0.2, 0.4), (16, 32), ((128, 196, 256), (128, 196, 256))
+            64, (0.2, 0.4), (16, 32), ((128, 196, 256), (128, 196, 256)),
+            dtype=self.dtype,
         )(l2_xyz, l2, train=train, momentum=momentum, plan=sa_plan[2])
         l4_xyz, l4 = SetAbstractionMSG(
-            16, (0.4, 0.8), (16, 32), ((256, 256, 512), (256, 384, 512))
+            16, (0.4, 0.8), (16, 32), ((256, 256, 512), (256, 384, 512)),
+            dtype=self.dtype,
         )(l3_xyz, l3, train=train, momentum=momentum, plan=sa_plan[3])
 
-        l3 = FeaturePropagation((256, 256))(
+        l3 = FeaturePropagation((256, 256), dtype=self.dtype)(
             l3_xyz, l4_xyz, l3, l4, train=train, momentum=momentum,
             plan=fp_plan[3],
         )
-        l2 = FeaturePropagation((256, 256))(
+        l2 = FeaturePropagation((256, 256), dtype=self.dtype)(
             l2_xyz, l3_xyz, l2, l3, train=train, momentum=momentum,
             plan=fp_plan[2],
         )
-        l1 = FeaturePropagation((256, 128))(
+        l1 = FeaturePropagation((256, 128), dtype=self.dtype)(
             l1_xyz, l2_xyz, l1, l2, train=train, momentum=momentum,
             plan=fp_plan[1],
         )
-        l0 = FeaturePropagation((128, 128, 128))(
+        l0 = FeaturePropagation((128, 128, 128), dtype=self.dtype)(
             l0_xyz, l1_xyz, None, l1, train=train, momentum=momentum,
             plan=fp_plan[0],
         )
 
-        x = PointMLP((128,))(l0, train=train, momentum=momentum)
+        x = PointMLP((128,), dtype=self.dtype)(l0, train=train, momentum=momentum)
         x = nn.Dropout(0.5, deterministic=not train)(x)
-        x = nn.Dense(self.num_classes)(x)
+        # head logits + log_softmax always in float32
+        x = nn.Dense(self.num_classes, dtype=self.dtype)(x).astype(jnp.float32)
         return nn.log_softmax(x, axis=-1), l4
 
 

@@ -17,7 +17,7 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 from pointsecguard_tpu import ops
-from pointsecguard_tpu.models.common import BatchNorm
+from pointsecguard_tpu.models.common import BatchNorm, Dtype
 from pointsecguard_tpu.models.pointnet2 import (
     FeaturePropagation,
     SetAbstraction,
@@ -32,14 +32,17 @@ class _ClsHead(nn.Module):
 
     num_classes: int
     drop2: float = 0.4
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, *, train=False, momentum=0.9):
-        x = nn.relu(BatchNorm()(nn.Dense(512)(x), not train, momentum))
+        dt = self.dtype
+        x = nn.relu(BatchNorm()(nn.Dense(512, dtype=dt)(x), not train, momentum))
         x = nn.Dropout(0.4, deterministic=not train)(x)
-        x = nn.relu(BatchNorm()(nn.Dense(256)(x), not train, momentum))
+        x = nn.relu(BatchNorm()(nn.Dense(256, dtype=dt)(x), not train, momentum))
         x = nn.Dropout(self.drop2, deterministic=not train)(x)
-        x = nn.Dense(self.num_classes)(x)
+        # head logits + log_softmax always in float32
+        x = nn.Dense(self.num_classes, dtype=dt)(x).astype(jnp.float32)
         return nn.log_softmax(x, axis=-1)
 
 
@@ -48,6 +51,7 @@ class PointNet2ClsSSG(nn.Module):
 
     num_classes: int = 40
     normal_channel: bool = True
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, points, *, train: bool = False, momentum=0.9,
@@ -55,17 +59,17 @@ class PointNet2ClsSSG(nn.Module):
         xyz = points[..., :3]
         feats = points[..., 3:] if self.normal_channel else None
         sa_plan = geometry["sa"] if geometry is not None else (None,) * 2
-        l1_xyz, l1 = SetAbstraction(512, 0.2, 32, (64, 64, 128))(
+        l1_xyz, l1 = SetAbstraction(512, 0.2, 32, (64, 64, 128), dtype=self.dtype)(
             xyz, feats, train=train, momentum=momentum, plan=sa_plan[0]
         )
-        l2_xyz, l2 = SetAbstraction(128, 0.4, 64, (128, 128, 256))(
+        l2_xyz, l2 = SetAbstraction(128, 0.4, 64, (128, 128, 256), dtype=self.dtype)(
             l1_xyz, l1, train=train, momentum=momentum, plan=sa_plan[1]
         )
-        _, l3 = SetAbstraction(0, 0.0, 0, (256, 512, 1024), group_all=True)(
+        _, l3 = SetAbstraction(0, 0.0, 0, (256, 512, 1024), group_all=True, dtype=self.dtype)(
             l2_xyz, l2, train=train, momentum=momentum
         )
         x = l3[:, 0, :]  # [B, 1024]
-        return _ClsHead(self.num_classes)(x, train=train, momentum=momentum), l3
+        return _ClsHead(self.num_classes, dtype=self.dtype)(x, train=train, momentum=momentum), l3
 
 
 class PointNet2ClsMSG(nn.Module):
@@ -73,6 +77,7 @@ class PointNet2ClsMSG(nn.Module):
 
     num_classes: int = 40
     normal_channel: bool = True
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, points, *, train: bool = False, momentum=0.9,
@@ -82,18 +87,18 @@ class PointNet2ClsMSG(nn.Module):
         sa_plan = geometry["sa"] if geometry is not None else (None,) * 2
         l1_xyz, l1 = SetAbstractionMSG(
             512, (0.1, 0.2, 0.4), (16, 32, 128),
-            ((32, 32, 64), (64, 64, 128), (64, 96, 128)),
+            ((32, 32, 64), (64, 64, 128), (64, 96, 128)), dtype=self.dtype,
         )(xyz, feats, train=train, momentum=momentum, plan=sa_plan[0])
         l2_xyz, l2 = SetAbstractionMSG(
             128, (0.2, 0.4, 0.8), (32, 64, 128),
-            ((64, 64, 128), (128, 128, 256), (128, 128, 256)),
+            ((64, 64, 128), (128, 128, 256), (128, 128, 256)), dtype=self.dtype,
         )(l1_xyz, l1, train=train, momentum=momentum, plan=sa_plan[1])
-        _, l3 = SetAbstraction(0, 0.0, 0, (256, 512, 1024), group_all=True)(
+        _, l3 = SetAbstraction(0, 0.0, 0, (256, 512, 1024), group_all=True, dtype=self.dtype)(
             l2_xyz, l2, train=train, momentum=momentum
         )
         x = l3[:, 0, :]
         return (
-            _ClsHead(self.num_classes, drop2=0.5)(x, train=train, momentum=momentum),
+            _ClsHead(self.num_classes, drop2=0.5, dtype=self.dtype)(x, train=train, momentum=momentum),
             l3,
         )
 
@@ -105,6 +110,7 @@ class PointNet2PartSegSSG(nn.Module):
     num_classes: int = 50
     num_object_classes: int = 16
     normal_channel: bool = False
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, points, cls_label, *, train: bool = False, momentum=0.9,
@@ -118,20 +124,20 @@ class PointNet2PartSegSSG(nn.Module):
         sa_plan = geometry["sa"] if geometry is not None else (None,) * 2
         fp_plan = geometry["fp"] if geometry is not None else (None,) * 2
 
-        l1_xyz, l1 = SetAbstraction(512, 0.2, 32, (64, 64, 128))(
+        l1_xyz, l1 = SetAbstraction(512, 0.2, 32, (64, 64, 128), dtype=self.dtype)(
             l0_xyz, l0_feats, train=train, momentum=momentum, plan=sa_plan[0]
         )
-        l2_xyz, l2 = SetAbstraction(128, 0.4, 64, (128, 128, 256))(
+        l2_xyz, l2 = SetAbstraction(128, 0.4, 64, (128, 128, 256), dtype=self.dtype)(
             l1_xyz, l1, train=train, momentum=momentum, plan=sa_plan[1]
         )
-        l3_xyz, l3 = SetAbstraction(0, 0.0, 0, (256, 512, 1024), group_all=True)(
+        l3_xyz, l3 = SetAbstraction(0, 0.0, 0, (256, 512, 1024), group_all=True, dtype=self.dtype)(
             l2_xyz, l2, train=train, momentum=momentum
         )
         # l2←l3 is a broadcast from the single group-all point — no plan
-        l2 = FeaturePropagation((256, 256))(
+        l2 = FeaturePropagation((256, 256), dtype=self.dtype)(
             l2_xyz, l3_xyz, l2, l3, train=train, momentum=momentum
         )
-        l1 = FeaturePropagation((256, 128))(
+        l1 = FeaturePropagation((256, 128), dtype=self.dtype)(
             l1_xyz, l2_xyz, l1, l2, train=train, momentum=momentum,
             plan=fp_plan[0]
         )
@@ -139,13 +145,14 @@ class PointNet2PartSegSSG(nn.Module):
             cls_label[:, None, :], (B, N, self.num_object_classes)
         )
         skip = jnp.concatenate([one_hot, l0_xyz, l0_feats], axis=-1)
-        l0 = FeaturePropagation((128, 128, 128))(
+        l0 = FeaturePropagation((128, 128, 128), dtype=self.dtype)(
             l0_xyz, l1_xyz, skip, l1, train=train, momentum=momentum,
             plan=fp_plan[1]
         )
-        x = PointMLP((128,))(l0, train=train, momentum=momentum)
+        x = PointMLP((128,), dtype=self.dtype)(l0, train=train, momentum=momentum)
         x = nn.Dropout(0.5, deterministic=not train)(x)
-        x = nn.Dense(self.num_classes)(x)
+        # head logits + log_softmax always in float32
+        x = nn.Dense(self.num_classes, dtype=self.dtype)(x).astype(jnp.float32)
         return nn.log_softmax(x, axis=-1), l3
 
 
@@ -155,6 +162,7 @@ class PointNet2PartSegMSG(nn.Module):
     num_classes: int = 50
     num_object_classes: int = 16
     normal_channel: bool = False
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, points, cls_label, *, train: bool = False, momentum=0.9,
@@ -167,19 +175,19 @@ class PointNet2PartSegMSG(nn.Module):
 
         l1_xyz, l1 = SetAbstractionMSG(
             512, (0.1, 0.2, 0.4), (32, 64, 128),
-            ((32, 32, 64), (64, 64, 128), (64, 96, 128)),
+            ((32, 32, 64), (64, 64, 128), (64, 96, 128)), dtype=self.dtype,
         )(l0_xyz, l0_feats, train=train, momentum=momentum, plan=sa_plan[0])
         l2_xyz, l2 = SetAbstractionMSG(
             128, (0.4, 0.8), (64, 128),
-            ((128, 128, 256), (128, 196, 256)),
+            ((128, 128, 256), (128, 196, 256)), dtype=self.dtype,
         )(l1_xyz, l1, train=train, momentum=momentum, plan=sa_plan[1])
-        l3_xyz, l3 = SetAbstraction(0, 0.0, 0, (256, 512, 1024), group_all=True)(
+        l3_xyz, l3 = SetAbstraction(0, 0.0, 0, (256, 512, 1024), group_all=True, dtype=self.dtype)(
             l2_xyz, l2, train=train, momentum=momentum
         )
-        l2 = FeaturePropagation((256, 256))(
+        l2 = FeaturePropagation((256, 256), dtype=self.dtype)(
             l2_xyz, l3_xyz, l2, l3, train=train, momentum=momentum
         )
-        l1 = FeaturePropagation((256, 128))(
+        l1 = FeaturePropagation((256, 128), dtype=self.dtype)(
             l1_xyz, l2_xyz, l1, l2, train=train, momentum=momentum,
             plan=fp_plan[0]
         )
@@ -187,13 +195,14 @@ class PointNet2PartSegMSG(nn.Module):
             cls_label[:, None, :], (B, N, self.num_object_classes)
         )
         skip = jnp.concatenate([one_hot, l0_xyz, l0_feats], axis=-1)
-        l0 = FeaturePropagation((128, 128))(
+        l0 = FeaturePropagation((128, 128), dtype=self.dtype)(
             l0_xyz, l1_xyz, skip, l1, train=train, momentum=momentum,
             plan=fp_plan[1]
         )
-        x = PointMLP((128,))(l0, train=train, momentum=momentum)
+        x = PointMLP((128,), dtype=self.dtype)(l0, train=train, momentum=momentum)
         x = nn.Dropout(0.5, deterministic=not train)(x)
-        x = nn.Dense(self.num_classes)(x)
+        # head logits + log_softmax always in float32
+        x = nn.Dense(self.num_classes, dtype=self.dtype)(x).astype(jnp.float32)
         return nn.log_softmax(x, axis=-1), l3
 
 

@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 
 from pointsecguard_tpu import ops
-from pointsecguard_tpu.models.common import PointConv
+from pointsecguard_tpu.models.common import Dtype, PointConv
 
 # TF batch_normalization defaults in the reference (`RandLANet.py:160`,
 # `helper_tf_util.py:457`): momentum 0.99, epsilon 1e-6.
@@ -30,7 +30,8 @@ _BN_EPS = 1e-6
 _BN_MOM = 0.99
 
 
-def _conv(feats: int, act: str = "leaky_relu", bn: bool = True) -> PointConv:
+def _conv(feats: int, act: str = "leaky_relu", bn: bool = True,
+          dtype: Dtype = None) -> PointConv:
     # The fork's helper_tf_util.conv2d / conv2d_transpose HARDCODE
     # leaky_relu(alpha=0.2) whenever an activation applies — the
     # signature's `activation_fn=tf.nn.relu` default is dead code; the
@@ -42,7 +43,7 @@ def _conv(feats: int, act: str = "leaky_relu", bn: bool = True) -> PointConv:
     # `RandLANet.py:326-329,189`). Round 1-2 of this rebuild used ReLU
     # here (misread of the signature default) — fixed in round 3 with
     # the logit fixtures regenerated.
-    return PointConv(feats, act=act, bn=bn, bn_epsilon=_BN_EPS)
+    return PointConv(feats, act=act, bn=bn, bn_epsilon=_BN_EPS, dtype=dtype)
 
 
 def build_pyramid(
@@ -123,6 +124,7 @@ class AttentivePooling(nn.Module):
 
     d_out: int
     interpret: bool = False  # pallas interpret mode (CPU tests)
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, feature_set=None, *, fn_fx=None, train=False):
@@ -140,10 +142,11 @@ class AttentivePooling(nn.Module):
         else:
             # feature_set: [B, N, K, d]
             d = feature_set.shape[-1]
-            scores = nn.Dense(d, use_bias=False)(feature_set)
-            scores = nn.softmax(scores, axis=2)
+            scores = nn.Dense(d, use_bias=False, dtype=self.dtype)(feature_set)
+            # softmax + weighted sum in float32 whatever the conv dtype
+            scores = nn.softmax(scores.astype(jnp.float32), axis=2)
             agg = jnp.sum(feature_set * scores, axis=2)  # [B, N, d]
-        return _conv(self.d_out)(agg, train=train, momentum=_BN_MOM)
+        return _conv(self.d_out, dtype=self.dtype)(agg, train=train, momentum=_BN_MOM)
 
 
 class LocalFeatureAggregation(nn.Module):
@@ -162,6 +165,7 @@ class LocalFeatureAggregation(nn.Module):
 
     d_out: int
     ap_impl: str = "reference"  # "reference" | "fused" | "fused_interpret"
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, xyz, feature, neigh_idx, *, train=False, pos=None,
@@ -179,7 +183,7 @@ class LocalFeatureAggregation(nn.Module):
             rel = center - neighbor_xyz
             dist = jnp.sqrt(jnp.sum(rel**2, axis=-1, keepdims=True))
             f_xyz = jnp.concatenate([dist, rel, center, neighbor_xyz], axis=-1)
-            f_xyz1 = _conv(d_in)(f_xyz, train=train, momentum=_BN_MOM)
+            f_xyz1 = _conv(d_in, dtype=self.dtype)(f_xyz, train=train, momentum=_BN_MOM)
         else:
             f_xyz1 = pos[0]
 
@@ -191,6 +195,7 @@ class LocalFeatureAggregation(nn.Module):
         # runs the kernel in interpreter mode and works anywhere (tests)
         fused = (
             self.ap_impl != "reference"
+            and self.dtype is None  # the pallas kernel is float32-only
             and fused_supported(K, 2 * d_in)
             and fused_supported(K, self.d_out)
             and (
@@ -215,7 +220,7 @@ class LocalFeatureAggregation(nn.Module):
             )  # [M, d_out//2]
         else:
             f_neigh = ops.gather_points(feature, neigh_idx)  # [B, N, K, d_in]
-            f_agg = AttentivePooling(self.d_out // 2)(
+            f_agg = AttentivePooling(self.d_out // 2, dtype=self.dtype)(
                 jnp.concatenate([f_neigh, f_xyz1], axis=-1), train=train
             )
 
@@ -223,7 +228,7 @@ class LocalFeatureAggregation(nn.Module):
         # pooling2) is load-bearing — it fixes the flax param names that
         # checkpoints and the logit fixtures were written with.
         if pos is None:
-            f_xyz2 = _conv(self.d_out // 2)(f_xyz1, train=train, momentum=_BN_MOM)
+            f_xyz2 = _conv(self.d_out // 2, dtype=self.dtype)(f_xyz1, train=train, momentum=_BN_MOM)
         else:
             f_xyz2 = pos[1]
         if fused:
@@ -235,7 +240,7 @@ class LocalFeatureAggregation(nn.Module):
             ).reshape(B, N, -1)
         else:
             f_neigh2 = ops.gather_points(f_agg, neigh_idx)
-            out = AttentivePooling(self.d_out)(
+            out = AttentivePooling(self.d_out, dtype=self.dtype)(
                 jnp.concatenate([f_neigh2, f_xyz2], axis=-1), train=train
             )
         if collect_pos:
@@ -248,18 +253,20 @@ class DilatedResBlock(nn.Module):
 
     d_out: int
     ap_impl: str = "reference"
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, feature, xyz, neigh_idx, *, train=False, pos=None,
                  collect_pos=False):
-        f = _conv(self.d_out // 2)(feature, train=train, momentum=_BN_MOM)
-        f = LocalFeatureAggregation(self.d_out, ap_impl=self.ap_impl)(
+        dt = self.dtype
+        f = _conv(self.d_out // 2, dtype=dt)(feature, train=train, momentum=_BN_MOM)
+        f = LocalFeatureAggregation(self.d_out, ap_impl=self.ap_impl, dtype=dt)(
             xyz, f, neigh_idx, train=train, pos=pos, collect_pos=collect_pos
         )
         if collect_pos:
             f, pos_out = f
-        f = _conv(2 * self.d_out, act="none")(f, train=train, momentum=_BN_MOM)
-        shortcut = _conv(2 * self.d_out, act="none")(
+        f = _conv(2 * self.d_out, act="none", dtype=dt)(f, train=train, momentum=_BN_MOM)
+        shortcut = _conv(2 * self.d_out, act="none", dtype=dt)(
             feature, train=train, momentum=_BN_MOM
         )
         out = nn.leaky_relu(f + shortcut, negative_slope=0.2)
@@ -283,6 +290,7 @@ class RandLANet(nn.Module):
     # ~reassociation-equal numerics; "reference" is the exact unfused
     # composition; "fused_interpret" = fused in interpreter mode (tests).
     ap_impl: str = "reference"
+    dtype: Dtype = None  # None = exact f32; jnp.bfloat16 = MXU mixed precision
 
     @nn.compact
     def __call__(self, features, pyramid, *, train: bool = False, momentum=None,
@@ -302,7 +310,7 @@ class RandLANet(nn.Module):
         # fc0 then BN + leaky_relu (`RandLANet.py:158-160`)
         from pointsecguard_tpu.models.common import BatchNorm
 
-        f = nn.Dense(8)(features)
+        f = nn.Dense(8, dtype=self.dtype)(features)
         f = BatchNorm(epsilon=_BN_EPS)(f, not train, _BN_MOM)
         f = nn.leaky_relu(f, negative_slope=0.2)
 
@@ -310,7 +318,9 @@ class RandLANet(nn.Module):
         enc = []
         pos_out = []
         for i in range(num_layers):
-            f_enc = DilatedResBlock(self.d_out[i], ap_impl=self.ap_impl)(
+            f_enc = DilatedResBlock(
+                self.d_out[i], ap_impl=self.ap_impl, dtype=self.dtype
+            )(
                 f, xyz[i], neigh_idx[i], train=train,
                 pos=pos_plan[i] if pos_plan is not None else None,
                 collect_pos=collect_pos,
@@ -323,21 +333,22 @@ class RandLANet(nn.Module):
                 enc.append(f_enc)
             enc.append(f)
 
-        f = _conv(enc[-1].shape[-1])(f, train=train, momentum=_BN_MOM)
+        f = _conv(enc[-1].shape[-1], dtype=self.dtype)(f, train=train, momentum=_BN_MOM)
 
         # Decoder
         for j in range(num_layers):
             f_interp = ops.nearest_upsample(f, interp_idx[-j - 1])
-            f = _conv(enc[-j - 2].shape[-1])(
+            f = _conv(enc[-j - 2].shape[-1], dtype=self.dtype)(
                 jnp.concatenate([enc[-j - 2], f_interp], axis=-1),
                 train=train,
                 momentum=_BN_MOM,
             )
 
-        f = _conv(64)(f, train=train, momentum=_BN_MOM)
-        f = _conv(32)(f, train=train, momentum=_BN_MOM)
+        f = _conv(64, dtype=self.dtype)(f, train=train, momentum=_BN_MOM)
+        f = _conv(32, dtype=self.dtype)(f, train=train, momentum=_BN_MOM)
         f = nn.Dropout(0.5, deterministic=not train)(f)
-        logits = nn.Dense(self.num_classes)(f)
+        # logits always float32
+        logits = nn.Dense(self.num_classes, dtype=self.dtype)(f).astype(jnp.float32)
         if collect_pos:
             return logits, tuple(pos_out)
         return logits

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from pointsecguard_tpu import ops
-from pointsecguard_tpu.models.common import BatchNorm
+from pointsecguard_tpu.models.common import BatchNorm, Dtype
 
 
 class BasicConv(nn.Module):
@@ -31,6 +31,7 @@ class BasicConv(nn.Module):
     act: str | None = "relu"
     norm: str | None = "batch"
     use_bias: bool = True
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, *, train=False):
@@ -39,6 +40,7 @@ class BasicConv(nn.Module):
                 f,
                 use_bias=self.use_bias,
                 kernel_init=nn.initializers.kaiming_normal(),
+                dtype=self.dtype,
             )(x)
             if self.act == "relu":
                 x = nn.relu(x)
@@ -57,6 +59,7 @@ class EdgeConv(nn.Module):
     act: str = "relu"
     norm: str = "batch"
     use_bias: bool = True
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, edge_idx, *, train=False):
@@ -64,9 +67,10 @@ class EdgeConv(nn.Module):
         x_j = ops.gather_points(x, edge_idx)  # [B, N, K, C]
         x_i = jnp.broadcast_to(x[:, :, None, :], x_j.shape)
         h = jnp.concatenate([x_i, x_j - x_i], axis=-1)
-        h = BasicConv((self.out_channels,), self.act, self.norm, self.use_bias)(
-            h, train=train
-        )
+        h = BasicConv(
+            (self.out_channels,), self.act, self.norm, self.use_bias,
+            dtype=self.dtype,
+        )(h, train=train)
         return jnp.max(h, axis=2)
 
 
@@ -77,6 +81,7 @@ class MRConv(nn.Module):
     act: str = "relu"
     norm: str = "batch"
     use_bias: bool = True
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, edge_idx, *, train=False):
@@ -84,16 +89,18 @@ class MRConv(nn.Module):
         x_i = jnp.broadcast_to(x[:, :, None, :], x_j.shape)
         rel = jnp.max(x_j - x_i, axis=2)  # [B, N, C]
         h = jnp.concatenate([x, rel], axis=-1)
-        return BasicConv((self.out_channels,), self.act, self.norm, self.use_bias)(
-            h, train=train
-        )
+        return BasicConv(
+            (self.out_channels,), self.act, self.norm, self.use_bias,
+            dtype=self.dtype,
+        )(h, train=train)
 
 
-def _graph_conv(conv: str, out_channels: int, act: str, norm: str, bias: bool):
+def _graph_conv(conv: str, out_channels: int, act: str, norm: str, bias: bool,
+                dtype: Dtype = None):
     if conv == "edge":
-        return EdgeConv(out_channels, act, norm, bias)
+        return EdgeConv(out_channels, act, norm, bias, dtype)
     if conv == "mr":
-        return MRConv(out_channels, act, norm, bias)
+        return MRConv(out_channels, act, norm, bias, dtype)
     raise NotImplementedError(f"conv:{conv} is not supported")
 
 
@@ -112,6 +119,7 @@ class DynConv(nn.Module):
     epsilon: float = 0.0
     knn_strategy: str = "auto"
     dilated_mode: str = "exact"  # "exact" | "subsample"
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, x, *, train=False, idx=None, collect_idx=False):
@@ -147,9 +155,10 @@ class DynConv(nn.Module):
                 epsilon=self.epsilon,
                 key=key,
             )
-        out = _graph_conv(self.conv, self.out_channels, self.act, self.norm, self.use_bias)(
-            x, idx, train=train
-        )
+        out = _graph_conv(
+            self.conv, self.out_channels, self.act, self.norm, self.use_bias,
+            self.dtype,
+        )(x, idx, train=train)
         return (out, idx) if collect_idx else out
 
 
@@ -180,6 +189,9 @@ class DenseDeepGCN(nn.Module):
     # among a stride-d candidate subset — ~4× faster forwards, documented
     # deviation; default exact reference semantics
     dilated_mode: str = "exact"
+    # None = exact f32; jnp.bfloat16 runs the Dense matmuls on the MXU in
+    # bf16 (params f32, BN/kNN/logits f32 — see models/common.py)
+    dtype: Dtype = None
 
     @nn.compact
     def __call__(self, points, *, train: bool = False, momentum=None,
@@ -203,9 +215,10 @@ class DenseDeepGCN(nn.Module):
         )
         graphs_out = [head_idx]
         feats = [
-            _graph_conv(self.conv, self.n_filters, self.act, self.norm, self.use_bias)(
-                points, head_idx, train=train
-            )
+            _graph_conv(
+                self.conv, self.n_filters, self.act, self.norm, self.use_bias,
+                self.dtype,
+            )(points, head_idx, train=train)
         ]
         for i in range(self.n_blocks - 1):
             # backbone variants (`architecture.py:22-39`): res adds the
@@ -230,6 +243,7 @@ class DenseDeepGCN(nn.Module):
                 epsilon=self.epsilon,
                 knn_strategy=self.knn_strategy,
                 dilated_mode=self.dilated_mode,
+                dtype=self.dtype,
             )(
                 feats[-1],
                 train=train,
@@ -247,15 +261,20 @@ class DenseDeepGCN(nn.Module):
                 feats.append(body)
 
         h = jnp.concatenate(feats, axis=-1)  # [B, N, 64*28]
-        fusion = BasicConv((1024,), self.act, self.norm, self.use_bias)(h, train=train)
+        fusion = BasicConv((1024,), self.act, self.norm, self.use_bias,
+                           dtype=self.dtype)(h, train=train)
         fusion = jnp.max(fusion, axis=1, keepdims=True)  # [B, 1, 1024]
         fusion = jnp.broadcast_to(fusion, (h.shape[0], h.shape[1], 1024))
 
         x = jnp.concatenate([fusion, h], axis=-1)
-        x = BasicConv((512,), self.act, self.norm, self.use_bias)(x, train=train)
-        x = BasicConv((256,), self.act, self.norm, self.use_bias)(x, train=train)
+        x = BasicConv((512,), self.act, self.norm, self.use_bias,
+                      dtype=self.dtype)(x, train=train)
+        x = BasicConv((256,), self.act, self.norm, self.use_bias,
+                      dtype=self.dtype)(x, train=train)
         x = nn.Dropout(self.dropout, deterministic=not train)(x) if self.dropout else x
-        logits = BasicConv((self.num_classes,), None, None, self.use_bias)(x, train=train)
+        # logits always float32
+        logits = BasicConv((self.num_classes,), None, None, self.use_bias,
+                           dtype=self.dtype)(x, train=train).astype(jnp.float32)
         if collect_graphs:
             return logits, tuple(graphs_out)
         return logits

@@ -86,6 +86,11 @@ def knn(
       Callers consume the indices; on the fused path the distances carry
       no gradient (`ops/pallas/knn.py`).
     """
+    # Neighbor SELECTION is always float32 even under a bf16 model dtype:
+    # distances in bf16 would flip near-tie neighbors and change the graph
+    # topology between precisions (and the Pallas kernel is f32-only).
+    query = query.astype(jnp.float32)
+    points = points.astype(jnp.float32)
     if _use_fused_knn(query, points, k, strategy):
         from pointsecguard_tpu.ops.pallas.knn import knn_pallas
 

@@ -62,14 +62,18 @@ def train_pointnet_family(args):
     mesh = data_parallel_mesh(getattr(args, "devices", 1))
     put = make_batch_put(mesh, batch_size=batch_size)
 
+    model_dtype = (
+        jnp.bfloat16
+        if getattr(args, "precision", "float32") == "bfloat16" else None
+    )
     if args.model == "pointnet2":
-        model = PointNet2SemSegSSG()
+        model = PointNet2SemSegSSG(dtype=model_dtype)
         aux = None
     elif args.model == "pointnet2_msg":
-        model = PointNet2SemSegMSG()
+        model = PointNet2SemSegMSG(dtype=model_dtype)
         aux = None
     else:
-        model = PointNetSemSeg()
+        model = PointNetSemSeg(dtype=model_dtype)
         # loss += 0.001 · feature-transform regularizer (`pointnet_sem_seg.py:40-49`)
         aux = lambda out: 0.001 * feature_transform_regularizer(out[1])
 
@@ -176,7 +180,11 @@ def train_randla(args):
         args.randla_dir, split="test", test_area=args.test_area,
         num_points=num_points, rng=np.random.default_rng(args.seed + 9),
     )
-    model = RandLANet(d_out=cfg.d_out)
+    model = RandLANet(
+        d_out=cfg.d_out,
+        dtype=jnp.bfloat16
+        if getattr(args, "precision", "float32") == "bfloat16" else None,
+    )
     model_args = lambda feats: (
         feats,
         build_pyramid(
@@ -267,6 +275,8 @@ def train_resgcn(args):
         n_blocks=getattr(args, "resgcn_blocks", 0) or cfg.n_blocks,
         n_filters=cfg.n_filters, k=cfg.k,
         epsilon=cfg.epsilon, stochastic=cfg.stochastic, dropout=cfg.dropout,
+        dtype=jnp.bfloat16
+        if getattr(args, "precision", "float32") == "bfloat16" else None,
     )
 
     def ce_loss(logits, labels, _):

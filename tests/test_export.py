@@ -1,0 +1,107 @@
+"""Serving export (utils/export.py + cli/export.py): StableHLO artifacts.
+
+The exported program must reproduce the live model's outputs after a
+full save → deserialize round trip, with params as runtime arguments
+(never baked-in constants), and the CLI must produce a loadable artifact
+directory from a checkpoint.
+"""
+
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointsecguard_tpu.models import PointNet2SemSegSSG, PointNetSemSeg
+from pointsecguard_tpu.utils.export import (
+    export_forward,
+    flatten_variables,
+    load_artifact,
+    save_artifact,
+    unflatten_variables,
+)
+
+
+def _points(key=0, b=2, n=128, c=9):
+    return jax.random.normal(jax.random.PRNGKey(key), (b, n, c)) * 0.1
+
+
+class TestFlatten:
+    def test_round_trip(self):
+        tree = {
+            "params": {"Dense_0": {"kernel": np.ones((3, 4), np.float32)}},
+            "batch_stats": {"bn": {"mean": np.zeros((4,), np.float32)}},
+        }
+        back = unflatten_variables(flatten_variables(tree))
+        assert set(back) == {"params", "batch_stats"}
+        np.testing.assert_array_equal(
+            np.asarray(back["params"]["Dense_0"]["kernel"]),
+            tree["params"]["Dense_0"]["kernel"],
+        )
+
+
+class TestExportRoundTrip:
+    def test_pointnet2_artifact_matches_live_model(self, tmp_path):
+        pts = _points()
+        model = PointNet2SemSegSSG()
+        variables = model.init({"params": jax.random.PRNGKey(1)}, pts)
+        apply_fn = lambda v, p: model.apply(v, p)[0]
+
+        exported = export_forward(apply_fn, variables, pts,
+                                  platforms=("cpu",))
+        art = str(tmp_path / "art")
+        save_artifact(art, exported, variables, meta={"model": "pointnet2"})
+        assert os.path.exists(os.path.join(art, "forward.hlo"))
+
+        forward, meta = load_artifact(art)
+        assert meta["model"] == "pointnet2"
+        probe = _points(key=9)
+        np.testing.assert_allclose(
+            np.asarray(forward(probe)),
+            np.asarray(apply_fn(variables, probe)),
+            atol=1e-5,
+        )
+
+    def test_params_are_arguments_not_constants(self, tmp_path):
+        # serving with DIFFERENT params through the same program must
+        # change the output — proves params ride as arguments
+        pts = _points(b=1)
+        model = PointNetSemSeg()
+        v1 = model.init({"params": jax.random.PRNGKey(1)}, pts)
+        exported = export_forward(
+            lambda v, p: model.apply(v, p)[0], v1, pts, platforms=("cpu",)
+        )
+        v2 = jax.tree.map(lambda a: a + 0.05, v1)
+        o1 = exported.call(v1, pts)
+        o2 = exported.call(v2, pts)
+        assert float(jnp.max(jnp.abs(o1 - o2))) > 1e-4
+
+
+class TestExportCLI:
+    def test_cli_writes_and_checks_artifact(self, tmp_path):
+        from pointsecguard_tpu.cli import export as export_cli
+        from pointsecguard_tpu.train import create_train_state
+        from pointsecguard_tpu.utils.checkpoint import CheckpointManager
+
+        # seed a checkpoint the CLI can restore
+        log_dir = str(tmp_path / "log")
+        pts = jnp.zeros((1, 128, 9), jnp.float32)
+        model = PointNetSemSeg()
+        state, _ = create_train_state(
+            model, (pts, None), rng=jax.random.PRNGKey(0)
+        )
+        CheckpointManager(f"{log_dir}/checkpoints").save(1, state)
+
+        out = str(tmp_path / "artifact")
+        export_cli.main([
+            "--model", "pointnet", "--log_dir", log_dir, "--output", out,
+            "--num_point", "128", "--platforms", "cpu", "--check",
+        ])
+        with open(os.path.join(out, "meta.json")) as f:
+            meta = json.load(f)
+        assert meta["model"] == "pointnet"
+        assert meta["platforms"] == ["cpu"]
+        forward, _ = load_artifact(out)
+        assert forward(_points(b=1)).shape == (1, 128, 13)
