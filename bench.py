@@ -376,7 +376,43 @@ def extra_pointnet2_train_blocks_per_sec(dtype=None):
     return 10 * bs / min(times)
 
 
-def main():
+def extra_pointnet2_train_pipeline_blocks_per_sec():
+    """END-TO-END train throughput through the real host loop —
+    S3DISBlockSampler sampling, z-rotation augmentation, background
+    prefetch (`data/loader.py`), `--steps_per_call` fusion, deferred
+    loss fetch — in contrast to ``pointnet2_train_blocks_per_sec``,
+    which scans pre-staged in-memory batches (the device-only ceiling).
+    Synthetic rooms, reference batch 16 × 4096 points."""
+    import json as _json
+    import shutil
+    import tempfile
+    import types
+
+    from pointsecguard_tpu.data.synthetic import make_synthetic_rooms
+    from pointsecguard_tpu.train.loops import train_pointnet_family
+
+    data = tempfile.mkdtemp(prefix="psg_bench_data_")
+    make_synthetic_rooms(
+        data, points_per_room=4096 * 16 * 4, seed=6, rooms_per_area=2
+    )
+    # keep the unavoidable last-epoch whole-scene eval off the clock by
+    # shrinking the test room (epoch timing is recorded before eval runs)
+    small = tempfile.mkdtemp(prefix="psg_bench_small_")
+    make_synthetic_rooms(small, points_per_room=6000, seed=7)
+    shutil.copy(f"{small}/Area_5_synth_1.npy", f"{data}/Area_5_synth_1.npy")
+    log = tempfile.mkdtemp(prefix="psg_bench_log_")
+    args = types.SimpleNamespace(
+        data_root=data, log_dir=log, test_area=5, model="pointnet2",
+        npoint=N_POINTS, batch_size=16, learning_rate=0.0, epochs=3,
+        eval_every=99, seed=0, steps_per_call=4, prefetch=2, devices=1,
+        profile=None, precision="float32",
+    )
+    train_pointnet_family(args)
+    with open(f"{log}/events.jsonl") as f:
+        ep = [e for e in map(_json.loads, f) if e["event"] == "epoch"]
+    # epoch 0 pays the compiles; best warm epoch counts
+    best = min(e["seconds"] / (e["batches"] * 16) for e in ep[1:])
+    return 1.0 / best
     iters_per_sec, headline_tflops, headline_mfu = headline_nb_iters_per_sec()
     extras = {}
     if headline_tflops is not None:
@@ -392,6 +428,8 @@ def main():
          lambda: extra_resgcn_nb_ms_per_iter(jnp.bfloat16), 2),
         ("pointnet2_train_bf16_blocks_per_sec",
          lambda: extra_pointnet2_train_blocks_per_sec(jnp.bfloat16), 1),
+        ("pointnet2_train_pipeline_blocks_per_sec",
+         extra_pointnet2_train_pipeline_blocks_per_sec, 1),
         ("baseline_cpu_measured_nb_iters_per_sec",
          extra_baseline_cpu_measured, 3),
     ):

@@ -1,6 +1,7 @@
 """Host data pipeline: S3DIS collection, samplers, augmentation, PLY I/O."""
 
 from pointsecguard_tpu.data import augment
+from pointsecguard_tpu.data.loader import prefetch, stack_batches
 from pointsecguard_tpu.data.ply import read_ply, write_ply
 from pointsecguard_tpu.data.randla import (
     RandlaCloud,
@@ -35,7 +36,9 @@ __all__ = [
     "inverse_cube_root_weights",
     "make_room",
     "make_synthetic_rooms",
+    "prefetch",
     "prepare_room",
     "read_ply",
+    "stack_batches",
     "write_ply",
 ]

@@ -5,6 +5,7 @@ from pointsecguard_tpu.parallel.mesh import (
     data_parallel_mesh,
     make_batch_put,
     make_mesh,
+    make_stacked_batch_put,
     replicate,
     replicated,
     shard_batch,
@@ -15,6 +16,7 @@ __all__ = [
     "data_parallel_mesh",
     "make_batch_put",
     "make_mesh",
+    "make_stacked_batch_put",
     "replicate",
     "replicated",
     "shard_batch",

@@ -95,6 +95,29 @@ def make_batch_put(mesh: Mesh | None, *, batch_size: int | None = None):
     return put
 
 
+def make_stacked_batch_put(mesh: Mesh | None, *, batch_size: int | None = None):
+    """host array → device array for K-step stacks ``[K, B, ...]``
+    (``data.loader.stack_batches``): the BATCH axis (axis 1) shards over
+    'data', the step axis stays whole on every chip (each scanned step
+    consumes one full sharded batch). ``mesh=None`` → plain transfer."""
+    import jax.numpy as jnp
+
+    if mesh is None:
+        return jnp.asarray
+    n = mesh.devices.size
+    if batch_size is not None and batch_size % n:
+        raise ValueError(
+            f"batch size {batch_size} not divisible by --devices {n}"
+        )
+    sh = NamedSharding(mesh, P(None, "data"))
+    rep = replicated(mesh)
+
+    def put(x):
+        return jax.device_put(x, sh if np.ndim(x) >= 3 else rep)
+
+    return put
+
+
 def replicate(mesh: Mesh | None, tree):
     """Replicate a pytree (model/optimizer state) across the mesh."""
     if mesh is None:

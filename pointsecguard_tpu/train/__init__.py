@@ -11,6 +11,7 @@ from pointsecguard_tpu.train.trainer import (
     TrainState,
     create_train_state,
     make_eval_step,
+    make_multi_train_step,
     make_optimizer,
     make_train_step,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "create_train_state",
     "evaluate_whole_scenes",
     "make_eval_step",
+    "make_multi_train_step",
     "make_optimizer",
     "make_train_step",
     "pointnet2_bn_momentum",

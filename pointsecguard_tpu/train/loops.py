@@ -34,11 +34,12 @@ def train_pointnet_family(args):
         feature_transform_regularizer,
         weighted_nll_loss,
     )
+    from pointsecguard_tpu.data.loader import prefetch, stack_batches
     from pointsecguard_tpu.train import (
         create_train_state,
         evaluate_whole_scenes,
         make_eval_step,
-        make_train_step,
+        make_multi_train_step,
         pointnet2_bn_momentum,
         pointnet2_lr,
     )
@@ -49,6 +50,7 @@ def train_pointnet_family(args):
     from pointsecguard_tpu.parallel import (
         data_parallel_mesh,
         make_batch_put,
+        make_stacked_batch_put,
         replicate,
     )
 
@@ -61,6 +63,9 @@ def train_pointnet_family(args):
     # TPU-native DataParallel, `ResGCN/sem_seg_dense/train.py:22-23`)
     mesh = data_parallel_mesh(getattr(args, "devices", 1))
     put = make_batch_put(mesh, batch_size=batch_size)
+    sput = make_stacked_batch_put(mesh, batch_size=batch_size)
+    spc = max(getattr(args, "steps_per_call", 1) or 1, 1)
+    depth = getattr(args, "prefetch", 2)
 
     model_dtype = (
         jnp.bfloat16
@@ -82,7 +87,7 @@ def train_pointnet_family(args):
     state, tx = create_train_state(
         model, (jnp.array(pts0), jnp.array(lab0)), rng=jax.random.PRNGKey(args.seed)
     )
-    step_fn = make_train_step(model, tx, weighted_nll_loss, aux_loss=aux)
+    step_fn = make_multi_train_step(model, tx, weighted_nll_loss, aux_loss=aux)
     eval_fn = make_eval_step(model)
     weights = jnp.array(rooms.label_weights)
     ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
@@ -100,23 +105,46 @@ def train_pointnet_family(args):
     for epoch in range(start_epoch, args.epochs):
         lr = pointnet2_lr(epoch, base=base_lr)
         bn_m = pointnet2_bn_momentum(epoch)
-        t0, n_batches, loss_sum, nan_batches = time.time(), 0, 0.0, 0
+        t0 = time.time()
         profile_dir = (
             getattr(args, "profile", None) if epoch == start_epoch else None
         )
-        with maybe_trace(profile_dir):
+
+        # host pipeline: sample + augment + device_put on a background
+        # thread (SURVEY §2.4's DataLoader-workers replacement), batches
+        # stacked `--steps_per_call` deep so one dispatch scans several
+        # optimizer steps (~25-30 ms dispatch on a tunneled chip)
+        def _augmented():
             for pts, labels in sampler.batches(rng, batch_size):
                 pts[:, :, :3] = augment.rotate_point_cloud_z(pts[:, :, :3], rng)
-                key, sub = jax.random.split(key)
-                state, loss, _ = step_fn(
-                    state, put(pts), put(labels), weights, lr, bn_m, sub,
+                yield pts, labels
+
+        def _put_group(group):
+            return sput(group[0]), sput(group[1])
+
+        loss_parts = []
+        with maybe_trace(profile_dir):
+            for pts_k, lab_k in prefetch(
+                stack_batches(_augmented(), spc), _put_group, depth=depth
+            ):
+                subs = []
+                for _ in range(pts_k.shape[0]):
+                    key, sub = jax.random.split(key)
+                    subs.append(sub)
+                state, losses, _ = step_fn(
+                    state, pts_k, lab_k, weights, lr, bn_m, jnp.stack(subs),
                 )
-                loss_f = float(loss)
-                if not np.isfinite(loss_f):
-                    nan_batches += 1  # update was skipped by the NaN guard
-                else:
-                    loss_sum += loss_f
-                n_batches += 1
+                loss_parts.append(losses)
+        # one host sync per EPOCH: fetching losses per step would stall
+        # async dispatch and serialize host sampling with device compute
+        losses_np = (
+            np.concatenate([np.asarray(l) for l in loss_parts])
+            if loss_parts else np.zeros(0, np.float32)
+        )
+        finite = np.isfinite(losses_np)
+        nan_batches = int((~finite).sum())  # updates skipped by the NaN guard
+        n_batches = int(losses_np.size)
+        loss_sum = float(losses_np[finite].sum())
         log.info(
             "epoch %d lr %.2g bn_m %.3f loss %.4f (%.1fs, %d batches, %d skipped)",
             epoch, lr, bn_m, loss_sum / max(n_batches - nan_batches, 1),
@@ -125,7 +153,8 @@ def train_pointnet_family(args):
         events.write(
             "epoch", epoch=epoch, lr=lr, bn_momentum=bn_m,
             loss=loss_sum / max(n_batches - nan_batches, 1),
-            nan_batches=nan_batches, seconds=time.time() - t0,
+            nan_batches=nan_batches, batches=n_batches,
+            seconds=time.time() - t0,
         )
         tb.scalars(epoch, loss=loss_sum / max(n_batches - nan_batches, 1),
                    learning_rate=lr)
@@ -153,10 +182,11 @@ def train_randla(args):
 
     from pointsecguard_tpu.configs import RandlaConfig
     from pointsecguard_tpu.data import SpatiallyRegularSampler
+    from pointsecguard_tpu.data.loader import prefetch, stack_batches
     from pointsecguard_tpu.models import RandLANet, build_pyramid, weighted_softmax_ce_loss
     from pointsecguard_tpu.train import (
         create_train_state,
-        make_train_step,
+        make_multi_train_step,
         randla_lr,
     )
     from pointsecguard_tpu.utils.checkpoint import CheckpointManager
@@ -164,7 +194,7 @@ def train_randla(args):
 
     from pointsecguard_tpu.parallel import (
         data_parallel_mesh,
-        make_batch_put,
+        make_stacked_batch_put,
         replicate,
     )
 
@@ -199,14 +229,16 @@ def train_randla(args):
 
     batch_size = args.batch_size or cfg.batch_size
     mesh = data_parallel_mesh(getattr(args, "devices", 1))
-    put = make_batch_put(mesh, batch_size=batch_size)
+    sput = make_stacked_batch_put(mesh, batch_size=batch_size)
+    spc = max(getattr(args, "steps_per_call", 1) or 1, 1)
+    depth = getattr(args, "prefetch", 2)
     _, f0, l0, _, _ = next(iter(train_sampler.batches(batch_size, 1)))
     # tf.train.AdamOptimizer has no weight decay (`RandLANet.py:127`)
     state, tx = create_train_state(
         model, (jnp.array(f0), jnp.array(l0)), rng=jax.random.PRNGKey(args.seed),
         model_args=model_args, weight_decay=0.0,
     )
-    step_fn = make_train_step(
+    step_fn = make_multi_train_step(
         model, tx, weighted_softmax_ce_loss, model_args=model_args,
         output_head=lambda out: out,
     )
@@ -221,13 +253,26 @@ def train_randla(args):
     for epoch in range(args.epochs):
         lr = randla_lr(epoch, base=args.learning_rate or cfg.learning_rate)
         t0 = time.time()
-        for _, feats, labels, _, _ in train_sampler.batches(
-            batch_size, train_steps
+
+        def _pairs():
+            for _, feats, labels, _, _ in train_sampler.batches(
+                batch_size, train_steps
+            ):
+                yield feats, labels
+
+        loss = jnp.zeros(())
+        for f_k, l_k in prefetch(
+            stack_batches(_pairs(), spc),
+            lambda g: (sput(g[0]), sput(g[1])), depth=depth,
         ):
-            key, sub = jax.random.split(key)
-            state, loss, _ = step_fn(
-                state, put(feats), put(labels), weights, lr, 0.01, sub,
+            subs = []
+            for _ in range(f_k.shape[0]):
+                key, sub = jax.random.split(key)
+                subs.append(sub)
+            state, losses, _ = step_fn(
+                state, f_k, l_k, weights, lr, 0.01, jnp.stack(subs),
             )
+            loss = losses[-1]  # last-step loss, fetched after the loop
         # validation confusion over the reference's FULL val_steps batches
         # (`RandLANet.py:255-311`, `configs.py:48` val_steps=100); the
         # round-2 min(...,20) cap made best-checkpoint selection run on a
@@ -256,13 +301,18 @@ def train_resgcn(args):
 
     from pointsecguard_tpu.configs import ResgcnConfig
     from pointsecguard_tpu.data import RoomSet, S3DISBlockSampler
+    from pointsecguard_tpu.data.loader import prefetch, stack_batches
     from pointsecguard_tpu.models import DenseDeepGCN
-    from pointsecguard_tpu.train import create_train_state, make_train_step, resgcn_lr
+    from pointsecguard_tpu.train import (
+        create_train_state,
+        make_multi_train_step,
+        resgcn_lr,
+    )
     from pointsecguard_tpu.utils.checkpoint import CheckpointManager
 
     from pointsecguard_tpu.parallel import (
         data_parallel_mesh,
-        make_batch_put,
+        make_stacked_batch_put,
         replicate,
     )
 
@@ -286,27 +336,38 @@ def train_resgcn(args):
     rng = np.random.default_rng(args.seed)
     batch_size = args.batch_size or 8
     mesh = data_parallel_mesh(getattr(args, "devices", 1))
-    put = make_batch_put(mesh, batch_size=batch_size)
+    sput = make_stacked_batch_put(mesh, batch_size=batch_size)
+    spc = max(getattr(args, "steps_per_call", 1) or 1, 1)
+    depth = getattr(args, "prefetch", 2)
     pts0, lab0 = next(iter(sampler.batches(rng, batch_size)))
     # torch.optim.Adam without weight_decay (`sem_seg_dense/train.py:31`)
     state, tx = create_train_state(
         model, (jnp.array(pts0), jnp.array(lab0)),
         rng=jax.random.PRNGKey(args.seed), weight_decay=0.0,
     )
-    step_fn = make_train_step(model, tx, ce_loss, output_head=lambda o: o)
+    step_fn = make_multi_train_step(model, tx, ce_loss, output_head=lambda o: o)
     ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
     state = replicate(mesh, state)
     key = jax.random.PRNGKey(args.seed + 1)
     for epoch in range(args.epochs):
         lr = resgcn_lr(epoch, base=args.learning_rate or cfg.lr)
-        t0, losses = time.time(), []
-        for pts, labels in sampler.batches(rng, batch_size):
-            key, sub = jax.random.split(key)
-            state, loss, _ = step_fn(
-                state, put(pts), put(labels), jnp.ones(13), lr, 0.1, sub,
+        t0, loss_parts = time.time(), []
+        for pts_k, lab_k in prefetch(
+            stack_batches(sampler.batches(rng, batch_size), spc),
+            lambda g: (sput(g[0]), sput(g[1])), depth=depth,
+        ):
+            subs = []
+            for _ in range(pts_k.shape[0]):
+                key, sub = jax.random.split(key)
+                subs.append(sub)
+            state, losses, _ = step_fn(
+                state, pts_k, lab_k, jnp.ones(13), lr, 0.1, jnp.stack(subs),
             )
-            losses.append(float(loss))
-        log.info("epoch %d loss %.4f (%.1fs)", epoch, np.mean(losses),
+            loss_parts.append(losses)
+        mean_loss = float(np.mean(np.concatenate(
+            [np.asarray(l) for l in loss_parts]
+        ))) if loss_parts else 0.0
+        log.info("epoch %d loss %.4f (%.1fs)", epoch, mean_loss,
                  time.time() - t0)
-        ckpt.save(epoch + 1, state, miou=-np.mean(losses))
+        ckpt.save(epoch + 1, state, miou=-mean_loss)
     return state, None

@@ -67,28 +67,19 @@ def create_train_state(
     )
 
 
-def make_train_step(
+def _make_step_body(
     model,
     tx: optax.GradientTransformation,
     loss_fn: Callable,
-    *,
-    num_classes: int = 13,
-    model_args: Callable[[jnp.ndarray], tuple] | None = None,
-    output_head: Callable = lambda out: out[0] if isinstance(out, tuple) else out,
-    aux_loss: Callable | None = None,
+    num_classes: int,
+    model_args: Callable[[jnp.ndarray], tuple] | None,
+    output_head: Callable,
+    aux_loss: Callable | None,
 ):
-    """Build the jitted train step.
+    """The un-jitted train-step body shared by ``make_train_step`` (one
+    step per dispatch) and ``make_multi_train_step`` (K steps scanned
+    inside one program)."""
 
-    Args:
-      loss_fn: (outputs, labels, class_weights) → scalar.
-      model_args: optional points → model positional-arg tuple (e.g. the
-        RandLA pyramid builder); default feeds points directly.
-      output_head: extracts the segmentation output from the model return.
-      aux_loss: optional (model_output) → scalar extra loss (e.g. the
-        PointNet feature-transform regularizer, `pointnet_cls.py:46-49`).
-    """
-
-    @partial(jax.jit, donate_argnums=0)
     def train_step(state: TrainState, points, labels, class_weights, lr,
                    bn_momentum, rng):
         rngs = {"dropout": rng, "sample": jax.random.fold_in(rng, 1)}
@@ -141,6 +132,74 @@ def make_train_step(
         return new_state, loss, cm
 
     return train_step
+
+
+def make_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    loss_fn: Callable,
+    *,
+    num_classes: int = 13,
+    model_args: Callable[[jnp.ndarray], tuple] | None = None,
+    output_head: Callable = lambda out: out[0] if isinstance(out, tuple) else out,
+    aux_loss: Callable | None = None,
+):
+    """Build the jitted train step.
+
+    Args:
+      loss_fn: (outputs, labels, class_weights) → scalar.
+      model_args: optional points → model positional-arg tuple (e.g. the
+        RandLA pyramid builder); default feeds points directly.
+      output_head: extracts the segmentation output from the model return.
+      aux_loss: optional (model_output) → scalar extra loss (e.g. the
+        PointNet feature-transform regularizer, `pointnet_cls.py:46-49`).
+    """
+    body = _make_step_body(
+        model, tx, loss_fn, num_classes, model_args, output_head, aux_loss
+    )
+    return partial(jax.jit, donate_argnums=0)(body)
+
+
+def make_multi_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    loss_fn: Callable,
+    *,
+    num_classes: int = 13,
+    model_args: Callable[[jnp.ndarray], tuple] | None = None,
+    output_head: Callable = lambda out: out[0] if isinstance(out, tuple) else out,
+    aux_loss: Callable | None = None,
+):
+    """K optimizer steps per dispatch: ``lax.scan`` of the train step over
+    batches stacked on a new leading axis (``data.loader.stack_batches``).
+
+    Per-call dispatch through a tunneled TPU costs ~25-30 ms — comparable
+    to one train step — so K steps per program cut that overhead by K.
+    The math is the step-by-step math (same per-step rng keys, same Adam
+    updates, same NaN-skip guard); only the dispatch granularity changes.
+
+    Takes ``points [K,B,...]``, ``labels [K,B]`` and ``rngs [K]`` (one key
+    per step, stacked in the order the sequential loop would have drawn
+    them); returns ``(state, losses [K], summed confusion matrix)``.
+    """
+    body = _make_step_body(
+        model, tx, loss_fn, num_classes, model_args, output_head, aux_loss
+    )
+
+    @partial(jax.jit, donate_argnums=0)
+    def multi_step(state: TrainState, points, labels, class_weights, lr,
+                   bn_momentum, rngs):
+        def scan_body(s, xs):
+            pts, labs, rng = xs
+            s, loss, cm = body(s, pts, labs, class_weights, lr, bn_momentum, rng)
+            return s, (loss, cm)
+
+        state, (losses, cms) = jax.lax.scan(
+            scan_body, state, (points, labels, rngs)
+        )
+        return state, losses, cms.sum(axis=0)
+
+    return multi_step
 
 
 def make_eval_step(
