@@ -413,6 +413,9 @@ def extra_pointnet2_train_pipeline_blocks_per_sec():
     # epoch 0 pays the compiles; best warm epoch counts
     best = min(e["seconds"] / (e["batches"] * 16) for e in ep[1:])
     return 1.0 / best
+
+
+def main():
     iters_per_sec, headline_tflops, headline_mfu = headline_nb_iters_per_sec()
     extras = {}
     if headline_tflops is not None:
