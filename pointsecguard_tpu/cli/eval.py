@@ -14,7 +14,16 @@ def main(argv=None):
     ap = argparse.ArgumentParser("eval")
     ap.add_argument("--model", default="pointnet2",
                     choices=["pointnet2", "pointnet2_msg", "pointnet",
-                             "randla", "resgcn"])
+                             "randla", "resgcn",
+                             # object tasks (the reference's driverless
+                             # cls/part-seg models, SURVEY.md §2.1)
+                             "pointnet_cls", "pointnet2_cls",
+                             "pointnet2_cls_msg", "pointnet_part_seg",
+                             "pointnet2_part_seg", "pointnet2_part_seg_msg"])
+    ap.add_argument("--num_category", type=int, default=40,
+                    help="ModelNet class count for the cls models (10|40)")
+    ap.add_argument("--no_normals", action="store_true",
+                    help="cls/part-seg: xyz-only inputs (default xyz+normals)")
     ap.add_argument("--resgcn_blocks", type=int, default=0,
                     help="override ResGCN depth (must match the trained "
                          "checkpoint; default: config 28 blocks)")
@@ -68,8 +77,13 @@ def main(argv=None):
     log = logging.getLogger("eval")
 
     model_dtype = jnp.bfloat16 if args.precision == "bfloat16" else None
+    args.use_normals = not args.no_normals
     if args.model == "randla":
         return _eval_randla(args, log)
+    if args.model.endswith("_cls") or args.model.endswith("_cls_msg"):
+        return _eval_cls(args, log, model_dtype)
+    if "part_seg" in args.model:
+        return _eval_partseg(args, log, model_dtype)
 
     if args.model == "resgcn":
         # block evaluation of the dense GCN (`ResGCN/sem_seg_dense/
@@ -127,6 +141,130 @@ def main(argv=None):
     return total
 
 
+
+
+def _eval_cls(args, log, model_dtype):
+    """ModelNet classification eval with softmax-space vote pooling (the
+    upstream ``test_classification`` protocol; the reference ships the
+    cls models without a test driver, SURVEY.md §2.1)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pointsecguard_tpu.data.modelnet import ModelNetDataset
+    from pointsecguard_tpu.parallel import (
+        data_parallel_mesh,
+        make_batch_put,
+        replicate,
+    )
+    from pointsecguard_tpu.train import create_train_state
+    from pointsecguard_tpu.train.loops import _cls_partseg_model
+    from pointsecguard_tpu.train.object_eval import evaluate_cls
+    from pointsecguard_tpu.utils.checkpoint import CheckpointManager
+
+    npoint = args.num_point if args.num_point != 4096 else 1024
+    ds = ModelNetDataset(
+        args.data_root, "test", num_point=npoint,
+        num_category=args.num_category, use_normals=args.use_normals,
+    )
+    model, _ = _cls_partseg_model(
+        args.model, num_classes=ds.num_classes,
+        use_normals=args.use_normals, dtype=model_dtype,
+    )
+    C = 6 if args.use_normals else 3
+    dummy = jnp.zeros((args.batch_size, npoint, C), jnp.float32)
+    state, _ = create_train_state(model, (dummy, None), rng=jax.random.PRNGKey(0))
+    ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
+    restored = ckpt.restore_best(state) or ckpt.restore_latest(state)
+    if restored is None:
+        raise SystemExit(f"no checkpoint under {args.log_dir}/checkpoints")
+    state, step = restored
+    log.info("restored checkpoint step %d", step)
+    mesh = data_parallel_mesh(args.devices)
+    put = make_batch_put(mesh, batch_size=args.batch_size)
+    state = replicate(mesh, state)
+
+    @jax.jit
+    def logp_fn(pts):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats}, pts
+        )
+        return out[0] if isinstance(out, tuple) else out
+
+    inst_acc, class_acc, _ = evaluate_cls(
+        lambda p: logp_fn(put(p)), ds, batch_size=args.batch_size,
+        num_votes=args.num_votes, rng=np.random.default_rng(args.seed),
+    )
+    log.info("CLS instance accuracy %.4f  class accuracy %.4f "
+             "(%d shapes, %d votes)", inst_acc, class_acc, len(ds),
+             args.num_votes)
+    return inst_acc, class_acc
+
+
+def _eval_partseg(args, log, model_dtype):
+    """ShapeNetPart eval: category-restricted instance/class mIoU (the
+    upstream ``test_partseg`` protocol; the reference ships the part-seg
+    models without a test driver, SURVEY.md §2.1)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointsecguard_tpu.data.shapenet_part import (
+        NUM_PART_CLASSES,
+        ShapeNetPartDataset,
+    )
+    from pointsecguard_tpu.parallel import (
+        data_parallel_mesh,
+        make_batch_put,
+        replicate,
+    )
+    from pointsecguard_tpu.train import create_train_state
+    from pointsecguard_tpu.train.loops import _cls_partseg_model
+    from pointsecguard_tpu.train.object_eval import evaluate_partseg
+    from pointsecguard_tpu.utils.checkpoint import CheckpointManager
+
+    npoint = args.num_point if args.num_point != 4096 else 2048
+    ds = ShapeNetPartDataset(
+        args.data_root, "test", num_point=npoint,
+        use_normals=args.use_normals,
+    )
+    model, _ = _cls_partseg_model(
+        args.model, num_classes=NUM_PART_CLASSES,
+        use_normals=args.use_normals, dtype=model_dtype,
+    )
+    C = 6 if args.use_normals else 3
+    unpack = lambda p: (p[..., :C], p[:, 0, C:])
+    dummy = jnp.zeros((args.batch_size, npoint, C + 16), jnp.float32)
+    state, _ = create_train_state(
+        model, (dummy, None), rng=jax.random.PRNGKey(0), model_args=unpack
+    )
+    ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
+    restored = ckpt.restore_best(state) or ckpt.restore_latest(state)
+    if restored is None:
+        raise SystemExit(f"no checkpoint under {args.log_dir}/checkpoints")
+    state, step = restored
+    log.info("restored checkpoint step %d", step)
+    mesh = data_parallel_mesh(args.devices)
+    put = make_batch_put(mesh, batch_size=args.batch_size)
+    state = replicate(mesh, state)
+
+    @jax.jit
+    def logp_fn(pts, onehot):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            pts, onehot,
+        )
+        return out[0] if isinstance(out, tuple) else out
+
+    metrics = evaluate_partseg(
+        lambda p, oh: logp_fn(put(p), put(oh)), ds,
+        batch_size=args.batch_size,
+    )
+    for cat, miou in metrics["category_miou"].items():
+        log.info("%12s: %.4f", cat, miou)
+    log.info("PARTSEG instance mIoU %.4f  class mIoU %.4f  acc %.4f",
+             metrics["instance_miou"], metrics["class_avg_miou"],
+             metrics["accuracy"])
+    return metrics
 
 
 def _eval_randla(args, log):

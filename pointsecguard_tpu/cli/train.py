@@ -17,7 +17,13 @@ import numpy as np
 def main(argv=None):
     ap = argparse.ArgumentParser("train")
     ap.add_argument("--model", default="pointnet2",
-                    choices=["pointnet2", "pointnet2_msg", "pointnet", "randla", "resgcn"])
+                    choices=["pointnet2", "pointnet2_msg", "pointnet", "randla",
+                             "resgcn",
+                             # object tasks (the reference's driverless
+                             # cls/part-seg models, SURVEY.md §2.1)
+                             "pointnet_cls", "pointnet2_cls",
+                             "pointnet2_cls_msg", "pointnet_part_seg",
+                             "pointnet2_part_seg", "pointnet2_part_seg_msg"])
     ap.add_argument("--data_root", default="data/stanford_indoor3d")
     ap.add_argument("--randla_dir", default="data/randla_input_0.040")
     ap.add_argument("--log_dir", default="log/run")
@@ -34,6 +40,10 @@ def main(argv=None):
                     help="override RandLA train steps per epoch (default 500)")
     ap.add_argument("--resgcn_blocks", type=int, default=0,
                     help="override ResGCN depth (default: config 28 blocks)")
+    ap.add_argument("--num_category", type=int, default=40,
+                    help="ModelNet class count for the cls models (10|40)")
+    ap.add_argument("--no_normals", action="store_true",
+                    help="cls/part-seg: xyz-only inputs (default xyz+normals)")
     ap.add_argument("--learning_rate", type=float, default=0.0)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--precision", default="float32",
@@ -81,10 +91,23 @@ def main(argv=None):
         ],
     )
     t0 = time.time()
+    args.use_normals = not args.no_normals
     if args.model in ("pointnet2", "pointnet2_msg", "pointnet"):
         train_pointnet_family(args)
     elif args.model == "randla":
         train_randla(args)
+    elif args.model.endswith("_cls") or args.model.endswith("_cls_msg"):
+        from pointsecguard_tpu.train.loops import train_cls
+
+        if args.npoint == 4096:  # semseg default; cls default is 1024
+            args.npoint = 1024
+        train_cls(args)
+    elif "part_seg" in args.model:
+        from pointsecguard_tpu.train.loops import train_partseg
+
+        if args.npoint == 4096:  # semseg default; part-seg default is 2048
+            args.npoint = 2048
+        train_partseg(args)
     else:
         train_resgcn(args)
     logging.info("total wall time %.1f s", time.time() - t0)

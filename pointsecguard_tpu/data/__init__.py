@@ -9,6 +9,15 @@ from pointsecguard_tpu.data.randla import (
     prepare_room,
 )
 from pointsecguard_tpu.data.partnet import PartNetDataset
+from pointsecguard_tpu.data.modelnet import (
+    ModelNetDataset,
+    make_synthetic_modelnet,
+)
+from pointsecguard_tpu.data.shapenet_part import (
+    SEG_CLASSES,
+    ShapeNetPartDataset,
+    make_synthetic_shapenetpart,
+)
 from pointsecguard_tpu.data.synthetic import make_room, make_synthetic_rooms
 from pointsecguard_tpu.data.s3dis import (
     NUM_CLASSES,
@@ -22,8 +31,13 @@ from pointsecguard_tpu.data.s3dis import (
 )
 
 __all__ = [
+    "ModelNetDataset",
     "NUM_CLASSES",
     "PartNetDataset",
+    "SEG_CLASSES",
+    "ShapeNetPartDataset",
+    "make_synthetic_modelnet",
+    "make_synthetic_shapenetpart",
     "RandlaCloud",
     "RoomSet",
     "S3DISBlockSampler",

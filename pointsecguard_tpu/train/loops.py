@@ -371,3 +371,357 @@ def train_resgcn(args):
                  time.time() - t0)
         ckpt.save(epoch + 1, state, miou=-mean_loss)
     return state, None
+
+
+def _cls_partseg_model(name: str, *, num_classes: int, use_normals: bool,
+                       dtype):
+    """Model + aux-loss wiring for the object-task drivers. The reference
+    ships these models with no drivers (SURVEY.md §2.1 'cls/part-seg
+    models — no driver in repo'); losses follow the models' own upstream
+    `get_loss` conventions (NLL; PointNet variants add the 0.001·feature-
+    transform orthogonality term, `pointnet_cls.py` / `pointnet.py:135-141`)."""
+    from pointsecguard_tpu.models import (
+        PointNet2ClsMSG,
+        PointNet2ClsSSG,
+        PointNet2PartSegMSG,
+        PointNet2PartSegSSG,
+        PointNetCls,
+        PointNetPartSeg,
+        feature_transform_regularizer,
+    )
+
+    ftr = lambda out: 0.001 * feature_transform_regularizer(out[1])
+    if name in ("pointnet_cls",):
+        return (
+            PointNetCls(
+                num_classes=num_classes, normal_channel=use_normals,
+                dtype=dtype,
+            ),
+            ftr,
+        )
+    if name in ("pointnet2_cls", "pointnet2_cls_ssg"):
+        cls = PointNet2ClsSSG
+    elif name in ("pointnet2_cls_msg",):
+        cls = PointNet2ClsMSG
+    elif name in ("pointnet_part_seg",):
+        return (
+            PointNetPartSeg(
+                part_num=num_classes, normal_channel=use_normals, dtype=dtype
+            ),
+            ftr,
+        )
+    elif name in ("pointnet2_part_seg", "pointnet2_part_seg_ssg"):
+        return (
+            PointNet2PartSegSSG(
+                num_classes=num_classes, normal_channel=use_normals,
+                dtype=dtype,
+            ),
+            None,
+        )
+    elif name in ("pointnet2_part_seg_msg",):
+        return (
+            PointNet2PartSegMSG(
+                num_classes=num_classes, normal_channel=use_normals,
+                dtype=dtype,
+            ),
+            None,
+        )
+    else:
+        raise ValueError(f"unknown object-task model {name!r}")
+    return (
+        cls(num_classes=num_classes, normal_channel=use_normals, dtype=dtype),
+        None,
+    )
+
+
+def cls_lr(epoch: int, *, base: float = 0.001) -> float:
+    """Upstream classification schedule: ×0.7 every 20 epochs."""
+    return base * (0.7 ** (epoch // 20))
+
+
+def train_cls(args):
+    """ModelNet classification driver (upstream-protocol training for the
+    reference's driverless cls models): Adam(1e-3, wd 1e-4) with ×0.7/20ep
+    decay, dropout+scale+shift augmentation, instance-accuracy model
+    selection."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointsecguard_tpu.data import augment
+    from pointsecguard_tpu.data.loader import prefetch, stack_batches
+    from pointsecguard_tpu.data.modelnet import ModelNetDataset
+    from pointsecguard_tpu.models import weighted_nll_loss
+    from pointsecguard_tpu.parallel import (
+        data_parallel_mesh,
+        make_batch_put,
+        make_stacked_batch_put,
+        replicate,
+    )
+    from pointsecguard_tpu.train import create_train_state, make_multi_train_step
+    from pointsecguard_tpu.train.object_eval import evaluate_cls
+    from pointsecguard_tpu.utils.checkpoint import CheckpointManager
+    from pointsecguard_tpu.utils.logging import EventLog, SummaryLogger
+
+    npoint = args.npoint or 1024
+    use_normals = getattr(args, "use_normals", True)
+    train_ds = ModelNetDataset(
+        args.data_root, "train", num_point=npoint,
+        num_category=getattr(args, "num_category", 40),
+        use_normals=use_normals,
+    )
+    test_ds = ModelNetDataset(
+        args.data_root, "test", num_point=npoint,
+        num_category=getattr(args, "num_category", 40),
+        use_normals=use_normals,
+    )
+    batch_size = args.batch_size or 24
+    mesh = data_parallel_mesh(getattr(args, "devices", 1))
+    put = make_batch_put(mesh, batch_size=batch_size)
+    sput = make_stacked_batch_put(mesh, batch_size=batch_size)
+    spc = max(getattr(args, "steps_per_call", 1) or 1, 1)
+    depth = getattr(args, "prefetch", 2)
+    model_dtype = (
+        jnp.bfloat16
+        if getattr(args, "precision", "float32") == "bfloat16" else None
+    )
+    model, aux = _cls_partseg_model(
+        args.model, num_classes=train_ds.num_classes,
+        use_normals=use_normals, dtype=model_dtype,
+    )
+
+    rng = np.random.default_rng(args.seed)
+    pts0, lab0 = next(iter(train_ds.batches(rng, batch_size)))
+    state, tx = create_train_state(
+        model, (jnp.array(pts0), jnp.array(lab0)),
+        rng=jax.random.PRNGKey(args.seed),
+    )
+    step_fn = make_multi_train_step(
+        model, tx, weighted_nll_loss,
+        num_classes=train_ds.num_classes, aux_loss=aux,
+    )
+
+    @jax.jit
+    def logp_fn(s, pts):
+        out = model.apply(
+            {"params": s.params, "batch_stats": s.batch_stats}, pts
+        )
+        return out[0] if isinstance(out, tuple) else out
+
+    weights = jnp.ones((train_ds.num_classes,), jnp.float32)
+    ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
+    resumed = ckpt.restore_latest(state)
+    start_epoch = 0
+    if resumed:
+        state, start_epoch = resumed
+        log.info("resumed from epoch %d", start_epoch)
+    state = replicate(mesh, state)
+    key = jax.random.PRNGKey(args.seed + 1)
+    events = EventLog(f"{args.log_dir}/events.jsonl")
+    tb = SummaryLogger(f"{args.log_dir}/tb")
+    best_acc = 0.0
+
+    def _augmented():
+        for pts, labels in train_ds.batches(rng, batch_size):
+            pts = augment.random_point_dropout(pts, rng)
+            pts[:, :, :3] = augment.random_scale_point_cloud(
+                pts[:, :, :3], rng
+            )
+            pts[:, :, :3] = augment.shift_point_cloud(pts[:, :, :3], rng)
+            yield pts, labels
+
+    for epoch in range(start_epoch, args.epochs):
+        lr = cls_lr(epoch, base=args.learning_rate or 0.001)
+        t0, loss_parts = time.time(), []
+        for pts_k, lab_k in prefetch(
+            stack_batches(_augmented(), spc),
+            lambda g: (sput(g[0]), sput(g[1])), depth=depth,
+        ):
+            subs = []
+            for _ in range(pts_k.shape[0]):
+                key, sub = jax.random.split(key)
+                subs.append(sub)
+            state, losses, _ = step_fn(
+                state, pts_k, lab_k, weights, lr, 0.9, jnp.stack(subs)
+            )
+            loss_parts.append(losses)
+        losses_np = (
+            np.concatenate([np.asarray(l) for l in loss_parts])
+            if loss_parts else np.zeros(0, np.float32)
+        )
+        finite = np.isfinite(losses_np)
+        mean_loss = float(losses_np[finite].mean()) if finite.any() else 0.0
+        log.info("epoch %d lr %.2g loss %.4f (%.1fs, %d batches)",
+                 epoch, lr, mean_loss, time.time() - t0, losses_np.size)
+        events.write("epoch", epoch=epoch, lr=lr, loss=mean_loss,
+                     batches=int(losses_np.size),
+                     nan_batches=int((~finite).sum()),
+                     seconds=time.time() - t0)
+        tb.scalars(epoch, loss=mean_loss, learning_rate=lr)
+        if (epoch + 1) % args.eval_every == 0 or epoch == args.epochs - 1:
+            inst_acc, class_acc, _ = evaluate_cls(
+                lambda p: logp_fn(state, put(p)), test_ds,
+                batch_size=batch_size,
+            )
+            log.info("epoch %d eval instance acc %.4f class acc %.4f",
+                     epoch, inst_acc, class_acc)
+            events.write("eval", epoch=epoch, instance_accuracy=inst_acc,
+                         class_accuracy=class_acc)
+            tb.scalars(epoch, instance_accuracy=inst_acc,
+                       class_accuracy=class_acc)
+            best_acc = max(best_acc, inst_acc)
+            ckpt.save(epoch + 1, state, miou=inst_acc)
+    log.info("best instance accuracy %.4f", best_acc)
+    return state, best_acc
+
+
+def train_partseg(args):
+    """ShapeNetPart part-segmentation driver (upstream-protocol training
+    for the reference's driverless part-seg models): NLL over the 50-way
+    per-point head with 16-way class conditioning, scale+shift
+    augmentation, instance-mIoU model selection."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointsecguard_tpu.data import augment
+    from pointsecguard_tpu.data.loader import prefetch, stack_batches
+    from pointsecguard_tpu.data.shapenet_part import (
+        NUM_OBJECT_CLASSES,
+        NUM_PART_CLASSES,
+        ShapeNetPartDataset,
+    )
+    from pointsecguard_tpu.models import weighted_nll_loss
+    from pointsecguard_tpu.parallel import (
+        data_parallel_mesh,
+        make_batch_put,
+        make_stacked_batch_put,
+        replicate,
+    )
+    from pointsecguard_tpu.train import create_train_state, make_multi_train_step
+    from pointsecguard_tpu.train.object_eval import evaluate_partseg
+    from pointsecguard_tpu.utils.checkpoint import CheckpointManager
+    from pointsecguard_tpu.utils.logging import EventLog, SummaryLogger
+
+    npoint = args.npoint or 2048
+    use_normals = getattr(args, "use_normals", True)
+    train_ds = ShapeNetPartDataset(
+        args.data_root, "trainval", num_point=npoint, use_normals=use_normals
+    )
+    test_ds = ShapeNetPartDataset(
+        args.data_root, "test", num_point=npoint, use_normals=use_normals
+    )
+    batch_size = args.batch_size or 16
+    mesh = data_parallel_mesh(getattr(args, "devices", 1))
+    put = make_batch_put(mesh, batch_size=batch_size)
+    sput = make_stacked_batch_put(mesh, batch_size=batch_size)
+    spc = max(getattr(args, "steps_per_call", 1) or 1, 1)
+    depth = getattr(args, "prefetch", 2)
+    model_dtype = (
+        jnp.bfloat16
+        if getattr(args, "precision", "float32") == "bfloat16" else None
+    )
+    model, aux = _cls_partseg_model(
+        args.model, num_classes=NUM_PART_CLASSES,
+        use_normals=use_normals, dtype=model_dtype,
+    )
+    in_ch = 6 if use_normals else 3
+    # the per-shape class one-hot rides as 16 constant trailing channels
+    # so the (points, labels) trainer contract stays unchanged; the model
+    # unpack happens inside the jitted program
+    unpack = lambda p: (p[..., :in_ch], p[:, 0, in_ch:])
+
+    eye = np.eye(NUM_OBJECT_CLASSES, dtype=np.float32)
+
+    def _packed(batches):
+        for pts, cls, seg in batches:
+            onehot = np.broadcast_to(
+                eye[cls][:, None, :], (pts.shape[0], pts.shape[1],
+                                       NUM_OBJECT_CLASSES)
+            )
+            yield np.concatenate([pts, onehot], axis=2), seg
+
+    rng = np.random.default_rng(args.seed)
+    pts0, seg0 = next(iter(_packed(train_ds.batches(rng, batch_size))))
+    state, tx = create_train_state(
+        model, (jnp.array(pts0), jnp.array(seg0)),
+        rng=jax.random.PRNGKey(args.seed), model_args=unpack,
+    )
+    step_fn = make_multi_train_step(
+        model, tx, weighted_nll_loss,
+        num_classes=NUM_PART_CLASSES, model_args=unpack, aux_loss=aux,
+    )
+
+    @jax.jit
+    def logp_fn(s, pts, onehot):
+        out = model.apply(
+            {"params": s.params, "batch_stats": s.batch_stats}, pts, onehot
+        )
+        return out[0] if isinstance(out, tuple) else out
+
+    weights = jnp.ones((NUM_PART_CLASSES,), jnp.float32)
+    ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
+    resumed = ckpt.restore_latest(state)
+    start_epoch = 0
+    if resumed:
+        state, start_epoch = resumed
+        log.info("resumed from epoch %d", start_epoch)
+    state = replicate(mesh, state)
+    key = jax.random.PRNGKey(args.seed + 1)
+    events = EventLog(f"{args.log_dir}/events.jsonl")
+    tb = SummaryLogger(f"{args.log_dir}/tb")
+    best_miou = 0.0
+
+    def _augmented():
+        for pts, seg in _packed(train_ds.batches(rng, batch_size)):
+            pts[:, :, :3] = augment.random_scale_point_cloud(
+                pts[:, :, :3], rng
+            )
+            pts[:, :, :3] = augment.shift_point_cloud(pts[:, :, :3], rng)
+            yield pts, seg
+
+    for epoch in range(start_epoch, args.epochs):
+        lr = cls_lr(epoch, base=args.learning_rate or 0.001)
+        t0, loss_parts = time.time(), []
+        for pts_k, seg_k in prefetch(
+            stack_batches(_augmented(), spc),
+            lambda g: (sput(g[0]), sput(g[1])), depth=depth,
+        ):
+            subs = []
+            for _ in range(pts_k.shape[0]):
+                key, sub = jax.random.split(key)
+                subs.append(sub)
+            state, losses, _ = step_fn(
+                state, pts_k, seg_k, weights, lr, 0.9, jnp.stack(subs)
+            )
+            loss_parts.append(losses)
+        losses_np = (
+            np.concatenate([np.asarray(l) for l in loss_parts])
+            if loss_parts else np.zeros(0, np.float32)
+        )
+        finite = np.isfinite(losses_np)
+        mean_loss = float(losses_np[finite].mean()) if finite.any() else 0.0
+        log.info("epoch %d lr %.2g loss %.4f (%.1fs, %d batches)",
+                 epoch, lr, mean_loss, time.time() - t0, losses_np.size)
+        events.write("epoch", epoch=epoch, lr=lr, loss=mean_loss,
+                     batches=int(losses_np.size),
+                     nan_batches=int((~finite).sum()),
+                     seconds=time.time() - t0)
+        tb.scalars(epoch, loss=mean_loss, learning_rate=lr)
+        if (epoch + 1) % args.eval_every == 0 or epoch == args.epochs - 1:
+            metrics = evaluate_partseg(
+                lambda p, oh: logp_fn(state, put(p), put(oh)), test_ds,
+                batch_size=batch_size,
+            )
+            log.info(
+                "epoch %d eval instance mIoU %.4f class mIoU %.4f acc %.4f",
+                epoch, metrics["instance_miou"], metrics["class_avg_miou"],
+                metrics["accuracy"],
+            )
+            events.write("eval", epoch=epoch, **{
+                k: v for k, v in metrics.items() if k != "category_miou"
+            })
+            tb.scalars(epoch, instance_miou=metrics["instance_miou"],
+                       accuracy=metrics["accuracy"])
+            best_miou = max(best_miou, metrics["instance_miou"])
+            ckpt.save(epoch + 1, state, miou=metrics["instance_miou"])
+    log.info("best instance mIoU %.4f", best_miou)
+    return state, best_miou
