@@ -39,7 +39,9 @@ def main(argv=None):
     ap.add_argument("--data_root", default="data/stanford_indoor3d")
     ap.add_argument("--log_dir", default="log/run")
     ap.add_argument("--test_area", type=int, default=5)
-    ap.add_argument("--num_point", type=int, default=4096)
+    ap.add_argument("--num_point", type=int, default=0,
+                    help="points per sample (0 = task default: 4096 "
+                         "semseg blocks, 1024 cls, 2048 part-seg)")
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--num_votes", type=int, default=5)
     ap.add_argument("--seed", type=int, default=0)
@@ -84,6 +86,7 @@ def main(argv=None):
         return _eval_cls(args, log, model_dtype)
     if "part_seg" in args.model:
         return _eval_partseg(args, log, model_dtype)
+    args.num_point = args.num_point or 4096
 
     if args.model == "resgcn":
         # block evaluation of the dense GCN (`ResGCN/sem_seg_dense/
@@ -143,37 +146,24 @@ def main(argv=None):
 
 
 
-def _eval_cls(args, log, model_dtype):
-    """ModelNet classification eval with softmax-space vote pooling (the
-    upstream ``test_classification`` protocol; the reference ships the
-    cls models without a test driver, SURVEY.md §2.1)."""
+def _restore_object_state(args, log, model, dummy, model_args=None):
+    """Shared cls/part-seg eval plumbing: init → best-or-latest restore →
+    mesh replicate → jitted log-prob forward with the state as a program
+    ARGUMENT (never a closed-over constant — the remote compile service
+    rejects programs with very large baked-in literals)."""
     import jax
-    import jax.numpy as jnp
-    import numpy as np
 
-    from pointsecguard_tpu.data.modelnet import ModelNetDataset
     from pointsecguard_tpu.parallel import (
         data_parallel_mesh,
         make_batch_put,
         replicate,
     )
     from pointsecguard_tpu.train import create_train_state
-    from pointsecguard_tpu.train.loops import _cls_partseg_model
-    from pointsecguard_tpu.train.object_eval import evaluate_cls
     from pointsecguard_tpu.utils.checkpoint import CheckpointManager
 
-    npoint = args.num_point if args.num_point != 4096 else 1024
-    ds = ModelNetDataset(
-        args.data_root, "test", num_point=npoint,
-        num_category=args.num_category, use_normals=args.use_normals,
+    state, _ = create_train_state(
+        model, (dummy, None), rng=jax.random.PRNGKey(0), model_args=model_args
     )
-    model, _ = _cls_partseg_model(
-        args.model, num_classes=ds.num_classes,
-        use_normals=args.use_normals, dtype=model_dtype,
-    )
-    C = 6 if args.use_normals else 3
-    dummy = jnp.zeros((args.batch_size, npoint, C), jnp.float32)
-    state, _ = create_train_state(model, (dummy, None), rng=jax.random.PRNGKey(0))
     ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
     restored = ckpt.restore_best(state) or ckpt.restore_latest(state)
     if restored is None:
@@ -185,14 +175,40 @@ def _eval_cls(args, log, model_dtype):
     state = replicate(mesh, state)
 
     @jax.jit
-    def logp_fn(pts):
+    def logp_fn(s, *inputs):
         out = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats}, pts
+            {"params": s.params, "batch_stats": s.batch_stats}, *inputs
         )
         return out[0] if isinstance(out, tuple) else out
 
+    return state, put, logp_fn
+
+
+def _eval_cls(args, log, model_dtype):
+    """ModelNet classification eval with softmax-space vote pooling (the
+    upstream ``test_classification`` protocol; the reference ships the
+    cls models without a test driver, SURVEY.md §2.1)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pointsecguard_tpu.data.modelnet import ModelNetDataset
+    from pointsecguard_tpu.train.loops import _cls_partseg_model
+    from pointsecguard_tpu.train.object_eval import evaluate_cls
+
+    npoint = args.num_point or 1024
+    ds = ModelNetDataset(
+        args.data_root, "test", num_point=npoint,
+        num_category=args.num_category, use_normals=args.use_normals,
+    )
+    model, _ = _cls_partseg_model(
+        args.model, num_classes=ds.num_classes,
+        use_normals=args.use_normals, dtype=model_dtype,
+    )
+    C = 6 if args.use_normals else 3
+    dummy = jnp.zeros((args.batch_size, npoint, C), jnp.float32)
+    state, put, logp_fn = _restore_object_state(args, log, model, dummy)
     inst_acc, class_acc, _ = evaluate_cls(
-        lambda p: logp_fn(put(p)), ds, batch_size=args.batch_size,
+        lambda p: logp_fn(state, put(p)), ds, batch_size=args.batch_size,
         num_votes=args.num_votes, rng=np.random.default_rng(args.seed),
     )
     log.info("CLS instance accuracy %.4f  class accuracy %.4f "
@@ -205,24 +221,16 @@ def _eval_partseg(args, log, model_dtype):
     """ShapeNetPart eval: category-restricted instance/class mIoU (the
     upstream ``test_partseg`` protocol; the reference ships the part-seg
     models without a test driver, SURVEY.md §2.1)."""
-    import jax
     import jax.numpy as jnp
 
     from pointsecguard_tpu.data.shapenet_part import (
         NUM_PART_CLASSES,
         ShapeNetPartDataset,
     )
-    from pointsecguard_tpu.parallel import (
-        data_parallel_mesh,
-        make_batch_put,
-        replicate,
-    )
-    from pointsecguard_tpu.train import create_train_state
     from pointsecguard_tpu.train.loops import _cls_partseg_model
     from pointsecguard_tpu.train.object_eval import evaluate_partseg
-    from pointsecguard_tpu.utils.checkpoint import CheckpointManager
 
-    npoint = args.num_point if args.num_point != 4096 else 2048
+    npoint = args.num_point or 2048
     ds = ShapeNetPartDataset(
         args.data_root, "test", num_point=npoint,
         use_normals=args.use_normals,
@@ -234,29 +242,11 @@ def _eval_partseg(args, log, model_dtype):
     C = 6 if args.use_normals else 3
     unpack = lambda p: (p[..., :C], p[:, 0, C:])
     dummy = jnp.zeros((args.batch_size, npoint, C + 16), jnp.float32)
-    state, _ = create_train_state(
-        model, (dummy, None), rng=jax.random.PRNGKey(0), model_args=unpack
+    state, put, logp_fn = _restore_object_state(
+        args, log, model, dummy, model_args=unpack
     )
-    ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
-    restored = ckpt.restore_best(state) or ckpt.restore_latest(state)
-    if restored is None:
-        raise SystemExit(f"no checkpoint under {args.log_dir}/checkpoints")
-    state, step = restored
-    log.info("restored checkpoint step %d", step)
-    mesh = data_parallel_mesh(args.devices)
-    put = make_batch_put(mesh, batch_size=args.batch_size)
-    state = replicate(mesh, state)
-
-    @jax.jit
-    def logp_fn(pts, onehot):
-        out = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            pts, onehot,
-        )
-        return out[0] if isinstance(out, tuple) else out
-
     metrics = evaluate_partseg(
-        lambda p, oh: logp_fn(put(p), put(oh)), ds,
+        lambda p, oh: logp_fn(state, put(p), put(oh)), ds,
         batch_size=args.batch_size,
     )
     for cat, miou in metrics["category_miou"].items():

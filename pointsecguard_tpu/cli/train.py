@@ -30,7 +30,9 @@ def main(argv=None):
     ap.add_argument("--test_area", type=int, default=5)
     ap.add_argument("--epochs", type=int, default=32)
     ap.add_argument("--batch_size", type=int, default=0, help="0 = model default")
-    ap.add_argument("--npoint", type=int, default=4096)
+    ap.add_argument("--npoint", type=int, default=0,
+                    help="points per sample (0 = task default: 4096 "
+                         "semseg blocks, 1024 cls, 2048 part-seg)")
     ap.add_argument("--randla_points", type=int, default=0,
                     help="override RandLA sample size (default: config 40960)")
     ap.add_argument("--val_steps", type=int, default=0,
@@ -93,23 +95,20 @@ def main(argv=None):
     t0 = time.time()
     args.use_normals = not args.no_normals
     if args.model in ("pointnet2", "pointnet2_msg", "pointnet"):
+        args.npoint = args.npoint or 4096
         train_pointnet_family(args)
     elif args.model == "randla":
         train_randla(args)
     elif args.model.endswith("_cls") or args.model.endswith("_cls_msg"):
         from pointsecguard_tpu.train.loops import train_cls
 
-        if args.npoint == 4096:  # semseg default; cls default is 1024
-            args.npoint = 1024
-        train_cls(args)
+        train_cls(args)  # npoint=0 → the loop's 1024 default
     elif "part_seg" in args.model:
         from pointsecguard_tpu.train.loops import train_partseg
 
-        if args.npoint == 4096:  # semseg default; part-seg default is 2048
-            args.npoint = 2048
-        train_partseg(args)
+        train_partseg(args)  # npoint=0 → the loop's 2048 default
     else:
-        train_resgcn(args)
+        train_resgcn(args)  # npoint=0 → the ResGCN config default
     logging.info("total wall time %.1f s", time.time() - t0)
 
 

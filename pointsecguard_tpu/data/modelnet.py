@@ -67,14 +67,24 @@ class ModelNetDataset:
     def __len__(self) -> int:
         return len(self.paths)
 
-    def load(self, i: int) -> tuple[np.ndarray, int]:
+    def load(
+        self, i: int, rng: np.random.Generator | None = None
+    ) -> tuple[np.ndarray, int]:
         """→ (points [num_point, 6 or 3] float32, class id). First-N of
-        the resampled file, xyz unit-sphere normalized."""
+        the resampled file (the upstream default path), xyz unit-sphere
+        normalized; with ``rng`` a random subset is drawn instead (used
+        by the eval vote pool for non-degenerate extra votes)."""
         pts = np.loadtxt(self.paths[i], delimiter=",", dtype=np.float32)
-        pts = pts[: self.num_point]
+        if pts.ndim == 1:  # single-row file
+            pts = pts[None, :]
+        if rng is not None and pts.shape[0] > self.num_point:
+            pts = pts[rng.choice(pts.shape[0], self.num_point, replace=False)]
+        else:
+            pts = pts[: self.num_point]
         if pts.shape[0] < self.num_point:  # tiny files: repeat points
             reps = -(-self.num_point // pts.shape[0])
             pts = np.tile(pts, (reps, 1))[: self.num_point]
+        pts = pts.copy()
         pts[:, :3] = pc_normalize(pts[:, :3])
         if not self.use_normals:
             pts = pts[:, :3]

@@ -103,13 +103,16 @@ class ShapeNetPartDataset:
         raw = np.loadtxt(self.paths[i], dtype=np.float32)
         if raw.ndim == 1:
             raw = raw[None, :]
+        # normalize the FULL cloud before sampling (upstream order): the
+        # centroid/scale must not depend on which subset gets drawn
+        raw = raw.copy()
+        raw[:, :3] = pc_normalize(raw[:, :3])
         if rng is not None:
             choice = rng.integers(0, raw.shape[0], self.num_point)
         else:
             choice = np.arange(self.num_point) % raw.shape[0]
         raw = raw[choice]
         pts, seg = raw[:, :6], raw[:, 6].astype(np.int32)
-        pts[:, :3] = pc_normalize(pts[:, :3])
         if not self.use_normals:
             pts = pts[:, :3]
         return pts, int(self.cls_labels[i]), seg

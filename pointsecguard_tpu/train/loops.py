@@ -439,6 +439,11 @@ def cls_lr(epoch: int, *, base: float = 0.001) -> float:
     return base * (0.7 ** (epoch // 20))
 
 
+def partseg_lr(epoch: int, *, base: float = 0.001) -> float:
+    """Upstream part-seg schedule: ×0.5 every 20 epochs, clipped 1e-5."""
+    return max(base * (0.5 ** (epoch // 20)), 1e-5)
+
+
 def train_cls(args):
     """ModelNet classification driver (upstream-protocol training for the
     reference's driverless cls models): Adam(1e-3, wd 1e-4) with ×0.7/20ep
@@ -540,8 +545,10 @@ def train_cls(args):
             for _ in range(pts_k.shape[0]):
                 key, sub = jax.random.split(key)
                 subs.append(sub)
+            # bn momentum here is the TORCH update fraction (0.1 default;
+            # the upstream cls driver does not anneal it)
             state, losses, _ = step_fn(
-                state, pts_k, lab_k, weights, lr, 0.9, jnp.stack(subs)
+                state, pts_k, lab_k, weights, lr, 0.1, jnp.stack(subs)
             )
             loss_parts.append(losses)
         losses_np = (
@@ -596,7 +603,11 @@ def train_partseg(args):
         make_stacked_batch_put,
         replicate,
     )
-    from pointsecguard_tpu.train import create_train_state, make_multi_train_step
+    from pointsecguard_tpu.train import (
+        create_train_state,
+        make_multi_train_step,
+        pointnet2_bn_momentum,
+    )
     from pointsecguard_tpu.train.object_eval import evaluate_partseg
     from pointsecguard_tpu.utils.checkpoint import CheckpointManager
     from pointsecguard_tpu.utils.logging import EventLog, SummaryLogger
@@ -679,7 +690,9 @@ def train_partseg(args):
             yield pts, seg
 
     for epoch in range(start_epoch, args.epochs):
-        lr = cls_lr(epoch, base=args.learning_rate or 0.001)
+        lr = partseg_lr(epoch, base=args.learning_rate or 0.001)
+        # upstream part-seg anneals BN momentum ×0.5/20ep with floor 0.01
+        bn_m = pointnet2_bn_momentum(epoch, step_size=20)
         t0, loss_parts = time.time(), []
         for pts_k, seg_k in prefetch(
             stack_batches(_augmented(), spc),
@@ -690,7 +703,7 @@ def train_partseg(args):
                 key, sub = jax.random.split(key)
                 subs.append(sub)
             state, losses, _ = step_fn(
-                state, pts_k, seg_k, weights, lr, 0.9, jnp.stack(subs)
+                state, pts_k, seg_k, weights, lr, bn_m, jnp.stack(subs)
             )
             loss_parts.append(losses)
         losses_np = (

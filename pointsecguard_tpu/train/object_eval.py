@@ -38,22 +38,28 @@ def evaluate_cls(
 ) -> tuple[float, float, np.ndarray]:
     """→ (instance accuracy, mean per-class accuracy, [n] predictions).
 
-    ``predict_logp(points [B,N,C]) -> log-probs [B,K]``. With
-    ``num_votes>1`` the extra votes rerun the forward (softmax-space sum,
-    the upstream ``test_classification`` vote pool).
+    ``predict_logp(points [B,N,C]) -> log-probs [B,K]``. Vote pooling is
+    softmax-space summation (the upstream ``test_classification`` pool);
+    upstream's extra votes rerun the bit-identical forward, which is a
+    no-op — here each extra vote draws a fresh random point subset via
+    ``dataset.load(i, rng)``, so voting actually pools evidence
+    (documented superset).
     """
     rng = rng or np.random.default_rng(0)
     n = len(dataset)
     preds = np.zeros(n, np.int64)
-    labels = np.zeros(n, np.int64)
+    labels = np.asarray(dataset.labels, np.int64)
     for idx, n_valid in _padded_batches(n, batch_size):
-        pts = np.stack([dataset.load(i)[0] for i in idx])
         votes = 0.0
-        for _ in range(max(num_votes, 1)):
+        for v in range(max(num_votes, 1)):
+            # vote 0 = the deterministic protocol subset; later votes
+            # resample
+            pts = np.stack([
+                dataset.load(i, rng if v else None)[0] for i in idx
+            ])
             votes = votes + np.exp(np.asarray(predict_logp(pts)))
         take = idx[:n_valid]
         preds[take] = votes[:n_valid].argmax(axis=-1)
-        labels[take] = [dataset.load(i)[1] for i in take]
     inst_acc = float((preds == labels).mean()) if n else 0.0
     class_accs = []
     for c in range(dataset.num_classes):

@@ -196,11 +196,14 @@ class TestClsCLI:
         data = str(root / "mn")
         log = str(root / "log")
         make_synthetic_modelnet(data, points_per_shape=256, seed=4)
+        # BN running stats keep-rate is the torch-default 0.9, so
+        # eval-mode stats need a few dozen batches to converge — hence
+        # more epochs than the loss alone would need
         train.main([
             "--model", "pointnet2_cls", "--data_root", data,
-            "--log_dir", log, "--epochs", "3", "--npoint", "64",
+            "--log_dir", log, "--epochs", "7", "--npoint", "64",
             "--batch_size", "8", "--learning_rate", "0.003",
-            "--eval_every", "3", "--devices", "8",
+            "--eval_every", "7", "--devices", "8",
         ])
         return data, log
 
@@ -234,9 +237,9 @@ class TestPartSegCLI:
         make_synthetic_shapenetpart(data, points_per_shape=300, seed=4)
         train.main([
             "--model", "pointnet2_part_seg", "--data_root", data,
-            "--log_dir", log, "--epochs", "3", "--npoint", "64",
+            "--log_dir", log, "--epochs", "6", "--npoint", "64",
             "--batch_size", "4", "--learning_rate", "0.003",
-            "--eval_every", "3", "--devices", "4",
+            "--eval_every", "6", "--devices", "4",
         ])
         return data, log
 
