@@ -130,6 +130,56 @@ def _nine_channel(
     return out
 
 
+class _BlockIndex:
+    """Uniform 2-D grid over a room's xy plane for fast block queries.
+
+    ``query(lo, hi)`` returns exactly what the brute-force
+    ``np.where((x>=lo0)&(x<=hi0)&(y>=lo1)&(y<=hi1))[0]`` returns —
+    same inclusive bounds, same ascending index order — so the sampler's
+    downstream ``rng.choice`` draws are bit-identical. Only the cost
+    changes: candidates come from the ≤3×3 covering grid cells instead
+    of a full-room mask (the mask was ~80% of per-block sample time on
+    a 262k-point room)."""
+
+    def __init__(self, xy: np.ndarray, cell: float):
+        # contiguous copy: strided views make every vector op here ~10×
+        # slower; comparisons stay in the ORIGINAL dtype so boundary
+        # semantics match the brute-force mask exactly
+        self.xy = np.ascontiguousarray(xy)
+        self.cell = cell
+        self.origin = self.xy.min(axis=0)
+        # truncation == floor for the non-negative shifted coords
+        ij = ((self.xy - self.origin) * (1.0 / cell)).astype(np.int64)
+        self.nx = int(ij[:, 0].max()) + 1
+        self.ny = int(ij[:, 1].max()) + 1
+        flat = ij[:, 0] * self.ny + ij[:, 1]
+        # non-stable sort: query() re-sorts its final result anyway
+        self.order = np.argsort(flat)
+        counts = np.bincount(flat, minlength=self.nx * self.ny)
+        self.starts = np.concatenate([[0], np.cumsum(counts)])
+
+    def query(self, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+        i0 = max(int((lo[0] - self.origin[0]) // self.cell), 0)
+        j0 = max(int((lo[1] - self.origin[1]) // self.cell), 0)
+        i1 = min(int((hi[0] - self.origin[0]) // self.cell), self.nx - 1)
+        j1 = min(int((hi[1] - self.origin[1]) // self.cell), self.ny - 1)
+        if i1 < i0 or j1 < j0:
+            return np.empty(0, np.int64)
+        # each i-row's j-range is one contiguous slice of the sorted order
+        chunks = [
+            self.order[self.starts[i * self.ny + j0]:
+                       self.starts[i * self.ny + j1 + 1]]
+            for i in range(i0, i1 + 1)
+        ]
+        cand = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+        sub = self.xy[cand]
+        m = (
+            (sub[:, 0] >= lo[0]) & (sub[:, 0] <= hi[0])
+            & (sub[:, 1] >= lo[1]) & (sub[:, 1] <= hi[1])
+        )
+        return np.sort(cand[m])
+
+
 class S3DISBlockSampler:
     """Random 1 m × 1 m block sampler for training
     (`S3DISDataLoader.py:45-77`). ``sample(rng)`` → (points [P,9], labels [P])."""
@@ -148,6 +198,7 @@ class S3DISBlockSampler:
         self.block_size = block_size
         self.min_points = min_points
         self.max_tries = max_tries
+        self._grids: dict[int, _BlockIndex] = {}  # lazy per-room indexes
         n_all = np.array([len(l) for l in rooms.labels], np.float64)
         prob = n_all / n_all.sum()
         num_iter = int(n_all.sum() * sample_rate / num_point)
@@ -168,6 +219,9 @@ class S3DISBlockSampler:
         points = self.rooms.points[room]
         labels = self.rooms.labels[room]
         half = self.block_size / 2.0
+        grid = self._grids.get(room)
+        if grid is None:
+            grid = self._grids[room] = _BlockIndex(points[:, :2], half)
         # the reference loops unconditionally until a block has >1024 points
         # (`S3DISDataLoader.py:52-60`); bound the retries so sparse rooms
         # (tests, tiny scans) fall back to the densest block found
@@ -175,10 +229,7 @@ class S3DISBlockSampler:
         for _ in range(self.max_tries):
             center = points[rng.integers(len(points))][:3]
             lo, hi = center[:2] - half, center[:2] + half
-            in_block = np.where(
-                (points[:, 0] >= lo[0]) & (points[:, 0] <= hi[0])
-                & (points[:, 1] >= lo[1]) & (points[:, 1] <= hi[1])
-            )[0]
+            in_block = grid.query(lo, hi)
             if best is None or in_block.size > best[0].size:
                 best = (in_block, center)
             if in_block.size > self.min_points:

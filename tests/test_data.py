@@ -71,6 +71,29 @@ class TestBlockSampler:
         b = next(iter(sampler.batches(rng, 4)))
         assert b[0].shape == (4, 256, 9) and b[1].shape == (4, 256)
 
+    def test_block_index_matches_brute_force(self):
+        """The grid index must return EXACTLY the brute-force
+        ``np.where`` result (inclusive bounds, ascending order) so the
+        sampler's rng.choice draws stay bit-identical — boundary-tie
+        coordinates (multiples of the cell size) exercise the edges."""
+        from pointsecguard_tpu.data.s3dis import _BlockIndex
+
+        rng = np.random.default_rng(0)
+        for dtype in (np.float64, np.float32):
+            xy = (rng.integers(0, 80, (20000, 2)) * 0.05).astype(dtype)
+            grid = _BlockIndex(xy, 0.5)
+            for _ in range(50):
+                c = xy[rng.integers(len(xy))]
+                lo, hi = c - 0.5, c + 0.5
+                brute = np.where(
+                    (xy[:, 0] >= lo[0]) & (xy[:, 0] <= hi[0])
+                    & (xy[:, 1] >= lo[1]) & (xy[:, 1] <= hi[1])
+                )[0]
+                np.testing.assert_array_equal(brute, grid.query(lo, hi))
+            # fully out-of-range queries return empty
+            far = np.array([99.0, 99.0])
+            assert grid.query(far, far + 1).size == 0
+
 
 class TestWholeScene:
     def test_blocks_cover_room(self, mini_s3dis):
