@@ -65,10 +65,34 @@ def _load_randla_arrays(path: str) -> dict:
             for n in reader.get_variable_to_shape_map()}
 
 
+def _first_layer_in(variables: dict, sa_name: str) -> int:
+    dense = variables["params"][sa_name]["PointMLP_0"]["PointConv_0"]
+    return dense["Dense_0"]["kernel"].shape[0]
+
+
+def _cls_shape_from_ckpt(variables: dict, *, msg: bool):
+    """num_class from fc3 (`pointnet2_cls_ssg.py:21`), normal_channel from
+    sa1's first conv in-channels (3 rel-xyz + 3 normals = 6)."""
+    ncls = variables["params"]["_ClsHead_0"]["Dense_2"]["kernel"].shape[1]
+    sa = "SetAbstractionMSG_0" if msg else "SetAbstraction_0"
+    return int(ncls), _first_layer_in(variables, sa) == 6
+
+
+def _partseg_shape_from_ckpt(variables: dict, *, msg: bool):
+    """num_classes from conv2, normal_channel from sa1's first conv
+    (3 rel-xyz + full 3(+3)-channel l0 input, `pointnet2_part_seg_ssg.py:15`)."""
+    ncls = variables["params"]["Dense_0"]["kernel"].shape[1]
+    sa = "SetAbstractionMSG_0" if msg else "SetAbstraction_0"
+    return int(ncls), _first_layer_in(variables, sa) == 9
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser("import_ckpt")
     ap.add_argument("--model", required=True,
-                    choices=["pointnet2", "resgcn", "randla"])
+                    choices=["pointnet2", "resgcn", "randla",
+                             "pointnet2_cls_ssg", "pointnet2_cls_msg",
+                             "pointnet2_part_seg_ssg",
+                             "pointnet2_part_seg_msg"])
     ap.add_argument("--ckpt", required=True,
                     help="reference checkpoint: .pth (torch state dict or "
                          "{'model_state_dict': ...}) for pointnet2/resgcn; "
@@ -123,6 +147,41 @@ def main(argv=None):
         if args.model == "pointnet2":
             variables = import_pointnet2_semseg(ckpt)
             model = PointNet2SemSegSSG(num_classes=13)
+            dummy = (jnp.zeros((1, args.num_point, 9), jnp.float32), None)
+        elif args.model.startswith("pointnet2_cls"):
+            from pointsecguard_tpu.models import (
+                PointNet2ClsMSG,
+                PointNet2ClsSSG,
+            )
+            from pointsecguard_tpu.utils.importers import import_pointnet2_cls
+
+            msg = args.model.endswith("msg")
+            variables = import_pointnet2_cls(ckpt, msg=msg)
+            ncls, normals = _cls_shape_from_ckpt(variables, msg=msg)
+            cls = PointNet2ClsMSG if msg else PointNet2ClsSSG
+            model = cls(num_classes=ncls, normal_channel=normals)
+            npt = args.num_point if args.num_point != 4096 else 1024
+            dummy = (jnp.zeros((1, npt, 6 if normals else 3), jnp.float32),
+                     None)
+        elif args.model.startswith("pointnet2_part_seg"):
+            from pointsecguard_tpu.models import (
+                PointNet2PartSegMSG,
+                PointNet2PartSegSSG,
+            )
+            from pointsecguard_tpu.utils.importers import (
+                import_pointnet2_partseg,
+            )
+
+            msg = args.model.endswith("msg")
+            variables = import_pointnet2_partseg(ckpt, msg=msg)
+            ncls, normals = _partseg_shape_from_ckpt(variables, msg=msg)
+            cls = PointNet2PartSegMSG if msg else PointNet2PartSegSSG
+            model = cls(num_classes=ncls, normal_channel=normals)
+            npt = args.num_point if args.num_point != 4096 else 2048
+            pts0 = jnp.zeros((1, npt, 6 if normals else 3), jnp.float32)
+            one_hot = jnp.zeros((1, 16), jnp.float32)
+            model_args = lambda pts: (pts, one_hot)  # noqa: E731
+            dummy = (pts0, None)
         else:
             variables = import_resgcn(
                 ckpt, n_blocks=args.resgcn_blocks, conv=args.resgcn_conv
@@ -130,7 +189,7 @@ def main(argv=None):
             model = DenseDeepGCN(
                 n_blocks=args.resgcn_blocks, conv=args.resgcn_conv
             )
-        dummy = (jnp.zeros((1, args.num_point, 9), jnp.float32), None)
+            dummy = (jnp.zeros((1, args.num_point, 9), jnp.float32), None)
         if isinstance(ckpt, dict):
             epoch = int(ckpt.get("epoch", 0))
             miou = float(ckpt.get("best_iou", 0.0))

@@ -116,6 +116,112 @@ def import_pointnet2_semseg(ckpt: dict) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def _cls_head(sd: dict):
+    """fc1/bn1 → fc2/bn2 → fc3 (`pointnet2_cls_ssg.py:14-20`) → our
+    ``_ClsHead`` (Dense_0/BatchNorm_0/Dense_1/BatchNorm_1/Dense_2)."""
+    bn1_p, bn1_s = _bn(sd, "bn1")
+    bn2_p, bn2_s = _bn(sd, "bn2")
+    params = {
+        "Dense_0": _dense_from_conv(sd, "fc1"),
+        "BatchNorm_0": bn1_p,
+        "Dense_1": _dense_from_conv(sd, "fc2"),
+        "BatchNorm_1": bn2_p,
+        "Dense_2": _dense_from_conv(sd, "fc3"),
+    }
+    return params, {"BatchNorm_0": bn1_s, "BatchNorm_1": bn2_s}
+
+
+def _msg_abstraction(sd: dict, prefix: str, mlps):
+    """PointNetSetAbstractionMsg's conv_blocks.{scale}.{layer} nested
+    ModuleLists (`pointnet_util.py:210-232`) → SetAbstractionMSG's
+    PointMLP_{scale} stack."""
+    params, stats = {}, {}
+    for i, mlp in enumerate(mlps):
+        p, s = _point_mlp(
+            sd, f"{prefix}.conv_blocks.{i}", f"{prefix}.bn_blocks.{i}",
+            len(mlp),
+        )
+        params[f"PointMLP_{i}"] = p
+        stats[f"PointMLP_{i}"] = s
+    return params, stats
+
+
+def import_pointnet2_cls(ckpt: dict, *, msg: bool = False) -> dict:
+    """torch `pointnet2_cls_ssg.py:6-39` / `pointnet2_cls_msg.py:6-40`
+    state dict → PointNet2ClsSSG/MSG variables. The reference ships these
+    models with no drivers; importing upstream-trained classification
+    checkpoints activates them here."""
+    sd = _unwrap(ckpt)
+    params: dict = {}
+    stats: dict = {}
+    if msg:
+        msg_specs = (
+            ((32, 32, 64), (64, 64, 128), (64, 96, 128)),
+            ((64, 64, 128), (128, 128, 256), (128, 128, 256)),
+        )
+        for k, mlps in enumerate(msg_specs):
+            p, s = _msg_abstraction(sd, f"sa{k + 1}", mlps)
+            params[f"SetAbstractionMSG_{k}"] = p
+            stats[f"SetAbstractionMSG_{k}"] = s
+        p, s = _point_mlp(sd, "sa3.mlp_convs", "sa3.mlp_bns", 3)
+        params["SetAbstraction_0"] = {"PointMLP_0": p}
+        stats["SetAbstraction_0"] = {"PointMLP_0": s}
+    else:
+        for k in range(3):
+            p, s = _point_mlp(
+                sd, f"sa{k + 1}.mlp_convs", f"sa{k + 1}.mlp_bns", 3
+            )
+            params[f"SetAbstraction_{k}"] = {"PointMLP_0": p}
+            stats[f"SetAbstraction_{k}"] = {"PointMLP_0": s}
+    head_p, head_s = _cls_head(sd)
+    params["_ClsHead_0"] = head_p
+    stats["_ClsHead_0"] = head_s
+    return {"params": params, "batch_stats": stats}
+
+
+def import_pointnet2_partseg(ckpt: dict, *, msg: bool = False) -> dict:
+    """torch `pointnet2_part_seg_ssg.py:7-52` / `pointnet2_part_seg_msg.py`
+    state dict → PointNet2PartSegSSG/MSG variables."""
+    sd = _unwrap(ckpt)
+    params: dict = {}
+    stats: dict = {}
+    if msg:
+        msg_specs = (
+            ((32, 32, 64), (64, 64, 128), (64, 96, 128)),
+            ((128, 128, 256), (128, 196, 256)),
+        )
+        for k, mlps in enumerate(msg_specs):
+            p, s = _msg_abstraction(sd, f"sa{k + 1}", mlps)
+            params[f"SetAbstractionMSG_{k}"] = p
+            stats[f"SetAbstractionMSG_{k}"] = s
+        p, s = _point_mlp(sd, "sa3.mlp_convs", "sa3.mlp_bns", 3)
+        params["SetAbstraction_0"] = {"PointMLP_0": p}
+        stats["SetAbstraction_0"] = {"PointMLP_0": s}
+        fp_sizes = {"fp3": 2, "fp2": 2, "fp1": 2}
+    else:
+        for k in range(3):
+            p, s = _point_mlp(
+                sd, f"sa{k + 1}.mlp_convs", f"sa{k + 1}.mlp_bns", 3
+            )
+            params[f"SetAbstraction_{k}"] = {"PointMLP_0": p}
+            stats[f"SetAbstraction_{k}"] = {"PointMLP_0": s}
+        fp_sizes = {"fp3": 2, "fp2": 2, "fp1": 3}
+    # the reference applies fp3 first (`pointnet2_part_seg_ssg.py:38-41`),
+    # matching our FeaturePropagation declaration order
+    for k, name in enumerate(["fp3", "fp2", "fp1"]):
+        p, s = _point_mlp(sd, f"{name}.mlp_convs", f"{name}.mlp_bns",
+                          fp_sizes[name])
+        params[f"FeaturePropagation_{k}"] = {"PointMLP_0": p}
+        stats[f"FeaturePropagation_{k}"] = {"PointMLP_0": s}
+    head_p, head_s = _bn(sd, "bn1")
+    params["PointMLP_0"] = {"PointConv_0": {
+        "Dense_0": _dense_from_conv(sd, "conv1"), "BatchNorm_0": head_p,
+    }}
+    stats["PointMLP_0"] = {"PointConv_0": {"BatchNorm_0": head_s}}
+    params["Dense_0"] = _dense_from_conv(sd, "conv2")
+    return {"params": params, "batch_stats": stats}
+
+
 def import_resgcn(ckpt: dict, *, n_blocks: int = 28,
                   conv: str = "edge") -> dict:
     """torch DenseDeepGCN state dict (`ResGCN/sem_seg_dense/

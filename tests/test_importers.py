@@ -58,6 +58,27 @@ class _FP(nn.Module):
             cin = o
 
 
+class _SAMsg(nn.Module):
+    """`pointnet_util.py:210-232` parameter schema (nested per-scale
+    conv_blocks/bn_blocks ModuleLists; each scale's first conv sees
+    in_channel + 3 rel-xyz)."""
+
+    def __init__(self, cin, mlps):
+        super().__init__()
+        self.conv_blocks = nn.ModuleList()
+        self.bn_blocks = nn.ModuleList()
+        for mlp in mlps:
+            convs = nn.ModuleList()
+            bns = nn.ModuleList()
+            last = cin + 3
+            for o in mlp:
+                convs.append(nn.Conv2d(last, o, 1))
+                bns.append(nn.BatchNorm2d(o))
+                last = o
+            self.conv_blocks.append(convs)
+            self.bn_blocks.append(bns)
+
+
 def _randomize_bn(model):
     for m in model.modules():
         if isinstance(m, (nn.BatchNorm1d, nn.BatchNorm2d)):
@@ -227,6 +248,60 @@ class TestImportCLI:
         ])
         # untrained random-but-valid weights: metrics exist and are sane
         assert 0.0 <= float(total.accuracy) <= 1.0
+
+    def test_import_cls_msg_cli(self, tmp_path):
+        """cls-MSG .pth import: MSG conv_blocks schema + num_class /
+        normal_channel shape inference (`pointnet2_cls_msg.py:8-21`)."""
+        from pointsecguard_tpu.cli import import_ckpt
+
+        torch.manual_seed(4)
+        m = nn.Module()
+        m.sa1 = _SAMsg(3, [[32, 32, 64], [64, 64, 128], [64, 96, 128]])
+        m.sa2 = _SAMsg(320, [[64, 64, 128], [128, 128, 256],
+                             [128, 128, 256]])
+        m.sa3 = _SA(640 + 3, [256, 512, 1024])
+        m.fc1 = nn.Linear(1024, 512)
+        m.bn1 = nn.BatchNorm1d(512)
+        m.fc2 = nn.Linear(512, 256)
+        m.bn2 = nn.BatchNorm1d(256)
+        m.fc3 = nn.Linear(256, 40)
+        _randomize_bn(m)
+        pth = str(tmp_path / "cls.pth")
+        torch.save({"model_state_dict": m.state_dict(), "epoch": 5}, pth)
+        log = str(tmp_path / "imp_cls")
+        state = import_ckpt.main([
+            "--model", "pointnet2_cls_msg", "--ckpt", pth,
+            "--log_dir", log, "--num_point", "64",
+        ])
+        # inferred num_class=40, normal_channel=True (first conv in=6)
+        head = state.params["_ClsHead_0"]
+        assert head["Dense_2"]["kernel"].shape == (256, 40)
+
+    def test_import_partseg_ssg_cli(self, tmp_path):
+        """part-seg SSG .pth import: FP chain + one-hot skip channel
+        arithmetic + shape inference (`pointnet2_part_seg_ssg.py:10-24`)."""
+        from pointsecguard_tpu.cli import import_ckpt
+
+        torch.manual_seed(6)
+        m = nn.Module()
+        m.sa1 = _SA(9, [64, 64, 128])
+        m.sa2 = _SA(128 + 3, [128, 128, 256])
+        m.sa3 = _SA(256 + 3, [256, 512, 1024])
+        m.fp3 = _FP(1280, [256, 256])
+        m.fp2 = _FP(384, [256, 128])
+        m.fp1 = _FP(128 + 16 + 6 + 3, [128, 128, 128])
+        m.conv1 = nn.Conv1d(128, 128, 1)
+        m.bn1 = nn.BatchNorm1d(128)
+        m.conv2 = nn.Conv1d(128, 50, 1)
+        _randomize_bn(m)
+        pth = str(tmp_path / "part.pth")
+        torch.save({"model_state_dict": m.state_dict(), "epoch": 5}, pth)
+        log = str(tmp_path / "imp_part")
+        state = import_ckpt.main([
+            "--model", "pointnet2_part_seg_ssg", "--ckpt", pth,
+            "--log_dir", log, "--num_point", "64",
+        ])
+        assert state.params["Dense_0"]["kernel"].shape == (128, 50)
 
     def test_import_resgcn_cli(self, tmp_path):
         """ResGCN .pth import through the CLI writes a restorable ckpt."""

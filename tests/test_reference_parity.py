@@ -118,6 +118,38 @@ def ref_resgcn_module():
         sys.path.remove(REF_RESGCN)
 
 
+@pytest.fixture(scope="module")
+def ref_object_modules():
+    """The reference's cls/part-seg model zoo. The cls models import
+    ``from pointnet_util import ...`` (`pointnet2_cls_ssg.py:3`) so the
+    models/ directory itself must be on sys.path; the part-seg models
+    import ``from models.pointnet_util import ...``."""
+    models_dir = os.path.join(REF_POINTNET, "models")
+    sys.path.insert(0, REF_POINTNET)
+    sys.path.insert(0, models_dir)
+    tops = ("models", "pointnet_util", "pointnet2_cls_ssg",
+            "pointnet2_cls_msg")
+    stash = {k: sys.modules.pop(k) for k in list(sys.modules)
+             if k.split(".")[0] in tops}
+    importlib.invalidate_caches()
+    try:
+        yield {
+            "cls_ssg": importlib.import_module("pointnet2_cls_ssg"),
+            "cls_msg": importlib.import_module("pointnet2_cls_msg"),
+            "part_ssg": importlib.import_module(
+                "models.pointnet2_part_seg_ssg"),
+            "part_msg": importlib.import_module(
+                "models.pointnet2_part_seg_msg"),
+        }
+    finally:
+        sys.path.remove(models_dir)
+        sys.path.remove(REF_POINTNET)
+        for k in list(sys.modules):
+            if k.split(".")[0] in tops:
+                del sys.modules[k]
+        sys.modules.update(stash)
+
+
 class TestPointNet2FullModelParity:
     def test_logits_match_reference(self, ref_pointnet2_module):
         from pointsecguard_tpu.models import PointNet2SemSegSSG
@@ -146,6 +178,90 @@ class TestPointNet2FullModelParity:
             ref_l4.numpy().transpose(0, 2, 1),
             atol=1e-4,
         )
+
+
+class TestPointNet2ClsParity:
+    """Full-model parity for the classification zoo
+    (`pointnet2_cls_ssg.py:6-39`, `pointnet2_cls_msg.py:6-40`): covers
+    MSG grouping (feats-first channel order, `pointnet_util.py:255`),
+    the group-all global layer, and the FC head's BatchNorm1d mapping."""
+
+    @pytest.mark.parametrize("variant", ["ssg", "msg"])
+    def test_logits_match_reference(self, ref_object_modules, variant):
+        from pointsecguard_tpu.models import (
+            PointNet2ClsMSG,
+            PointNet2ClsSSG,
+        )
+        from pointsecguard_tpu.utils.importers import import_pointnet2_cls
+
+        torch.manual_seed(3)
+        ref = ref_object_modules[f"cls_{variant}"].get_model(
+            40, normal_channel=True
+        )
+        _randomize_bn(ref)
+        ref.eval()
+
+        pts = np.random.RandomState(11).rand(2, 1024, 6).astype(np.float32)
+        with _zero_randint(), torch.no_grad():
+            ref_out, ref_l3 = ref(torch.from_numpy(pts.transpose(0, 2, 1)))
+
+        cls = PointNet2ClsMSG if variant == "msg" else PointNet2ClsSSG
+        ours = cls(num_classes=40, normal_channel=True)
+        variables = jax.tree_util.tree_map(
+            jnp.asarray,
+            import_pointnet2_cls(ref.state_dict(), msg=variant == "msg"),
+        )
+        out, l3 = ours.apply(variables, jnp.asarray(pts))
+        np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                                   atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(l3)[:, 0, :],
+            ref_l3.numpy().reshape(2, 1024),
+            atol=1e-4,
+        )
+
+
+class TestPointNet2PartSegParity:
+    """Full-model parity for part segmentation
+    (`pointnet2_part_seg_ssg.py:7-52`, `pointnet2_part_seg_msg.py:7-52`):
+    covers the one-hot class conditioning, the broadcast l3→l2 FP hop,
+    and the full-input l0 feature convention."""
+
+    @pytest.mark.parametrize("variant", ["ssg", "msg"])
+    def test_logits_match_reference(self, ref_object_modules, variant):
+        from pointsecguard_tpu.models import (
+            PointNet2PartSegMSG,
+            PointNet2PartSegSSG,
+        )
+        from pointsecguard_tpu.utils.importers import (
+            import_pointnet2_partseg,
+        )
+
+        torch.manual_seed(5)
+        ref = ref_object_modules[f"part_{variant}"].get_model(
+            50, normal_channel=True
+        )
+        _randomize_bn(ref)
+        ref.eval()
+
+        rs = np.random.RandomState(13)
+        pts = rs.rand(2, 1024, 6).astype(np.float32)
+        one_hot = np.eye(16, dtype=np.float32)[rs.randint(0, 16, size=2)]
+        with _zero_randint(), torch.no_grad():
+            ref_out, _ = ref(
+                torch.from_numpy(pts.transpose(0, 2, 1)),
+                torch.from_numpy(one_hot),
+            )
+
+        cls = PointNet2PartSegMSG if variant == "msg" else PointNet2PartSegSSG
+        ours = cls(num_classes=50, normal_channel=True)
+        variables = jax.tree_util.tree_map(
+            jnp.asarray,
+            import_pointnet2_partseg(ref.state_dict(), msg=variant == "msg"),
+        )
+        out, _ = ours.apply(variables, jnp.asarray(pts), jnp.asarray(one_hot))
+        np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                                   atol=1e-4)
 
 
 def _make_ref_resgcn(arch_mod, nb, c, k):
