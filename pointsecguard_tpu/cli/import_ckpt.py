@@ -89,7 +89,9 @@ def _partseg_shape_from_ckpt(variables: dict, *, msg: bool):
 def main(argv=None):
     ap = argparse.ArgumentParser("import_ckpt")
     ap.add_argument("--model", required=True,
-                    choices=["pointnet2", "resgcn", "randla",
+                    choices=["pointnet2", "pointnet2_msg", "resgcn",
+                             "randla", "pointnet", "pointnet_cls",
+                             "pointnet_part_seg",
                              "pointnet2_cls_ssg", "pointnet2_cls_msg",
                              "pointnet2_part_seg_ssg",
                              "pointnet2_part_seg_msg"])
@@ -148,6 +150,58 @@ def main(argv=None):
             variables = import_pointnet2_semseg(ckpt)
             model = PointNet2SemSegSSG(num_classes=13)
             dummy = (jnp.zeros((1, args.num_point, 9), jnp.float32), None)
+        elif args.model == "pointnet2_msg":
+            from pointsecguard_tpu.models import PointNet2SemSegMSG
+            from pointsecguard_tpu.utils.importers import (
+                import_pointnet2_semseg_msg,
+            )
+
+            variables = import_pointnet2_semseg_msg(ckpt)
+            ncls = variables["params"]["Dense_0"]["kernel"].shape[1]
+            model = PointNet2SemSegMSG(num_classes=int(ncls))
+            dummy = (jnp.zeros((1, args.num_point, 9), jnp.float32), None)
+        elif args.model == "pointnet":
+            from pointsecguard_tpu.models import PointNetSemSeg
+            from pointsecguard_tpu.utils.importers import (
+                import_pointnet_semseg,
+            )
+
+            variables = import_pointnet_semseg(ckpt)
+            ncls = variables["params"]["Dense_0"]["kernel"].shape[1]
+            enc = variables["params"]["PointNetEncoder_0"]
+            rgb = enc["PointConv_0"]["Dense_0"]["kernel"].shape[0] == 6
+            model = PointNetSemSeg(num_classes=int(ncls), with_rgb=rgb)
+            dummy = (jnp.zeros((1, args.num_point, 9), jnp.float32), None)
+        elif args.model == "pointnet_cls":
+            from pointsecguard_tpu.models import PointNetCls
+            from pointsecguard_tpu.utils.importers import import_pointnet_cls
+
+            variables = import_pointnet_cls(ckpt)
+            ncls = variables["params"]["Dense_2"]["kernel"].shape[1]
+            enc = variables["params"]["PointNetEncoder_0"]
+            normals = enc["PointConv_0"]["Dense_0"]["kernel"].shape[0] == 6
+            model = PointNetCls(num_classes=int(ncls),
+                                normal_channel=normals)
+            npt = args.num_point if args.num_point != 4096 else 1024
+            dummy = (jnp.zeros((1, npt, 6 if normals else 3), jnp.float32),
+                     None)
+        elif args.model == "pointnet_part_seg":
+            from pointsecguard_tpu.models import PointNetPartSeg
+            from pointsecguard_tpu.utils.importers import (
+                import_pointnet_partseg,
+            )
+
+            variables = import_pointnet_partseg(ckpt)
+            nparts = variables["params"]["Dense_0"]["kernel"].shape[1]
+            normals = (variables["params"]["PointConv_0"]["Dense_0"]
+                       ["kernel"].shape[0] == 6)
+            model = PointNetPartSeg(part_num=int(nparts),
+                                    normal_channel=normals)
+            npt = args.num_point if args.num_point != 4096 else 2048
+            one_hot = jnp.zeros((1, 16), jnp.float32)
+            model_args = lambda pts: (pts, one_hot)  # noqa: E731
+            dummy = (jnp.zeros((1, npt, 6 if normals else 3), jnp.float32),
+                     None)
         elif args.model.startswith("pointnet2_cls"):
             from pointsecguard_tpu.models import (
                 PointNet2ClsMSG,

@@ -116,6 +116,157 @@ def import_pointnet2_semseg(ckpt: dict) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def import_pointnet2_semseg_msg(ckpt: dict) -> dict:
+    """torch `pointnet2_sem_seg_msg.py:6-41` state dict → our
+    PointNet2SemSegMSG variables (sa1..sa4 two-scale MSG levels,
+    fp4..fp1 applied-order chain, conv1/bn1 + conv2 head)."""
+    sd = _unwrap(ckpt)
+    msg_specs = (
+        ((16, 16, 32), (32, 32, 64)),
+        ((64, 64, 128), (64, 96, 128)),
+        ((128, 196, 256), (128, 196, 256)),
+        ((256, 256, 512), (256, 384, 512)),
+    )
+    params: dict = {}
+    stats: dict = {}
+    for k, mlps in enumerate(msg_specs):
+        p, s = _msg_abstraction(sd, f"sa{k + 1}", mlps)
+        params[f"SetAbstractionMSG_{k}"] = p
+        stats[f"SetAbstractionMSG_{k}"] = s
+    fp_sizes = {"fp4": 2, "fp3": 2, "fp2": 2, "fp1": 3}
+    for k, name in enumerate(["fp4", "fp3", "fp2", "fp1"]):
+        p, s = _point_mlp(sd, f"{name}.mlp_convs", f"{name}.mlp_bns",
+                          fp_sizes[name])
+        params[f"FeaturePropagation_{k}"] = {"PointMLP_0": p}
+        stats[f"FeaturePropagation_{k}"] = {"PointMLP_0": s}
+    head_p, head_s = _bn(sd, "bn1")
+    params["PointMLP_0"] = {"PointConv_0": {
+        "Dense_0": _dense_from_conv(sd, "conv1"), "BatchNorm_0": head_p,
+    }}
+    stats["PointMLP_0"] = {"PointConv_0": {"BatchNorm_0": head_s}}
+    params["Dense_0"] = _dense_from_conv(sd, "conv2")
+    return {"params": params, "batch_stats": stats}
+
+
+def _stn(sd: dict, prefix: str):
+    """STN3d/STNkd (`pointnet.py:10-85`: conv1-3/bn1-3 shared MLP, then
+    fc1/bn4 → fc2/bn5 → fc3) → our STN module tree."""
+    params: dict = {}
+    stats: dict = {}
+    for i in range(3):
+        bn_p, bn_s = _bn(sd, f"{prefix}.bn{i + 1}")
+        params[f"PointConv_{i}"] = {
+            "Dense_0": _dense_from_conv(sd, f"{prefix}.conv{i + 1}"),
+            "BatchNorm_0": bn_p,
+        }
+        stats[f"PointConv_{i}"] = {"BatchNorm_0": bn_s}
+    bn4_p, bn4_s = _bn(sd, f"{prefix}.bn4")
+    bn5_p, bn5_s = _bn(sd, f"{prefix}.bn5")
+    params.update({
+        "Dense_0": _dense_from_conv(sd, f"{prefix}.fc1"),
+        "BatchNorm_0": bn4_p,
+        "Dense_1": _dense_from_conv(sd, f"{prefix}.fc2"),
+        "BatchNorm_1": bn5_p,
+        "Dense_2": _dense_from_conv(sd, f"{prefix}.fc3"),
+    })
+    stats.update({"BatchNorm_0": bn4_s, "BatchNorm_1": bn5_s})
+    return params, stats
+
+
+def _pointnet_encoder(sd: dict, prefix: str, *, feature_transform=True):
+    """PointNetEncoder (`pointnet.py:88-132`: stn + conv1-3/bn1-3 +
+    optional fstn) → our PointNetEncoder tree."""
+    params: dict = {}
+    stats: dict = {}
+    p, s = _stn(sd, f"{prefix}.stn")
+    params["STN_0"] = p
+    stats["STN_0"] = s
+    if feature_transform:
+        p, s = _stn(sd, f"{prefix}.fstn")
+        params["STN_1"] = p
+        stats["STN_1"] = s
+    for i in range(3):
+        bn_p, bn_s = _bn(sd, f"{prefix}.bn{i + 1}")
+        params[f"PointConv_{i}"] = {
+            "Dense_0": _dense_from_conv(sd, f"{prefix}.conv{i + 1}"),
+            "BatchNorm_0": bn_p,
+        }
+        stats[f"PointConv_{i}"] = {"BatchNorm_0": bn_s}
+    return params, stats
+
+
+def import_pointnet_semseg(ckpt: dict) -> dict:
+    """torch `pointnet_sem_seg.py:9-38` state dict → PointNetSemSeg
+    variables (encoder + conv1-3/bn1-3 head + conv4 logits)."""
+    sd = _unwrap(ckpt)
+    enc_p, enc_s = _pointnet_encoder(sd, "feat")
+    params: dict = {"PointNetEncoder_0": enc_p}
+    stats: dict = {"PointNetEncoder_0": enc_s}
+    for i in range(3):
+        bn_p, bn_s = _bn(sd, f"bn{i + 1}")
+        params[f"PointConv_{i}"] = {
+            "Dense_0": _dense_from_conv(sd, f"conv{i + 1}"),
+            "BatchNorm_0": bn_p,
+        }
+        stats[f"PointConv_{i}"] = {"BatchNorm_0": bn_s}
+    params["Dense_0"] = _dense_from_conv(sd, "conv4")
+    return {"params": params, "batch_stats": stats}
+
+
+def import_pointnet_cls(ckpt: dict) -> dict:
+    """torch `pointnet_cls.py:6-29` state dict → PointNetCls variables
+    (encoder + fc1/bn1 → fc2/bn2 → fc3 head)."""
+    sd = _unwrap(ckpt)
+    enc_p, enc_s = _pointnet_encoder(sd, "feat")
+    bn1_p, bn1_s = _bn(sd, "bn1")
+    bn2_p, bn2_s = _bn(sd, "bn2")
+    params = {
+        "PointNetEncoder_0": enc_p,
+        "Dense_0": _dense_from_conv(sd, "fc1"),
+        "BatchNorm_0": bn1_p,
+        "Dense_1": _dense_from_conv(sd, "fc2"),
+        "BatchNorm_1": bn2_p,
+        "Dense_2": _dense_from_conv(sd, "fc3"),
+    }
+    stats = {
+        "PointNetEncoder_0": enc_s,
+        "BatchNorm_0": bn1_s,
+        "BatchNorm_1": bn2_s,
+    }
+    return {"params": params, "batch_stats": stats}
+
+
+def import_pointnet_partseg(ckpt: dict) -> dict:
+    """torch `pointnet_part_seg.py:9-75` state dict → PointNetPartSeg
+    variables (stn + conv1-5/bn1-5 + fstn(k=128) + convs1-3/bns1-3 +
+    convs4 logits)."""
+    sd = _unwrap(ckpt)
+    params: dict = {}
+    stats: dict = {}
+    p, s = _stn(sd, "stn")
+    params["STN_0"] = p
+    stats["STN_0"] = s
+    p, s = _stn(sd, "fstn")
+    params["STN_1"] = p
+    stats["STN_1"] = s
+    for i in range(5):
+        bn_p, bn_s = _bn(sd, f"bn{i + 1}")
+        params[f"PointConv_{i}"] = {
+            "Dense_0": _dense_from_conv(sd, f"conv{i + 1}"),
+            "BatchNorm_0": bn_p,
+        }
+        stats[f"PointConv_{i}"] = {"BatchNorm_0": bn_s}
+    for i in range(3):
+        bn_p, bn_s = _bn(sd, f"bns{i + 1}")
+        params[f"PointConv_{i + 5}"] = {
+            "Dense_0": _dense_from_conv(sd, f"convs{i + 1}"),
+            "BatchNorm_0": bn_p,
+        }
+        stats[f"PointConv_{i + 5}"] = {"BatchNorm_0": bn_s}
+    params["Dense_0"] = _dense_from_conv(sd, "convs4")
+    return {"params": params, "batch_stats": stats}
+
+
 def _cls_head(sd: dict):
     """fc1/bn1 → fc2/bn2 → fc3 (`pointnet2_cls_ssg.py:14-20`) → our
     ``_ClsHead`` (Dense_0/BatchNorm_0/Dense_1/BatchNorm_1/Dense_2)."""

@@ -79,6 +79,39 @@ class _SAMsg(nn.Module):
             self.bn_blocks.append(bns)
 
 
+class _STN(nn.Module):
+    """`pointnet.py:10-85` STN3d/STNkd parameter schema."""
+
+    def __init__(self, cin, k):
+        super().__init__()
+        self.conv1 = nn.Conv1d(cin, 64, 1)
+        self.conv2 = nn.Conv1d(64, 128, 1)
+        self.conv3 = nn.Conv1d(128, 1024, 1)
+        self.fc1 = nn.Linear(1024, 512)
+        self.fc2 = nn.Linear(512, 256)
+        self.fc3 = nn.Linear(256, k * k)
+        self.bn1 = nn.BatchNorm1d(64)
+        self.bn2 = nn.BatchNorm1d(128)
+        self.bn3 = nn.BatchNorm1d(1024)
+        self.bn4 = nn.BatchNorm1d(512)
+        self.bn5 = nn.BatchNorm1d(256)
+
+
+class _Encoder(nn.Module):
+    """`pointnet.py:88-101` PointNetEncoder parameter schema."""
+
+    def __init__(self, channel):
+        super().__init__()
+        self.stn = _STN(channel, 3)
+        self.conv1 = nn.Conv1d(channel, 64, 1)
+        self.conv2 = nn.Conv1d(64, 128, 1)
+        self.conv3 = nn.Conv1d(128, 1024, 1)
+        self.bn1 = nn.BatchNorm1d(64)
+        self.bn2 = nn.BatchNorm1d(128)
+        self.bn3 = nn.BatchNorm1d(1024)
+        self.fstn = _STN(64, 64)
+
+
 def _randomize_bn(model):
     for m in model.modules():
         if isinstance(m, (nn.BatchNorm1d, nn.BatchNorm2d)):
@@ -248,6 +281,85 @@ class TestImportCLI:
         ])
         # untrained random-but-valid weights: metrics exist and are sane
         assert 0.0 <= float(total.accuracy) <= 1.0
+
+    def test_import_pointnet_semseg_cli(self, tmp_path):
+        """PointNet semseg .pth import: STN/encoder schema + with_rgb
+        and num_class inference (`pointnet_sem_seg.py:9-24`)."""
+        from pointsecguard_tpu.cli import import_ckpt
+
+        torch.manual_seed(7)
+        m = nn.Module()
+        m.feat = _Encoder(6)
+        m.conv1 = nn.Conv1d(1088, 512, 1)
+        m.conv2 = nn.Conv1d(512, 256, 1)
+        m.conv3 = nn.Conv1d(256, 128, 1)
+        m.conv4 = nn.Conv1d(128, 13, 1)
+        m.bn1 = nn.BatchNorm1d(512)
+        m.bn2 = nn.BatchNorm1d(256)
+        m.bn3 = nn.BatchNorm1d(128)
+        _randomize_bn(m)
+        pth = str(tmp_path / "pn.pth")
+        torch.save({"model_state_dict": m.state_dict(), "epoch": 1}, pth)
+        state = import_ckpt.main([
+            "--model", "pointnet", "--ckpt", pth,
+            "--log_dir", str(tmp_path / "imp_pn"), "--num_point", "64",
+        ])
+        assert state.params["Dense_0"]["kernel"].shape == (128, 13)
+
+    def test_import_pointnet_partseg_cli(self, tmp_path):
+        """PointNet part-seg .pth import: conv1-5 + convs1-4 + fstn(128)
+        schema, part_num/normal inference (`pointnet_part_seg.py:9-36`)."""
+        from pointsecguard_tpu.cli import import_ckpt
+
+        torch.manual_seed(8)
+        m = nn.Module()
+        m.stn = _STN(6, 3)
+        m.fstn = _STN(128, 128)
+        for i, (cin, cout) in enumerate(
+            [(6, 64), (64, 128), (128, 128), (128, 512), (512, 2048)]
+        ):
+            setattr(m, f"conv{i + 1}", nn.Conv1d(cin, cout, 1))
+            setattr(m, f"bn{i + 1}", nn.BatchNorm1d(cout))
+        for i, (cin, cout) in enumerate([(4944, 256), (256, 256),
+                                         (256, 128)]):
+            setattr(m, f"convs{i + 1}", nn.Conv1d(cin, cout, 1))
+            setattr(m, f"bns{i + 1}", nn.BatchNorm1d(cout))
+        m.convs4 = nn.Conv1d(128, 50, 1)
+        _randomize_bn(m)
+        pth = str(tmp_path / "pnp.pth")
+        torch.save({"model_state_dict": m.state_dict(), "epoch": 1}, pth)
+        state = import_ckpt.main([
+            "--model", "pointnet_part_seg", "--ckpt", pth,
+            "--log_dir", str(tmp_path / "imp_pnp"), "--num_point", "64",
+        ])
+        assert state.params["Dense_0"]["kernel"].shape == (128, 50)
+
+    def test_import_semseg_msg_cli(self, tmp_path):
+        """MSG semseg .pth import through the CLI
+        (`pointnet2_sem_seg_msg.py:10-21` specs)."""
+        from pointsecguard_tpu.cli import import_ckpt
+
+        torch.manual_seed(9)
+        m = nn.Module()
+        m.sa1 = _SAMsg(9, [[16, 16, 32], [32, 32, 64]])
+        m.sa2 = _SAMsg(96, [[64, 64, 128], [64, 96, 128]])
+        m.sa3 = _SAMsg(256, [[128, 196, 256], [128, 196, 256]])
+        m.sa4 = _SAMsg(512, [[256, 256, 512], [256, 384, 512]])
+        m.fp4 = _FP(1536, [256, 256])
+        m.fp3 = _FP(512, [256, 256])
+        m.fp2 = _FP(352, [256, 128])
+        m.fp1 = _FP(128, [128, 128, 128])
+        m.conv1 = nn.Conv1d(128, 128, 1)
+        m.bn1 = nn.BatchNorm1d(128)
+        m.conv2 = nn.Conv1d(128, 13, 1)
+        _randomize_bn(m)
+        pth = str(tmp_path / "msg.pth")
+        torch.save({"model_state_dict": m.state_dict(), "epoch": 1}, pth)
+        state = import_ckpt.main([
+            "--model", "pointnet2_msg", "--ckpt", pth,
+            "--log_dir", str(tmp_path / "imp_msg"), "--num_point", "64",
+        ])
+        assert state.params["Dense_0"]["kernel"].shape == (128, 13)
 
     def test_import_cls_msg_cli(self, tmp_path):
         """cls-MSG .pth import: MSG conv_blocks schema + num_class /

@@ -128,7 +128,8 @@ def ref_object_modules():
     sys.path.insert(0, REF_POINTNET)
     sys.path.insert(0, models_dir)
     tops = ("models", "pointnet_util", "pointnet2_cls_ssg",
-            "pointnet2_cls_msg")
+            "pointnet2_cls_msg", "pointnet", "pointnet_sem_seg",
+            "pointnet_cls", "pointnet_part_seg")
     stash = {k: sys.modules.pop(k) for k in list(sys.modules)
              if k.split(".")[0] in tops}
     importlib.invalidate_caches()
@@ -140,6 +141,11 @@ def ref_object_modules():
                 "models.pointnet2_part_seg_ssg"),
             "part_msg": importlib.import_module(
                 "models.pointnet2_part_seg_msg"),
+            "semseg_msg": importlib.import_module(
+                "models.pointnet2_sem_seg_msg"),
+            "pn_semseg": importlib.import_module("pointnet_sem_seg"),
+            "pn_cls": importlib.import_module("pointnet_cls"),
+            "pn_part": importlib.import_module("pointnet_part_seg"),
         }
     finally:
         sys.path.remove(models_dir)
@@ -178,6 +184,115 @@ class TestPointNet2FullModelParity:
             ref_l4.numpy().transpose(0, 2, 1),
             atol=1e-4,
         )
+
+
+class TestPointNet2SemSegMSGParity:
+    """Full-model parity for the MSG semseg variant
+    (`pointnet2_sem_seg_msg.py:6-41`): two-scale MSG levels at every SA
+    stage plus the None-skip fp1."""
+
+    def test_logits_match_reference(self, ref_object_modules):
+        from pointsecguard_tpu.models import PointNet2SemSegMSG
+        from pointsecguard_tpu.utils.importers import (
+            import_pointnet2_semseg_msg,
+        )
+
+        torch.manual_seed(7)
+        ref = ref_object_modules["semseg_msg"].get_model(13)
+        _randomize_bn(ref)
+        ref.eval()
+
+        pts = np.random.RandomState(15).rand(1, 2048, 9).astype(np.float32)
+        with _zero_randint(), torch.no_grad():
+            ref_out, ref_l4 = ref(torch.from_numpy(pts.transpose(0, 2, 1)))
+
+        ours = PointNet2SemSegMSG(num_classes=13)
+        variables = jax.tree_util.tree_map(
+            jnp.asarray, import_pointnet2_semseg_msg(ref.state_dict())
+        )
+        out, l4 = ours.apply(variables, jnp.asarray(pts))
+        np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                                   atol=1e-4)
+        np.testing.assert_allclose(
+            np.asarray(l4), ref_l4.numpy().transpose(0, 2, 1), atol=1e-4
+        )
+
+
+class TestPointNetFamilyParity:
+    """Full-model parity for the plain PointNet family (`pointnet.py`
+    STN3d/STNkd/PointNetEncoder + the three heads). No FPS/ball query —
+    the forwards are deterministic tensor math, so parity is direct."""
+
+    def test_semseg_logits_match(self, ref_object_modules):
+        from pointsecguard_tpu.models import PointNetSemSeg
+        from pointsecguard_tpu.utils.importers import import_pointnet_semseg
+
+        torch.manual_seed(8)
+        ref = ref_object_modules["pn_semseg"].get_model(13, with_rgb=True)
+        _randomize_bn(ref)
+        ref.eval()
+        pts = np.random.RandomState(21).rand(2, 512, 9).astype(np.float32)
+        with torch.no_grad():
+            ref_out, ref_tf = ref(torch.from_numpy(pts.transpose(0, 2, 1)))
+
+        ours = PointNetSemSeg(num_classes=13, with_rgb=True)
+        variables = jax.tree_util.tree_map(
+            jnp.asarray, import_pointnet_semseg(ref.state_dict())
+        )
+        out, tf = ours.apply(variables, jnp.asarray(pts))
+        np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                                   atol=1e-4)
+        np.testing.assert_allclose(np.asarray(tf), ref_tf.numpy(),
+                                   atol=1e-4)
+
+    def test_cls_logits_match(self, ref_object_modules):
+        from pointsecguard_tpu.models import PointNetCls
+        from pointsecguard_tpu.utils.importers import import_pointnet_cls
+
+        torch.manual_seed(9)
+        ref = ref_object_modules["pn_cls"].get_model(40, normal_channel=True)
+        _randomize_bn(ref)
+        ref.eval()
+        pts = np.random.RandomState(23).rand(2, 512, 6).astype(np.float32)
+        with torch.no_grad():
+            ref_out, _ = ref(torch.from_numpy(pts.transpose(0, 2, 1)))
+
+        ours = PointNetCls(num_classes=40, normal_channel=True)
+        variables = jax.tree_util.tree_map(
+            jnp.asarray, import_pointnet_cls(ref.state_dict())
+        )
+        out, _ = ours.apply(variables, jnp.asarray(pts))
+        np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                                   atol=1e-4)
+
+    def test_partseg_logits_match(self, ref_object_modules):
+        from pointsecguard_tpu.models import PointNetPartSeg
+        from pointsecguard_tpu.utils.importers import import_pointnet_partseg
+
+        torch.manual_seed(10)
+        ref = ref_object_modules["pn_part"].get_model(
+            50, normal_channel=True
+        )
+        _randomize_bn(ref)
+        ref.eval()
+        rs = np.random.RandomState(25)
+        pts = rs.rand(2, 512, 6).astype(np.float32)
+        one_hot = np.eye(16, dtype=np.float32)[rs.randint(0, 16, size=2)]
+        with torch.no_grad():
+            # the reference squeezes a [B, 1, 16] label
+            # (`pointnet_part_seg.py:64`)
+            ref_out, _ = ref(
+                torch.from_numpy(pts.transpose(0, 2, 1)),
+                torch.from_numpy(one_hot[:, None, :]),
+            )
+
+        ours = PointNetPartSeg(part_num=50, normal_channel=True)
+        variables = jax.tree_util.tree_map(
+            jnp.asarray, import_pointnet_partseg(ref.state_dict())
+        )
+        out, _ = ours.apply(variables, jnp.asarray(pts), jnp.asarray(one_hot))
+        np.testing.assert_allclose(np.asarray(out), ref_out.numpy(),
+                                   atol=1e-4)
 
 
 class TestPointNet2ClsParity:
