@@ -22,7 +22,10 @@ def main(argv=None):
     ap = argparse.ArgumentParser("export")
     ap.add_argument("--model", default="pointnet2",
                     choices=["pointnet2", "pointnet2_msg", "pointnet",
-                             "randla", "resgcn"])
+                             "randla", "resgcn",
+                             "pointnet_cls", "pointnet2_cls",
+                             "pointnet2_cls_msg", "pointnet_part_seg",
+                             "pointnet2_part_seg", "pointnet2_part_seg_msg"])
     ap.add_argument("--log_dir", default="log/run")
     ap.add_argument("--output", required=True,
                     help="artifact directory to write")
@@ -31,6 +34,10 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=1,
                     help="batch dimension baked into the exported program")
     ap.add_argument("--resgcn_blocks", type=int, default=0)
+    ap.add_argument("--num_category", type=int, default=40,
+                    help="cls: number of object classes")
+    ap.add_argument("--no_normals", action="store_true",
+                    help="cls/part-seg: xyz-only inputs")
     ap.add_argument("--platforms", default="tpu,cpu",
                     help="comma-separated lowering targets")
     ap.add_argument("--precision", default="float32",
@@ -89,6 +96,32 @@ def main(argv=None):
         example = jnp.zeros((B, args.num_point, 9), jnp.float32)
         apply_fn = lambda v, p: model.apply(v, p)
         model_args = None
+    elif args.model in ("pointnet_cls", "pointnet2_cls",
+                        "pointnet2_cls_msg", "pointnet_part_seg",
+                        "pointnet2_part_seg", "pointnet2_part_seg_msg"):
+        from pointsecguard_tpu.data.shapenet_part import NUM_PART_CLASSES
+        from pointsecguard_tpu.train.loops import _cls_partseg_model
+
+        use_normals = not args.no_normals
+        part = "part_seg" in args.model
+        ncls = NUM_PART_CLASSES if part else args.num_category
+        model, _ = _cls_partseg_model(
+            args.model, num_classes=ncls, use_normals=use_normals, dtype=dt
+        )
+        C = 6 if use_normals else 3
+        npt = (args.num_point if args.num_point != 4096
+               else (2048 if part else 1024))
+        pts = jnp.zeros((B, npt, C), jnp.float32)
+        if part:
+            # two-input program: points + 16-way object-class one-hot
+            one_hot = jnp.zeros((B, 16), jnp.float32)
+            example = (pts, one_hot)
+            apply_fn = lambda v, p, l: model.apply(v, p, l)[0]
+            model_args = lambda p: (p, one_hot)
+        else:
+            example = pts
+            apply_fn = lambda v, p: model.apply(v, p)[0]
+            model_args = None
     else:
         from pointsecguard_tpu.models import (
             PointNet2SemSegMSG,
@@ -105,8 +138,9 @@ def main(argv=None):
         apply_fn = lambda v, p: model.apply(v, p)[0]
         model_args = None
 
+    init_example = example[0] if isinstance(example, tuple) else example
     state, _ = create_train_state(
-        model, (example, None), rng=jax.random.PRNGKey(0),
+        model, (init_example, None), rng=jax.random.PRNGKey(0),
         **({"model_args": model_args} if model_args else {}),
     )
     ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
@@ -131,11 +165,17 @@ def main(argv=None):
     if args.check:
         forward, meta = load_artifact(args.output)
         rng = np.random.default_rng(0)
-        probe = jnp.asarray(
-            rng.random(example.shape, dtype=np.float32)
-        )
-        got = forward(probe)
-        want = apply_fn(variables, probe)
+        exs = example if isinstance(example, tuple) else (example,)
+        probes = [jnp.asarray(rng.random(e.shape, dtype=np.float32))
+                  for e in exs]
+        if len(probes) > 1:
+            # the part-seg models' second input is a class one-hot
+            k = probes[1].shape[-1]
+            probes[1] = jnp.asarray(np.eye(k, dtype=np.float32)[
+                rng.integers(0, k, size=probes[1].shape[0])
+            ])
+        got = forward(*probes)
+        want = apply_fn(variables, *probes)
         np.testing.assert_allclose(
             np.asarray(got), np.asarray(want), atol=1e-5
         )

@@ -59,14 +59,15 @@ def unflatten_variables(flat: dict[str, np.ndarray]) -> dict:
 def export_forward(
     apply_fn: Callable,
     variables: Any,
-    example_input: jnp.ndarray,
+    example_input,
     *,
     platforms: tuple[str, ...] = ("tpu", "cpu"),
 ) -> "jax.export.Exported":
-    """Trace + lower ``apply_fn(variables, points)`` for ``platforms``.
+    """Trace + lower ``apply_fn(variables, *inputs)`` for ``platforms``.
 
     ``apply_fn`` must be eval-mode and jittable; variables ride as
-    arguments (see module docstring).
+    arguments (see module docstring). ``example_input`` is one array or
+    a tuple of arrays (e.g. part-seg's points + class one-hot).
     """
     from jax import export as jexport
 
@@ -75,8 +76,13 @@ def export_forward(
         lambda a: jax.ShapeDtypeStruct(jnp.shape(a), jnp.asarray(a).dtype),
         variables,
     )
-    in_spec = jax.ShapeDtypeStruct(example_input.shape, example_input.dtype)
-    return jexport.export(fn, platforms=list(platforms))(var_specs, in_spec)
+    inputs = (
+        tuple(example_input)
+        if isinstance(example_input, (tuple, list))
+        else (example_input,)
+    )
+    in_specs = [jax.ShapeDtypeStruct(i.shape, i.dtype) for i in inputs]
+    return jexport.export(fn, platforms=list(platforms))(var_specs, *in_specs)
 
 
 def save_artifact(
@@ -102,8 +108,8 @@ def save_artifact(
         )
 
 
-def load_artifact(path: str) -> tuple[Callable[[jnp.ndarray], Any], dict]:
-    """Load an artifact directory → (forward(points), meta).
+def load_artifact(path: str) -> tuple[Callable[..., Any], dict]:
+    """Load an artifact directory → (forward(*inputs), meta).
 
     The returned callable closes over the deserialized program and the
     loaded params; it is itself jittable (``Exported.call`` composes
@@ -117,4 +123,4 @@ def load_artifact(path: str) -> tuple[Callable[[jnp.ndarray], Any], dict]:
         variables = unflatten_variables({k: z[k] for k in z.files})
     with open(os.path.join(path, "meta.json")) as f:
         meta = json.load(f)
-    return (lambda points: exported.call(variables, points)), meta
+    return (lambda *inputs: exported.call(variables, *inputs)), meta

@@ -79,7 +79,87 @@ class TestExportRoundTrip:
         assert float(jnp.max(jnp.abs(o1 - o2))) > 1e-4
 
 
+class TestExportMultiInput:
+    def test_partseg_two_input_artifact(self, tmp_path):
+        """Part-seg forwards take (points, class one-hot); the exported
+        program must carry both inputs through serialize/deserialize."""
+        from pointsecguard_tpu.models import PointNet2PartSegSSG
+
+        pts = _points(b=2, n=96, c=3)
+        one_hot = jnp.asarray(np.eye(16, dtype=np.float32)[[3, 7]])
+        model = PointNet2PartSegSSG(num_classes=50, normal_channel=False)
+        variables = model.init({"params": jax.random.PRNGKey(2)}, pts,
+                               one_hot)
+        apply_fn = lambda v, p, l: model.apply(v, p, l)[0]
+
+        exported = export_forward(apply_fn, variables, (pts, one_hot),
+                                  platforms=("cpu",))
+        art = str(tmp_path / "art_part")
+        save_artifact(art, exported, variables, meta={"model": "part"})
+        forward, _ = load_artifact(art)
+        probe = _points(key=5, b=2, n=96, c=3)
+        np.testing.assert_allclose(
+            np.asarray(forward(probe, one_hot)),
+            np.asarray(apply_fn(variables, probe, one_hot)),
+            atol=1e-5,
+        )
+
+
 class TestExportCLI:
+    def test_cls_export_cli(self, tmp_path):
+        from pointsecguard_tpu.cli import export as export_cli
+        from pointsecguard_tpu.train import create_train_state
+        from pointsecguard_tpu.train.loops import _cls_partseg_model
+        from pointsecguard_tpu.utils.checkpoint import CheckpointManager
+
+        log_dir = str(tmp_path / "log_cls")
+        model, _ = _cls_partseg_model(
+            "pointnet2_cls", num_classes=40, use_normals=True, dtype=None
+        )
+        pts = jnp.zeros((1, 64, 6), jnp.float32)
+        state, _ = create_train_state(
+            model, (pts, None), rng=jax.random.PRNGKey(0)
+        )
+        CheckpointManager(f"{log_dir}/checkpoints").save(1, state)
+
+        out = str(tmp_path / "artifact_cls")
+        export_cli.main([
+            "--model", "pointnet2_cls", "--log_dir", log_dir,
+            "--output", out, "--num_point", "64", "--platforms", "cpu",
+            "--check",
+        ])
+        forward, _ = load_artifact(out)
+        assert forward(_points(b=1, n=64, c=6)).shape == (1, 40)
+
+    def test_partseg_export_cli(self, tmp_path):
+        from pointsecguard_tpu.cli import export as export_cli
+        from pointsecguard_tpu.train import create_train_state
+        from pointsecguard_tpu.train.loops import _cls_partseg_model
+        from pointsecguard_tpu.utils.checkpoint import CheckpointManager
+
+        log_dir = str(tmp_path / "log_part")
+        model, _ = _cls_partseg_model(
+            "pointnet2_part_seg", num_classes=50, use_normals=True,
+            dtype=None,
+        )
+        pts = jnp.zeros((1, 64, 6), jnp.float32)
+        one_hot = jnp.zeros((1, 16), jnp.float32)
+        state, _ = create_train_state(
+            model, (pts, None), rng=jax.random.PRNGKey(0),
+            model_args=lambda p: (p, one_hot),
+        )
+        CheckpointManager(f"{log_dir}/checkpoints").save(1, state)
+
+        out = str(tmp_path / "artifact_part")
+        export_cli.main([
+            "--model", "pointnet2_part_seg", "--log_dir", log_dir,
+            "--output", out, "--num_point", "64", "--platforms", "cpu",
+            "--check",
+        ])
+        forward, _ = load_artifact(out)
+        oh = jnp.asarray(np.eye(16, dtype=np.float32)[[2]])
+        assert forward(_points(b=1, n=64, c=6), oh).shape == (1, 64, 50)
+
     def test_cli_writes_and_checks_artifact(self, tmp_path):
         from pointsecguard_tpu.cli import export as export_cli
         from pointsecguard_tpu.train import create_train_state
