@@ -35,13 +35,10 @@ import jax.numpy as jnp
 
 from pointsecguard_tpu.attacks.common import (
     AttackResult,
-    color_l2,
     color_smoothness,
     cw_f_prob,
     cw_f_targeted,
-    get_color,
     point_accuracy,
-    set_color,
 )
 
 _TANH_BOUND = 1.0 - 1e-6  # ares `_scale_to_tanh` clamp (`NUattack.py:115-119`)
@@ -75,6 +72,12 @@ class CWConfig:
     adam_b1: float = 0.9
     adam_b2: float = 0.999
     adam_eps: float = 1e-8
+    # Perturbation domain. Defaults are the paper's color threat model
+    # (RGB slice, [0,1] tanh box); the object-task drivers attack
+    # coordinates with channels=(0, 3) and box=(-1, 1) — the tanh
+    # parameterization needs SOME box (beyond-reference).
+    channels: tuple[int, int] = (3, 6)
+    box: tuple[float, float] = (0.0, 1.0)
 
 
 class _AdamState(NamedTuple):
@@ -104,31 +107,37 @@ def cw_color_attack(
     per-step logging capability (`NUattack.py:160-210` prints per-binary-
     search-step metrics; `bim.py:216-237` per-iteration).
     """
-    color0 = get_color(points)
+    ch = slice(*cfg.channels)
+    color0 = points[..., ch]
     B, N = labels.shape
     m = None if mask is None else mask.astype(points.dtype)[..., None]
 
-    clipped0 = jnp.clip(color0, (1 - _TANH_BOUND) / 2, (1 + _TANH_BOUND) / 2)
+    # generalized tanh box: x = mid + half·tanh(w) maps ℝ → (lo, hi);
+    # with the default (0, 1) box this is exactly the reference's
+    # 0.5·(tanh(w)+1) color parameterization
+    mid = 0.5 * (cfg.box[0] + cfg.box[1])
+    half = 0.5 * (cfg.box[1] - cfg.box[0])
+    norm0 = jnp.clip((color0 - mid) / half, -_TANH_BOUND, _TANH_BOUND)
     if cfg.flavor == "torch":
         # variable IS the tanh-space color (`nontarget.py:61`)
-        w0 = _atanh(clipped0 * 2.0 - 1.0)
+        w0 = _atanh(norm0)
     else:
         # variable is a delta added in atanh space (`NUattack.py:32-34`)
         w0 = jnp.zeros_like(color0)
-        ws_base = _atanh((clipped0 * 2.0 - 1.0) * _TANH_BOUND)
+        ws_base = _atanh(norm0 * _TANH_BOUND)
 
     def adv_color_of(w):
         if cfg.flavor == "torch":
-            c = 0.5 * (jnp.tanh(w) + 1.0)
+            c = mid + half * jnp.tanh(w)
         else:
-            c = 0.5 * (jnp.tanh(ws_base + w) + 1.0)
+            c = mid + half * jnp.tanh(ws_base + w)
         if m is not None:
             c = m * c + (1 - m) * color0
         return c
 
     def cost_fn(w):
         c = adv_color_of(w)
-        adv = set_color(points, c)
+        adv = points.at[..., ch].set(c)
         outputs = outputs_fn(adv)
         if cfg.flavor == "ares":
             # L2 *norm* per cloud + c·hinge(logits) (`NUattack.py:52-58`)
@@ -226,8 +235,9 @@ def cw_color_attack(
         steps, _, _, best_color, acc, sr, adv_pred = jax.lax.while_loop(
             cond, body, init
         )
-    adv = set_color(points, best_color)
-    result = AttackResult(adv, steps, acc, sr, color_l2(adv, points), adv_pred)
+    adv = points.at[..., ch].set(best_color)
+    l2 = jnp.linalg.norm((best_color - color0).reshape(B, -1), axis=1)
+    result = AttackResult(adv, steps, acc, sr, l2, adv_pred)
     return (result, traj) if trajectory else result
 
 

@@ -12,15 +12,14 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from pointsecguard_tpu.attacks.common import get_color, set_color
-
-
 def equal_norm_color_noise(
     key: jax.Array,
     points: jnp.ndarray,
     l2_norm: jnp.ndarray,
     *,
     mask: jnp.ndarray | None = None,
+    channels: tuple[int, int] = (3, 6),
+    clip: tuple[float, float] | None = (0.0, 1.0),
 ) -> jnp.ndarray:
     """Add uniform color noise rescaled to a per-cloud L2 norm.
 
@@ -28,11 +27,11 @@ def equal_norm_color_noise(
       points: [B, N, C] clean inputs.
       l2_norm: [B] target perturbation norms (e.g. the attack's distortion).
       mask: optional [B, N] — restrict the noise to these points.
-
-    Returns:
-      noisy points, colors clipped to [0, 1].
+      channels/clip: perturbation domain (defaults: the color threat
+        model; the object-task drivers pass (0, 3) / None for xyz).
     """
-    color0 = get_color(points)
+    ch = slice(*channels)
+    color0 = points[..., ch]
     B = points.shape[0]
     # uniform *positive* noise before normalization — both references draw
     # U[0,1): `NUattack.py:236` np.random.uniform(0,1), `test.py:77`
@@ -43,4 +42,7 @@ def equal_norm_color_noise(
     flat = noise.reshape(B, -1)
     unit = flat / jnp.maximum(jnp.linalg.norm(flat, axis=1, keepdims=True), 1e-12)
     scaled = (unit * l2_norm[:, None]).reshape(color0.shape)
-    return set_color(points, jnp.clip(color0 + scaled, 0.0, 1.0))
+    out = color0 + scaled
+    if clip is not None:
+        out = jnp.clip(out, clip[0], clip[1])
+    return points.at[..., ch].set(out)

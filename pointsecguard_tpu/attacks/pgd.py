@@ -28,12 +28,9 @@ import jax.numpy as jnp
 
 from pointsecguard_tpu.attacks.common import (
     AttackResult,
-    color_l2,
-    get_color,
     hinge_logit_loss,
     per_point_ce,
     point_accuracy,
-    set_color,
 )
 
 
@@ -53,6 +50,11 @@ class PGDConfig:
     num_classes: int = 13
     rand_init_eps: float = 0.0  # ares NBattack random start magnitude
     early_exit_sr: float = 0.0  # >0 ⇒ stop when targeted sr exceeds (TBIM `:508`)
+    # Perturbation domain. Defaults are the paper's color threat model
+    # (RGB slice, [0,1] box); the object-task drivers attack coordinates
+    # instead with channels=(0, 3) and clip=None (beyond-reference).
+    channels: tuple[int, int] = (3, 6)
+    clip: tuple[float, float] | None = (0.0, 1.0)
 
 
 def pgd_color_attack(
@@ -78,7 +80,8 @@ def pgd_color_attack(
         None = all points.
       key: PRNG key for the random init (required if rand_init_eps > 0).
     """
-    color0 = get_color(points)
+    ch = slice(*cfg.channels)
+    color0 = points[..., ch]
     B = points.shape[0]
     m = None if mask is None else mask.astype(points.dtype)[..., None]
 
@@ -94,7 +97,9 @@ def pgd_color_attack(
         ys = labels
 
     def attack_loss(color):
-        adv = set_color(points, color if m is None else m * color + (1 - m) * color0)
+        adv = points.at[..., ch].set(
+            color if m is None else m * color + (1 - m) * color0
+        )
         outputs = outputs_fn(adv)
         if cfg.loss == "ce":
             ce = per_point_ce(outputs, ys)
@@ -128,7 +133,9 @@ def pgd_color_attack(
             norm = jnp.linalg.norm(delta, axis=1, keepdims=True)
             scale = jnp.minimum(1.0, cfg.eps / jnp.maximum(norm, 1e-12))
             eta = (delta * scale).reshape(color0.shape)
-        out = jnp.clip(color0 + eta, 0.0, 1.0)
+        out = color0 + eta
+        if cfg.clip is not None:
+            out = jnp.clip(out, cfg.clip[0], cfg.clip[1])
         if m is not None:
             out = m * out + (1 - m) * color0
         return out
@@ -196,7 +203,7 @@ def pgd_color_attack(
             body,
             (jnp.zeros((), jnp.int32), color_init, jnp.ones(()), jnp.zeros(())),
         )
-    adv = set_color(points, color_adv)
+    adv = points.at[..., ch].set(color_adv)
     # final metrics on the returned adversary (drivers reuse adv_pred
     # instead of paying another forward)
     outputs = outputs_fn(adv)
@@ -204,5 +211,6 @@ def pgd_color_attack(
     acc = point_accuracy(outputs, labels)
     if cfg.targeted and mask is not None:
         sr = point_accuracy(outputs, jnp.full_like(labels, cfg.target), mask)
-    result = AttackResult(adv, steps, acc, sr, color_l2(adv, points), adv_pred)
+    l2 = jnp.linalg.norm((color_adv - color0).reshape(B, -1), axis=1)
+    result = AttackResult(adv, steps, acc, sr, l2, adv_pred)
     return (result, traj) if trajectory else result
