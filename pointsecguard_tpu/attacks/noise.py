@@ -20,6 +20,7 @@ def equal_norm_color_noise(
     mask: jnp.ndarray | None = None,
     channels: tuple[int, int] = (3, 6),
     clip: tuple[float, float] | None = (0.0, 1.0),
+    centered: bool = False,
 ) -> jnp.ndarray:
     """Add uniform color noise rescaled to a per-cloud L2 norm.
 
@@ -29,6 +30,12 @@ def equal_norm_color_noise(
       mask: optional [B, N] — restrict the noise to these points.
       channels/clip: perturbation domain (defaults: the color threat
         model; the object-task drivers pass (0, 3) / None for xyz).
+      centered: draw zero-centered U[-1,1) instead of the references'
+        positive U[0,1). The positive draw is faithful for COLOR (both
+        references use it and the [0,1] clip re-centers it in practice);
+        for an unclipped coordinate domain it would be a biased
+        near-translation toward (+1,+1,+1), so the object-task drivers
+        pass centered=True for an isotropic control.
     """
     ch = slice(*channels)
     color0 = points[..., ch]
@@ -36,7 +43,8 @@ def equal_norm_color_noise(
     # uniform *positive* noise before normalization — both references draw
     # U[0,1): `NUattack.py:236` np.random.uniform(0,1), `test.py:77`
     # torch.empty_like(...).uniform_(0, 1)
-    noise = jax.random.uniform(key, color0.shape, minval=0.0, maxval=1.0)
+    lo = -1.0 if centered else 0.0
+    noise = jax.random.uniform(key, color0.shape, minval=lo, maxval=1.0)
     if mask is not None:
         noise = noise * mask.astype(noise.dtype)[..., None]
     flat = noise.reshape(B, -1)

@@ -198,26 +198,33 @@ def main(argv=None):
     else:
         attack_cfg = None
 
+    if args.attack == "random" and args.control:
+        # the "attack" IS the equal-norm noise — a separate control
+        # would just duplicate it
+        log.info("--control is a no-op with --attack random; ignoring")
+        args.control = False
+
     def run_attack(f, pts, labels, mask, key):
+        """→ (adv points, adv preds, per-cloud L2, control points|None)."""
         if attack_cfg is None:
             l2 = jnp.full((pts.shape[0],), args.noise_norm)
-            adv = equal_norm_color_noise(key, pts, l2, mask=mask, **xyz)
-            pred = jnp.argmax(f(adv), axis=-1)
-            return adv, pred, l2, None
+            adv = equal_norm_color_noise(
+                key, pts, l2, mask=mask, centered=True, **xyz
+            )
+            return adv, jnp.argmax(f(adv), axis=-1), l2, None
         if isinstance(attack_cfg, PGDConfig):
             res = pgd_color_attack(
                 f, pts, labels, attack_cfg, mask=mask, key=key
             )
         else:
             res = cw_color_attack(f, pts, labels, attack_cfg, mask=mask)
-        rand_pred = None
+        rand = None
         if args.control:
             rand = equal_norm_color_noise(
                 jax.random.fold_in(key, 7), pts, res.l2_dist, mask=mask,
-                **xyz,
+                centered=True, **xyz,
             )
-            rand_pred = jnp.argmax(f(rand), axis=-1)
-        return res.points_adv, res.adv_pred, res.l2_dist, rand_pred
+        return res.points_adv, res.adv_pred, res.l2_dist, rand
 
     os.makedirs(args.log_dir, exist_ok=True)
     tsv_path = os.path.join(
@@ -236,35 +243,24 @@ def main(argv=None):
     return tsv_path
 
 
-def _batches(n: int, batch_size: int):
-    """Wrap-padded index batches (tail shapes repeat index 0...)."""
-    import numpy as np
-
-    for s in range(0, n, batch_size):
-        idx = np.arange(s, min(s + batch_size, n))
-        n_valid = len(idx)
-        if n_valid < batch_size:
-            idx = np.concatenate(
-                [idx, np.zeros(batch_size - n_valid, np.int64)]
-            )
-        yield idx, n_valid
-
-
 def _attack_cls(args, log, dataset, n, B, make_outputs_fn, run_attack,
                 tsv_path):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
+    from pointsecguard_tpu.train.object_eval import _padded_batches
+
     @jax.jit
     def run(pts, labels, key):
         f = make_outputs_fn(pts)
         clean_pred = jnp.argmax(f(pts), axis=-1)[:, 0]
-        adv, adv_pred, l2, rand_pred = run_attack(
+        adv, adv_pred, l2, rand = run_attack(
             f, pts, labels[:, None], None, key
         )
-        return (clean_pred, adv_pred[:, 0], l2,
-                rand_pred[:, 0] if rand_pred is not None else clean_pred)
+        rand_pred = (jnp.argmax(f(rand), axis=-1)[:, 0]
+                     if rand is not None else clean_pred)
+        return clean_pred, adv_pred[:, 0], l2, rand_pred
 
     labels_all = np.asarray(dataset.labels, np.int64)[:n]
     clean = np.zeros(n, np.int64)
@@ -275,7 +271,7 @@ def _attack_cls(args, log, dataset, n, B, make_outputs_fn, run_attack,
     with open(tsv_path, "w") as tsv:
         tsv.write("idx\tlabel\tclean_pred\tadv_pred\tl2"
                   + ("\trand_pred" if args.control else "") + "\n")
-        for idx, n_valid in _batches(n, B):
+        for idx, n_valid in _padded_batches(n, B):
             pts = np.stack([dataset.load(int(i))[0] for i in idx])
             labs = labels_all[idx]
             key, sub = jax.random.split(key)
@@ -296,8 +292,12 @@ def _attack_cls(args, log, dataset, n, B, make_outputs_fn, run_attack,
     msg = (f"DATASET clean acc {clean_acc:.4f} | adv acc {adv_acc:.4f} "
            f"| mean L2 {l2s.mean():.4f}")
     if args.attack.startswith("tar_"):
-        sr = float((advp == args.target).mean())
-        msg += f" | target success {sr:.4f}"
+        # exclude shapes whose true label already IS the target — the
+        # model predicts those "successfully" with zero attack effort
+        eligible = labels_all != args.target
+        sr = (float((advp[eligible] == args.target).mean())
+              if eligible.any() else 0.0)
+        msg += f" | target success {sr:.4f} ({int(eligible.sum())} eligible)"
     if args.control:
         msg += f" | rand-noise acc {float((randp == labels_all).mean()):.4f}"
     log.info(msg)
@@ -311,7 +311,10 @@ def _attack_partseg(args, log, dataset, n, B, make_outputs_fn, run_attack,
     import numpy as np
 
     from pointsecguard_tpu.attacks import make_target_labels
-    from pointsecguard_tpu.train.object_eval import shape_part_ious
+    from pointsecguard_tpu.train.object_eval import (
+        _padded_batches,
+        shape_part_ious,
+    )
 
     targeted = args.attack.startswith("tar_")
 
@@ -325,26 +328,29 @@ def _attack_partseg(args, log, dataset, n, B, make_outputs_fn, run_attack,
             _, mask = make_target_labels(seg, args.origin, args.target)
         else:
             mask = None
-        adv, adv_pred, l2, rand_pred = run_attack(f, pts, seg, mask, key)
-        return clean_lp, f(adv), l2, rand_pred
+        adv, adv_pred, l2, rand = run_attack(f, pts, seg, mask, key)
+        rand_lp = f(rand) if rand is not None else clean_lp
+        return clean_lp, f(adv), l2, rand_lp
 
-    miou_clean, miou_adv, l2s = [], [], []
+    miou_clean, miou_adv, miou_rand, l2s = [], [], [], []
     key = jax.random.PRNGKey(args.seed)
     with open(tsv_path, "w") as tsv:
-        tsv.write("idx\tcategory\tclean_miou\tadv_miou\tl2\n")
-        for idx, n_valid in _batches(n, B):
+        tsv.write("idx\tcategory\tclean_miou\tadv_miou\tl2"
+                  + ("\trand_miou" if args.control else "") + "\n")
+        for idx, n_valid in _padded_batches(n, B):
             loaded = [dataset.load(int(i)) for i in idx]
             pts = np.stack([l[0] for l in loaded])
             cls = np.array([l[1] for l in loaded])
             seg = np.stack([l[2] for l in loaded]).astype(np.int32)
             one_hot = np.eye(16, dtype=np.float32)[cls]
             key, sub = jax.random.split(key)
-            clean_lp, adv_lp, l2, _ = run(
+            clean_lp, adv_lp, l2, rand_lp = run(
                 jnp.asarray(pts), jnp.asarray(one_hot), jnp.asarray(seg),
                 sub,
             )
-            clean_lp, adv_lp, l2 = (np.asarray(clean_lp),
-                                    np.asarray(adv_lp), np.asarray(l2))
+            clean_lp, adv_lp, l2, rand_lp = (
+                np.asarray(clean_lp), np.asarray(adv_lp), np.asarray(l2),
+                np.asarray(rand_lp))
             for j in range(n_valid):
                 cat = dataset.categories[idx[j]]
                 mc = float(np.mean(shape_part_ious(clean_lp[j], seg[j], cat)))
@@ -352,14 +358,20 @@ def _attack_partseg(args, log, dataset, n, B, make_outputs_fn, run_attack,
                 miou_clean.append(mc)
                 miou_adv.append(ma)
                 l2s.append(float(l2[j]))
-                tsv.write(f"{idx[j]}\t{cat}\t{mc:.4f}\t{ma:.4f}"
-                          f"\t{l2[j]:.6f}\n")
-    log.info(
-        "DATASET clean instance mIoU %.4f | adv instance mIoU %.4f "
-        "| mean L2 %.4f",
-        float(np.mean(miou_clean)), float(np.mean(miou_adv)),
-        float(np.mean(l2s)),
-    )
+                row = (f"{idx[j]}\t{cat}\t{mc:.4f}\t{ma:.4f}"
+                       f"\t{l2[j]:.6f}")
+                if args.control:
+                    mr = float(np.mean(
+                        shape_part_ious(rand_lp[j], seg[j], cat)))
+                    miou_rand.append(mr)
+                    row += f"\t{mr:.4f}"
+                tsv.write(row + "\n")
+    msg = (f"DATASET clean instance mIoU {float(np.mean(miou_clean)):.4f} "
+           f"| adv instance mIoU {float(np.mean(miou_adv)):.4f} "
+           f"| mean L2 {float(np.mean(l2s)):.4f}")
+    if args.control:
+        msg += f" | rand-noise mIoU {float(np.mean(miou_rand)):.4f}"
+    log.info(msg)
     log.info("per-shape TSV: %s", tsv_path)
 
 

@@ -29,7 +29,9 @@ def main(argv=None):
     ap.add_argument("--log_dir", default="log/run")
     ap.add_argument("--output", required=True,
                     help="artifact directory to write")
-    ap.add_argument("--num_point", type=int, default=4096)
+    ap.add_argument("--num_point", type=int, default=0,
+                    help="0 = task default (4096 semseg, 1024 cls, "
+                         "2048 part-seg)")
     ap.add_argument("--randla_points", type=int, default=0)
     ap.add_argument("--batch_size", type=int, default=1,
                     help="batch dimension baked into the exported program")
@@ -93,7 +95,7 @@ def main(argv=None):
         model = DenseDeepGCN(
             n_blocks=args.resgcn_blocks or cfg.n_blocks, dtype=dt
         )
-        example = jnp.zeros((B, args.num_point, 9), jnp.float32)
+        example = jnp.zeros((B, args.num_point or 4096, 9), jnp.float32)
         apply_fn = lambda v, p: model.apply(v, p)
         model_args = None
     elif args.model in ("pointnet_cls", "pointnet2_cls",
@@ -109,8 +111,7 @@ def main(argv=None):
             args.model, num_classes=ncls, use_normals=use_normals, dtype=dt
         )
         C = 6 if use_normals else 3
-        npt = (args.num_point if args.num_point != 4096
-               else (2048 if part else 1024))
+        npt = args.num_point or (2048 if part else 1024)
         pts = jnp.zeros((B, npt, C), jnp.float32)
         if part:
             # two-input program: points + 16-way object-class one-hot
@@ -134,7 +135,7 @@ def main(argv=None):
             "pointnet2_msg": PointNet2SemSegMSG,
             "pointnet": PointNetSemSeg,
         }[args.model](dtype=dt)
-        example = jnp.zeros((B, args.num_point, 9), jnp.float32)
+        example = jnp.zeros((B, args.num_point or 4096, 9), jnp.float32)
         apply_fn = lambda v, p: model.apply(v, p)[0]
         model_args = None
 

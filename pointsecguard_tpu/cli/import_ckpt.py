@@ -104,7 +104,9 @@ def main(argv=None):
                     help="destination run dir (checkpoints/ is created)")
     ap.add_argument("--resgcn_blocks", type=int, default=28)
     ap.add_argument("--resgcn_conv", default="edge", choices=["edge", "mr"])
-    ap.add_argument("--num_point", type=int, default=4096)
+    ap.add_argument("--num_point", type=int, default=0,
+                    help="0 = task default (4096 semseg, 1024 cls, "
+                         "2048 part-seg)")
     args = ap.parse_args(argv)
 
     from pointsecguard_tpu.utils.runtime import setup_jax
@@ -126,7 +128,8 @@ def main(argv=None):
     epoch = 0
     miou = 0.0
     if args.model == "randla":
-        if args.num_point % 512:
+        npt = args.num_point or 4096
+        if npt % 512:
             raise SystemExit("randla needs --num_point divisible by 512 "
                              "(the 4-4-4-4-2 pyramid)")
         arrays = _load_randla_arrays(args.ckpt)
@@ -143,13 +146,14 @@ def main(argv=None):
                           k=cfg.k_n, sub_ratios=cfg.sub_sampling_ratio),
         )
         d_in = variables["params"]["Dense_0"]["kernel"].shape[0]
-        dummy = (jnp.zeros((1, args.num_point, d_in), jnp.float32), None)
+        dummy = (jnp.zeros((1, npt, d_in), jnp.float32), None)
     else:
         ckpt = _load_torch_ckpt(args.ckpt)
         if args.model == "pointnet2":
             variables = import_pointnet2_semseg(ckpt)
             model = PointNet2SemSegSSG(num_classes=13)
-            dummy = (jnp.zeros((1, args.num_point, 9), jnp.float32), None)
+            dummy = (jnp.zeros((1, args.num_point or 4096, 9), jnp.float32),
+                     None)
         elif args.model == "pointnet2_msg":
             from pointsecguard_tpu.models import PointNet2SemSegMSG
             from pointsecguard_tpu.utils.importers import (
@@ -159,7 +163,8 @@ def main(argv=None):
             variables = import_pointnet2_semseg_msg(ckpt)
             ncls = variables["params"]["Dense_0"]["kernel"].shape[1]
             model = PointNet2SemSegMSG(num_classes=int(ncls))
-            dummy = (jnp.zeros((1, args.num_point, 9), jnp.float32), None)
+            dummy = (jnp.zeros((1, args.num_point or 4096, 9), jnp.float32),
+                     None)
         elif args.model == "pointnet":
             from pointsecguard_tpu.models import PointNetSemSeg
             from pointsecguard_tpu.utils.importers import (
@@ -171,7 +176,8 @@ def main(argv=None):
             enc = variables["params"]["PointNetEncoder_0"]
             rgb = enc["PointConv_0"]["Dense_0"]["kernel"].shape[0] == 6
             model = PointNetSemSeg(num_classes=int(ncls), with_rgb=rgb)
-            dummy = (jnp.zeros((1, args.num_point, 9), jnp.float32), None)
+            dummy = (jnp.zeros((1, args.num_point or 4096, 9), jnp.float32),
+                     None)
         elif args.model == "pointnet_cls":
             from pointsecguard_tpu.models import PointNetCls
             from pointsecguard_tpu.utils.importers import import_pointnet_cls
@@ -182,7 +188,7 @@ def main(argv=None):
             normals = enc["PointConv_0"]["Dense_0"]["kernel"].shape[0] == 6
             model = PointNetCls(num_classes=int(ncls),
                                 normal_channel=normals)
-            npt = args.num_point if args.num_point != 4096 else 1024
+            npt = args.num_point or 1024
             dummy = (jnp.zeros((1, npt, 6 if normals else 3), jnp.float32),
                      None)
         elif args.model == "pointnet_part_seg":
@@ -197,7 +203,7 @@ def main(argv=None):
                        ["kernel"].shape[0] == 6)
             model = PointNetPartSeg(part_num=int(nparts),
                                     normal_channel=normals)
-            npt = args.num_point if args.num_point != 4096 else 2048
+            npt = args.num_point or 2048
             one_hot = jnp.zeros((1, 16), jnp.float32)
             model_args = lambda pts: (pts, one_hot)  # noqa: E731
             dummy = (jnp.zeros((1, npt, 6 if normals else 3), jnp.float32),
@@ -214,7 +220,7 @@ def main(argv=None):
             ncls, normals = _cls_shape_from_ckpt(variables, msg=msg)
             cls = PointNet2ClsMSG if msg else PointNet2ClsSSG
             model = cls(num_classes=ncls, normal_channel=normals)
-            npt = args.num_point if args.num_point != 4096 else 1024
+            npt = args.num_point or 1024
             dummy = (jnp.zeros((1, npt, 6 if normals else 3), jnp.float32),
                      None)
         elif args.model.startswith("pointnet2_part_seg"):
@@ -231,7 +237,7 @@ def main(argv=None):
             ncls, normals = _partseg_shape_from_ckpt(variables, msg=msg)
             cls = PointNet2PartSegMSG if msg else PointNet2PartSegSSG
             model = cls(num_classes=ncls, normal_channel=normals)
-            npt = args.num_point if args.num_point != 4096 else 2048
+            npt = args.num_point or 2048
             pts0 = jnp.zeros((1, npt, 6 if normals else 3), jnp.float32)
             one_hot = jnp.zeros((1, 16), jnp.float32)
             model_args = lambda pts: (pts, one_hot)  # noqa: E731
@@ -243,7 +249,8 @@ def main(argv=None):
             model = DenseDeepGCN(
                 n_blocks=args.resgcn_blocks, conv=args.resgcn_conv
             )
-            dummy = (jnp.zeros((1, args.num_point, 9), jnp.float32), None)
+            dummy = (jnp.zeros((1, args.num_point or 4096, 9), jnp.float32),
+                     None)
         if isinstance(ckpt, dict):
             epoch = int(ckpt.get("epoch", 0))
             miou = float(ckpt.get("best_iou", 0.0))

@@ -202,7 +202,11 @@ class TestAttackObjectCLI:
             "--model", "pointnet2_part_seg", "--data_root", shapenet_root,
             "--log_dir", log_dir, "--attack", "nu", "--steps", "3",
             "--num_point", "64", "--batch_size", "3", "--max_shapes", "3",
+            "--control",
         ])
-        l2s = [float(r.split("\t")[4])
-               for r in open(tsv).read().strip().split("\n")[1:]]
+        rows = open(tsv).read().strip().split("\n")
+        assert rows[0].split("\t")[-1] == "rand_miou"
+        l2s = [float(r.split("\t")[4]) for r in rows[1:]]
         assert all(v > 0 for v in l2s)
+        rand_mious = [float(r.split("\t")[5]) for r in rows[1:]]
+        assert all(0.0 <= v <= 1.0 for v in rand_mious)
