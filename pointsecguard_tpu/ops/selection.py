@@ -12,7 +12,11 @@ argmin + mask — is 3–4× faster, and the Pallas kernels are faster still.
   one-pass HBM floor; measured v5e). Auto default on TPU for 3-D inputs
   with small k.
 - "iterative": exact, k passes; XLA-level fallback.
-- "topk": exact, XLA sort; best for large k or CPU.
+- "topk": exact, XLA sort; CPU default for large k (partial select).
+- "twostage": exact per-chunk sort + merge for LARGE k on wide rows
+  (ResGCN's dilated k·d up to 432) — opt-in; whether the narrower
+  per-chunk sorts beat one full-width sort is measured on-chip by
+  tools/bench_largek.py before any auto routing.
 - "approx": ``approx_max_k`` at recall_target 0.99 (measured recall
   0.998+). Since r2 exact selection costs about the same — approx is
   opt-in only, no longer any auto default (VERDICT r1 missing-item 2).
@@ -86,6 +90,9 @@ def bottom_k_indices(
         )
         return -neg.astype(vals.dtype), idx.astype(jnp.int32)
 
+    if strategy == "twostage":
+        return _two_stage_bottom_k(vals, k)
+
     if strategy == "iterative":
         work = vals.astype(jnp.float32)
         big = jnp.float32(3.0e38)
@@ -104,3 +111,52 @@ def bottom_k_indices(
         )
 
     raise ValueError(f"unknown selection strategy: {strategy}")
+
+
+_TWOSTAGE_CHUNK = 2048
+_BIG_F = 3.0e38
+
+
+def _two_stage_bottom_k(
+    vals: jnp.ndarray, k: int
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Exact bottom-k via per-chunk sort + merge sort — for LARGE k
+    (ResGCN's dilated k·d up to 432, `torch_edge.py:45-59` topk(k*d)),
+    where every small-k fast path is inapplicable and `lax.top_k` pays a
+    full-width sort. Splitting the row into C chunks sorts at width w and
+    merges at width C·min(k,w), both cheaper than one width-N sort when
+    k ≪ N (TPU sort cost grows with row width; measured in
+    tools/bench_largek.py).
+
+    Exactness incl. first-occurrence ties: the merge sorts the
+    concatenated per-chunk ascending prefixes, laid out in (chunk,
+    within-chunk-rank) order. For equal values the earlier merged
+    position wins; lower chunk ⇒ earlier position (offsets c·t are
+    t-strided), and within a chunk `top_k`'s own tie-break keeps ranks
+    index-ascending — so the winning tie is always the smallest global
+    column index, identical to `lax.top_k` of the negated row.
+    """
+    *lead, N = vals.shape
+    if k > N:
+        raise ValueError(f"k={k} > N={N}")
+    w = _TWOSTAGE_CHUNK
+    if N <= w:  # nothing to split
+        neg, idx = jax.lax.top_k(-vals, k)
+        return -neg, idx.astype(jnp.int32)
+    work = vals.astype(jnp.float32)
+    n_pad = -(-N // w) * w
+    if n_pad != N:  # +BIG padding: never selected while k <= N
+        pad = [(0, 0)] * len(lead) + [(0, n_pad - N)]
+        work = jnp.pad(work, pad, constant_values=_BIG_F)
+    C = n_pad // w
+    t = min(k, w)
+    chunks = work.reshape(*lead, C, w)
+    neg, cidx = jax.lax.top_k(-chunks, t)  # [..., C, t] ascending prefixes
+    gidx = cidx.astype(jnp.int32) + (
+        jnp.arange(C, dtype=jnp.int32) * w
+    )[..., :, None]
+    cand_v = (-neg).reshape(*lead, C * t)
+    cand_i = gidx.reshape(*lead, C * t)
+    mneg, mpos = jax.lax.top_k(-cand_v, k)
+    out_i = jnp.take_along_axis(cand_i, mpos, axis=-1)
+    return (-mneg).astype(vals.dtype), out_i

@@ -87,3 +87,47 @@ class TestViz:
         )
         html = open(p).read()
         assert "50 points" in html
+
+
+class TestProfileTraceParsing:
+    """tools/profile_attack.py trace aggregation (pure parsing; the
+    jax.profiler capture itself is chip-only)."""
+
+    def _write_trace(self, tmp_path, events):
+        import gzip
+        import json
+
+        d = tmp_path / "plugins" / "profile" / "run1"
+        d.mkdir(parents=True)
+        with gzip.open(d / "vm.trace.json.gz", "wt") as f:
+            json.dump({"traceEvents": events}, f)
+        return str(tmp_path)
+
+    def test_aggregates_device_ops_and_skips_bookkeeping(self, tmp_path):
+        from tools.profile_attack import parse_trace
+
+        events = [
+            {"ph": "X", "name": "fusion.1", "dur": 100.0},
+            {"ph": "X", "name": "fusion.1", "dur": 50.0},
+            {"ph": "X", "name": "scatter.2", "dur": 200.0},
+            # bookkeeping tracks that must be skipped
+            {"ph": "X", "name": "Steps", "dur": 999.0},
+            {"ph": "X", "name": "process_sort", "dur": 999.0},
+            {"ph": "X", "name": "run", "dur": 999.0, "args": {"run_id": 1}},
+            # non-duration events
+            {"ph": "M", "name": "meta"},
+            {"ph": "X", "name": "no_dur"},
+        ]
+        path, durs, total = self._write_trace(tmp_path, events), None, None
+        tpath, durs, total = parse_trace(path)
+        assert tpath.endswith("vm.trace.json.gz")
+        assert durs == {"fusion.1": 150.0, "scatter.2": 200.0}
+        assert total == 350.0
+
+    def test_missing_trace_raises(self, tmp_path):
+        import pytest as _pytest
+
+        from tools.profile_attack import parse_trace
+
+        with _pytest.raises(SystemExit):
+            parse_trace(str(tmp_path))

@@ -129,6 +129,64 @@ class TestKNN:
         np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
 
 
+class TestTwoStageSelection:
+    """Exact large-k selection (`_two_stage_bottom_k`) vs lax.top_k —
+    bit-identical values AND indices (first-occurrence ties), across
+    padding and k-vs-chunk-width regimes (ResGCN's k·d reaches 432,
+    `torch_edge.py:45-59`)."""
+
+    @pytest.mark.parametrize(
+        "N,k",
+        [
+            (4096, 432),   # the ResGCN dilation-27 shape
+            (4096, 64),
+            (5000, 432),   # padded N
+            (4100, 48),    # padded, k < chunk count boundary regions
+            (6144, 2100),  # k > chunk width: full-chunk prefixes
+            (1024, 16),    # N <= chunk: degenerates to plain top_k
+        ],
+    )
+    def test_matches_topk_exactly(self, N, k):
+        from pointsecguard_tpu.ops.selection import bottom_k_indices
+
+        rng = np.random.RandomState(N + k)
+        # coarse rounding → many duplicate values → tie-break exercised
+        x = jnp.array(
+            np.round(rng.randn(2, 8, N) * 20) / 20, jnp.float32
+        )
+        neg, widx = jax.lax.top_k(-x, k)
+        v, idx = bottom_k_indices(x, k, strategy="twostage")
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(-neg))
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(widx))
+
+    def test_auto_large_k_cpu(self):
+        # auto keeps routing large k to topk until the on-chip
+        # measurement (tools/bench_largek.py) justifies a faster route;
+        # the TPU-side auto check lives in tools/tpu_checks.py
+        from pointsecguard_tpu.ops.selection import bottom_k_indices
+
+        x = jnp.array(np.random.RandomState(7).randn(2, 64, 4096), jnp.float32)
+        neg, widx = jax.lax.top_k(-x, 432)
+        v, idx = bottom_k_indices(x, 432, strategy="auto")
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(-neg))
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(widx))
+
+    def test_adversarial_tie_packing(self):
+        from pointsecguard_tpu.ops.selection import bottom_k_indices
+
+        # all minima inside one late chunk + cross-chunk ties
+        x = np.full((1, 8, 4096), 7.0, np.float32)
+        x[0, :, 2200:2400] = 0.5
+        x[0, :, 0] = 0.5        # tie in chunk 0 must win slot 0
+        x[0, 3, -64:] = -1.0    # block sitting in the padded tail region
+        x = jnp.array(x)
+        k = 128
+        neg, widx = jax.lax.top_k(-x, k)
+        v, idx = bottom_k_indices(x, k, strategy="twostage")
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(-neg))
+        np.testing.assert_array_equal(np.asarray(idx), np.asarray(widx))
+
+
 class TestInterpolate:
     def test_three_nn(self, rng):
         dst = rng.randn(2, 20, 3).astype(np.float32)

@@ -99,6 +99,24 @@ def main() -> int:
             bool(jnp.allclose(rv, pv)) and bool((ri == pi).all()),
         )
 
+    # two-stage large-k selection — exact vs topk at the ResGCN dilated
+    # budget (k·d up to 432, with duplicates for the tie-break)
+    for B, S, N, k in [(1, 4096, 4096, 432), (1, 64, 5000, 144)]:
+        v = jnp.array(
+            np.round(rng.rand(B, S, N) * 500).astype(np.float32) / 500
+        )
+        rv, ri = bottom_k_indices(v, k, strategy="topk")
+        tv, ti = bottom_k_indices(v, k, strategy="twostage")
+        ok &= check(
+            f"twostage [{B},{S},{N}] k={k}",
+            bool((rv == tv).all()) and bool((ri == ti).all()),
+        )
+        av, ai = bottom_k_indices(v, k, strategy="auto")  # large-k route
+        ok &= check(
+            f"auto large-k [{B},{S},{N}] k={k}",
+            bool((rv == av).all()) and bool((ri == ai).all()),
+        )
+
     # fused kNN — exact vs square_distance+topk at the full RandLA level-0
     # scale (pyramid level [40960, 40960], k=16) and in ResGCN feature space
     from pointsecguard_tpu.ops.neighbors import knn
