@@ -44,7 +44,43 @@ import jax
 def _ensure_backend() -> None:
     """Backend probe with retries (utils.runtime._ensure_backend), plus a
     fresh-process re-exec as last resort — the driver runs this file
-    unattended at round end."""
+    unattended at round end.
+
+    A watchdog converts backend-init HANGS into failures: when a client
+    dies mid-remote-compile, the terminal's session lock can wedge and
+    ``jax.devices()`` then blocks forever inside ``make_c_api_client``
+    (observed; the lazy /v1/claim retry loop never errors). The block is
+    in C with the GIL held, so SIGALRM cannot interrupt it — the probe
+    runs in a CHILD process under ``subprocess`` timeout instead. On
+    timeout we exit non-zero with NO JSON line: the honest outcome — the
+    driver records a failed bench instead of hanging or logging a fake
+    0. (Killing the probe child is safe: a claim-polling client holds
+    no terminal lock, unlike a client killed mid-compile.)"""
+    import subprocess
+
+    timeout_s = int(os.environ.get("PSG_BENCH_INIT_TIMEOUT_S", "600"))
+    try:
+        subprocess.run(
+            [
+                sys.executable,
+                "-c",
+                "from pointsecguard_tpu.utils.runtime import "
+                "_ensure_backend as p; p()",
+            ],
+            timeout=timeout_s,
+            check=False,  # child errors re-raise properly in-process below
+            capture_output=True,
+        )
+    except subprocess.TimeoutExpired:
+        print(
+            "bench.py: TPU backend init hung past the "
+            f"{timeout_s}s watchdog — the terminal's session claim is "
+            "likely wedged (client killed mid-compile); no JSON emitted "
+            "so the failure is visible.",
+            file=sys.stderr,
+        )
+        sys.exit(3)
+
     from pointsecguard_tpu.utils.runtime import _ensure_backend as probe
 
     try:
