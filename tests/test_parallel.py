@@ -78,15 +78,24 @@ class TestRandlaPointsAxisSharding:
     backward — where the partitioner must insert gather collectives
     across the sharded points axis (the actual multi-chip risk)."""
 
-    def test_forward_backward_match_unsharded(self):
+    @pytest.mark.parametrize(
+        "batch,n_dev,points_axis",
+        [
+            (1, 2, 2),  # 1×2 data×points submesh
+            (1, 4, 4),  # 4-way points split: more gather collectives
+            (2, 8, 4),  # full 2×4 mesh, BOTH axes sharded at once
+        ],
+    )
+    def test_forward_backward_match_unsharded(self, batch, n_dev,
+                                              points_axis):
         import jax.numpy as jnp
 
         from pointsecguard_tpu.models import RandLANet, build_pyramid
 
         N = 4096  # divisible by the 4-4-4-4-2 pyramid (N/512 = 8)
         rng = np.random.RandomState(0)
-        feats = jnp.array(rng.rand(1, N, 6).astype(np.float32))
-        labels = jnp.array(rng.randint(0, 13, (1, N)))
+        feats = jnp.array(rng.rand(batch, N, 6).astype(np.float32))
+        labels = jnp.array(rng.randint(0, 13, (batch, N)))
         model = RandLANet()
         variables = jax.jit(model.init)(
             jax.random.PRNGKey(0), feats,
@@ -104,8 +113,7 @@ class TestRandlaPointsAxisSharding:
         vg = jax.jit(jax.value_and_grad(loss_fn))
         loss_plain, grad_plain = vg(feats)
 
-        # B=1 ⇒ data axis must be 1: 1×2 (data × points) submesh
-        mesh = make_mesh(jax.devices()[:2], points_axis=2)
+        mesh = make_mesh(jax.devices()[:n_dev], points_axis=points_axis)
         feats_s = jax.device_put(
             feats, NamedSharding(mesh, P("data", "points"))
         )
