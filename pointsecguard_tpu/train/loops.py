@@ -347,9 +347,18 @@ def train_resgcn(args):
     )
     step_fn = make_multi_train_step(model, tx, ce_loss, output_head=lambda o: o)
     ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
+    # best-effort auto-resume, like the reference driver's
+    # load_pretrained_models (`ResGCN/utils/ckpt_util.py:27-86`) and the
+    # other family loops here; without it a rerun restarts at epoch 0
+    # and orbax then silently refuses the lower-step saves
+    resumed = ckpt.restore_latest(state)
+    start_epoch = 0
+    if resumed:
+        state, start_epoch = resumed
+        log.info("resumed from epoch %d", start_epoch)
     state = replicate(mesh, state)
     key = jax.random.PRNGKey(args.seed + 1)
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         lr = resgcn_lr(epoch, base=args.learning_rate or cfg.lr)
         t0, loss_parts = time.time(), []
         for pts_k, lab_k in prefetch(

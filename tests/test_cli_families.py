@@ -156,6 +156,25 @@ class TestResgcnCLI:
         _, log = trained
         assert os.path.isdir(os.path.join(log, "checkpoints"))
 
+    def test_train_auto_resumes(self, trained):
+        """Re-running train with a higher --epochs continues from the
+        saved epoch (like `ckpt_util.py:27-86`) instead of restarting at
+        0 — a restart's lower-step saves would be silently refused by
+        orbax and the rerun would train from scratch for nothing."""
+        from pointsecguard_tpu.cli import train
+
+        data, log = trained
+        train.main([
+            "--model", "resgcn", "--data_root", data, "--log_dir", log,
+            "--epochs", "2", "--npoint", "128", "--resgcn_blocks", "3",
+            "--batch_size", "4", "--seed", "0",
+        ])
+        steps = sorted(
+            int(d) for d in os.listdir(os.path.join(log, "checkpoints"))
+            if d.isdigit()
+        )
+        assert steps[-1] == 2  # epoch-2 checkpoint from the resumed run
+
     def test_nb_attack_cli(self, trained):
         from pointsecguard_tpu.cli import attack
 
