@@ -9,7 +9,8 @@ parse the ``vm.trace.json.gz`` the axon runtime drops under
 duration, normalized to ms per attack iteration.
 
 Usage (on the chip):
-    python tools/profile_attack.py --model resgcn [--iters 4] [--top 25]
+    python tools/profile_attack.py --model resgcn|pointnet2|randla
+        [--iters 4] [--top 25]
 """
 
 from __future__ import annotations
@@ -36,26 +37,64 @@ def build_attack_scan(model_name: str, iters: int):
     from pointsecguard_tpu.attacks import attack_preset, pgd_color_attack
 
     rng = np.random.RandomState(4)
-    if model_name == "resgcn":
-        from pointsecguard_tpu.models import DenseDeepGCN
+    cfg = attack_preset(
+        "randla" if model_name == "randla" else model_name, "nb"
+    )
+    if model_name == "randla":
+        # the bench extra's program shape: on-device pyramid + hoisted
+        # xyz-only position encodings, 40960-pt cloud (bench.py
+        # extra_randla_nb_ms)
+        from pointsecguard_tpu.configs import RandlaConfig
+        from pointsecguard_tpu.models import RandLANet, build_pyramid
+        from pointsecguard_tpu.train import create_train_state
 
-        model = DenseDeepGCN()
-        n, feat = 4096, 9
-    elif model_name == "pointnet2":
-        from pointsecguard_tpu.models import PointNet2SemSegSSG
+        rcfg = RandlaConfig()
+        model = RandLANet(d_out=rcfg.d_out)
+        pyramid_fn = lambda xyz: build_pyramid(
+            xyz, num_layers=rcfg.num_layers, k=rcfg.k_n,
+            sub_ratios=rcfg.sub_sampling_ratio,
+        )
+        feats = jnp.array(
+            rng.rand(1, rcfg.num_points, 6).astype(np.float32)
+        )
+        labels = jnp.array(rng.randint(0, 13, (1, rcfg.num_points)))
+        state, _ = create_train_state(
+            model, (feats, None), rng=jax.random.PRNGKey(0),
+            model_args=lambda f: (f, pyramid_fn(f[..., :3])),
+        )
+        variables = {
+            "params": state.params, "batch_stats": state.batch_stats
+        }
 
-        model = PointNet2SemSegSSG()
-        n, feat = 4096, 9
+        def attack_fn(pts, labs):
+            pyr = pyramid_fn(pts[..., :3])
+            _, pos = model.apply(variables, pts, pyr, collect_pos=True)
+            outputs_fn = lambda x: model.apply(
+                variables, x, pyr, pos_plan=pos
+            )
+            return pgd_color_attack(outputs_fn, pts, labs, cfg)
+
+        points = feats
     else:
-        raise SystemExit(f"unsupported --model {model_name}")
+        if model_name == "resgcn":
+            from pointsecguard_tpu.models import DenseDeepGCN
 
-    points = jnp.array(rng.rand(1, n, feat).astype(np.float32))
-    labels = jnp.array(rng.randint(0, 13, (1, n)))
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), points)
-    cfg = attack_preset(model_name, "nb")
+            model = DenseDeepGCN()
+        elif model_name == "pointnet2":
+            from pointsecguard_tpu.models import PointNet2SemSegSSG
 
-    def attack_fn(pts, labs):
-        return pgd_color_attack(lambda p: model.apply(variables, p), pts, labs, cfg)
+            model = PointNet2SemSegSSG()
+        else:
+            raise SystemExit(f"unsupported --model {model_name}")
+        n, feat = 4096, 9
+        points = jnp.array(rng.rand(1, n, feat).astype(np.float32))
+        labels = jnp.array(rng.randint(0, 13, (1, n)))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), points)
+
+        def attack_fn(pts, labs):
+            return pgd_color_attack(
+                lambda p: model.apply(variables, p), pts, labs, cfg
+            )
 
     @jax.jit
     def attack_scan(pts, labs):
