@@ -346,7 +346,10 @@ def train_resgcn(args):
         rng=jax.random.PRNGKey(args.seed), weight_decay=0.0,
     )
     step_fn = make_multi_train_step(model, tx, ce_loss, output_head=lambda o: o)
-    ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
+    # keep LATEST (reference `_ckpt_latest.pth`, ckpt_util.py:109-114):
+    # this loop has no in-loop eval, so the save metric is only -loss —
+    # under keep="best" a resumed run would persist nothing (docstring)
+    ckpt = CheckpointManager(f"{args.log_dir}/checkpoints", keep="latest")
     # best-effort auto-resume, like the reference driver's
     # load_pretrained_models (`ResGCN/utils/ckpt_util.py:27-86`) and the
     # other family loops here; without it a rerun restarts at epoch 0

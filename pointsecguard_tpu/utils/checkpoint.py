@@ -16,17 +16,33 @@ import orbax.checkpoint as ocp
 
 
 class CheckpointManager:
-    """Thin orbax wrapper: periodic saves + best-mIoU copy + auto-resume."""
+    """Thin orbax wrapper: periodic saves + best-mIoU copy + auto-resume.
 
-    def __init__(self, directory: str, *, max_to_keep: int = 5):
+    ``keep="best"`` retains the ``max_to_keep`` highest-miou steps
+    (`train_semseg.py:251-263` semantics — right when the metric is a
+    real validation mIoU). ``keep="latest"`` retains the newest steps
+    regardless of metric — the reference ResGCN driver's
+    ``_ckpt_latest.pth`` behavior (`utils/ckpt_util.py:109-114`), and
+    required when the save metric is only a loss proxy: under best-mode
+    a resumed run whose proxy never beats the old best gets every new
+    save garbage-collected immediately, so the resume persists NOTHING
+    (observed on a resumed ResGCN run at decayed lr)."""
+
+    def __init__(self, directory: str, *, max_to_keep: int = 5,
+                 keep: str = "best"):
+        if keep not in ("best", "latest"):
+            raise ValueError(f"keep must be 'best' or 'latest', got {keep!r}")
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        best_kw = (
+            dict(best_fn=lambda m: m.get("miou", 0.0), best_mode="max")
+            if keep == "best"
+            else {}
+        )
         self._mgr = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep,
-                best_fn=lambda m: m.get("miou", 0.0),
-                best_mode="max",
+                max_to_keep=max_to_keep, **best_kw
             ),
         )
 

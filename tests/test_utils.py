@@ -42,6 +42,34 @@ class TestCheckpoint:
         mgr = CheckpointManager(str(tmp_path / "empty"))
         assert mgr.restore_latest({"x": jnp.array(0.0)}) is None
 
+    def test_keep_latest_persists_worse_metric_saves(self, tmp_path):
+        """keep='latest' (reference `_ckpt_latest.pth`,
+        ckpt_util.py:109-114): newer steps survive even when their save
+        metric is worse — under keep='best' a resumed loss-proxy run
+        whose metric never beats the old best persists NOTHING."""
+        d = str(tmp_path / "ckpt")
+        mgr = CheckpointManager(d, max_to_keep=2, keep="latest")
+        mgr.save(1, {"x": jnp.array(1.0)}, miou=0.9)   # best metric
+        mgr.save(2, {"x": jnp.array(2.0)}, miou=0.5)
+        mgr.save(3, {"x": jnp.array(3.0)}, miou=0.1)   # worst metric
+        _, step = mgr.restore_latest({"x": jnp.array(0.0)})
+        assert step == 3  # newest kept despite the worst metric
+        kept = sorted(int(p) for p in os.listdir(d) if p.isdigit())
+        assert kept == [2, 3]  # best-metric step 1 was evicted by age
+        # orbax persists metrics only under a best_fn manager, so a
+        # best-mode READER gets None here — the CLIs' standard
+        # `restore_best(...) or restore_latest(...)` falls back to latest
+        reader = CheckpointManager(d)
+        assert reader.restore_best({"x": jnp.array(0.0)}) is None
+        fallback, fstep = reader.restore_best(
+            {"x": jnp.array(0.0)}
+        ) or reader.restore_latest({"x": jnp.array(0.0)})
+        assert fstep == 3 and float(fallback["x"]) == 3.0
+
+    def test_keep_rejects_unknown(self, tmp_path):
+        with pytest.raises(ValueError):
+            CheckpointManager(str(tmp_path / "x"), keep="newest")
+
 
 class TestNanGuard:
     def test_bad_batch_keeps_params(self, rng):
