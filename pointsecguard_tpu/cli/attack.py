@@ -85,6 +85,13 @@ def main(argv=None):
                     help="model compute precision: bfloat16 runs the MLP "
                          "matmuls on the MXU in bf16 (params, BN stats, "
                          "neighbor search, softmax and logits stay f32)")
+    ap.add_argument("--save_adv", action="store_true",
+                    help="save the adversarial blocks (points + labels) to "
+                    "<log_dir>/<model>_<attack>_adv_area<N>.npz for "
+                    "re-evaluation under another model's checkpoint "
+                    "(cli.eval --adv_set): transferability studies; the "
+                    "torchattacks base's save-adv-dataset capability "
+                    "(attack.py:74-119). Block-based families only")
     ap.add_argument("--log_steps", action="store_true",
                     help="write per-iteration acc/sr/L2 trajectories to "
                          "*_steps.tsv (ares `bim.py:216-237` per-step logs); "
@@ -292,6 +299,8 @@ def main(argv=None):
     clean_cm = np.zeros((13, 13))
     adv_cm = np.zeros((13, 13))
     n_blocks_done = 0
+    adv_saved: list[np.ndarray] = []
+    adv_saved_labels: list[np.ndarray] = []
     for room_idx, room_name in enumerate(rooms.names):
         data, labels, weights, pidx = ws.room_blocks(room_idx, rng)
         labels_room = rooms.labels[room_idx]
@@ -338,6 +347,7 @@ def main(argv=None):
                 adv_pred = np.asarray(predict(adv))
                 res, traj = None, None
                 steps, sr, l2 = 0, 0.0, float(norm[0])
+                adv_points_np = np.asarray(adv) if args.save_adv else None
             else:
                 clean_pred, adv_pred, res, traj, rand_pred = run_attack(
                     pts, labs, mask, sub
@@ -361,7 +371,13 @@ def main(argv=None):
                     rand_acc = float(
                         (np.asarray(rand_pred)[:valid] == labs_np[:valid]).mean()
                     )
+                adv_points_np = (
+                    np.asarray(res.points_adv) if args.save_adv else None
+                )
             dt = time.time() - t0
+            if adv_points_np is not None:
+                adv_saved.append(adv_points_np[:valid].astype(np.float32))
+                adv_saved_labels.append(labs_np[:valid].astype(np.int32))
 
             clean_pred = clean_pred[:valid]
             adv_pred = adv_pred[:valid]
@@ -456,6 +472,18 @@ def main(argv=None):
         float(adv_m.miou), float(adv_m.accuracy),
     )
     log.info("per-block TSV: %s", tsv_path)
+    if args.save_adv and adv_saved:
+        adv_path = os.path.join(
+            args.log_dir,
+            f"{args.model}_{args.attack}_adv_area{args.test_area}.npz",
+        )
+        np.savez_compressed(
+            adv_path,
+            points=np.concatenate(adv_saved, axis=0),
+            labels=np.concatenate(adv_saved_labels, axis=0),
+        )
+        log.info("adversarial set: %s (re-evaluate with cli.eval "
+                 "--adv_set)", adv_path)
     return clean_m, adv_m
 
 

@@ -34,6 +34,11 @@ def main(argv=None):
                     help="randla: spatially-regular samples to vote over")
     ap.add_argument("--randla_points", type=int, default=0,
                     help="override RandLA sample size (default: config 40960)")
+    ap.add_argument("--adv_set", default=None,
+                    help="evaluate a saved adversarial set (.npz from "
+                    "cli.attack --save_adv) instead of the dataset — "
+                    "attack under one checkpoint, re-evaluate under "
+                    "another (transferability). Block families only")
     ap.add_argument("--save_preds", default=None,
                     help="randla: save per-cloud prediction PLYs here")
     ap.add_argument("--data_root", default="data/stanford_indoor3d")
@@ -108,7 +113,13 @@ def main(argv=None):
             "pointnet": PointNetSemSeg,
         }[args.model](dtype=model_dtype)
 
-    rooms = RoomSet.load(args.data_root, "test", args.test_area)
+    adv_npz = None
+    if args.adv_set:
+        adv_npz = np.load(args.adv_set)
+        args.num_point = int(adv_npz["points"].shape[1])
+        rooms = None  # the .npz is self-contained
+    else:
+        rooms = RoomSet.load(args.data_root, "test", args.test_area)
     dummy = jnp.zeros((args.batch_size, args.num_point, 9), jnp.float32)
     state, _ = create_train_state(
         model, (dummy, None), rng=jax.random.PRNGKey(0)
@@ -131,6 +142,41 @@ def main(argv=None):
     state = replicate(mesh, state)
     eval_fn = make_eval_step(model)
     predict = lambda p: np.asarray(eval_fn(state, put(p)))
+    if adv_npz is not None:
+        # saved-adversarial-set evaluation (cli.attack --save_adv):
+        # batched forward over the stored blocks, confusion-based metrics
+        import os
+
+        from pointsecguard_tpu.utils.metrics import (
+            confusion_matrix,
+            metrics_from_confusion,
+        )
+
+        pts_all = adv_npz["points"].astype(np.float32)
+        labs_all = adv_npz["labels"].astype(np.int32)
+        B = args.batch_size
+        cm = np.zeros((13, 13))
+        for start in range(0, len(pts_all), B):
+            chunk = pts_all[start : start + B]
+            labs = labs_all[start : start + B]
+            v = len(chunk)
+            if v < B:  # pad the tail to the jitted shape
+                reps = [1] * (v - 1) + [B - v + 1]
+                chunk = np.repeat(chunk, reps, axis=0)
+            preds = predict(chunk)[:v]
+            cm += np.asarray(
+                confusion_matrix(jnp.array(labs), jnp.array(preds), 13)
+            )
+        m = metrics_from_confusion(jnp.array(cm))
+        log.info("---- class IoU ----")
+        for cls, iou in zip(S3DIS_CLASSES, np.asarray(m.class_iou)):
+            log.info("%12s: %.4f", cls, iou)
+        log.info(
+            "ADVSET %s: %d blocks  mIoU %.4f  acc %.4f",
+            os.path.basename(args.adv_set), len(pts_all),
+            float(m.miou), float(m.accuracy),
+        )
+        return m
     total, per_room = evaluate_whole_scenes(
         predict, rooms, batch_size=args.batch_size, num_votes=args.num_votes,
         block_points=args.num_point, rng=np.random.default_rng(args.seed),

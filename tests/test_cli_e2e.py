@@ -107,6 +107,38 @@ class TestAttackCLI:
         assert any(f.endswith("_adv_raw.xyzrgb") for f in vis)
         assert any(f.endswith("_adv.html") for f in vis)
 
+    def test_save_adv_then_reevaluate(self, trained, tmp_path):
+        """--save_adv writes the adversarial set; cli.eval --adv_set
+        re-evaluates it (the torchattacks base's save capability,
+        `attack.py:74-119`, plus the transferability workflow the
+        reference never wired). Same checkpoint here, so the ADVSET
+        accuracy must reproduce the attack's own adv accuracy."""
+        from pointsecguard_tpu.cli import attack
+        from pointsecguard_tpu.cli import eval as eval_cli
+
+        data, log = trained
+        _, adv_m = attack.main([
+            "--model", "pointnet", "--attack", "nb", "--data_root", data,
+            "--log_dir", log, "--num_point", "128", "--batch_size", "2",
+            "--max_blocks", "6", "--save_adv",
+        ])
+        npz_path = os.path.join(log, "pointnet_nb_adv_area5.npz")
+        z = np.load(npz_path)
+        assert z["points"].shape[1:] == (128, 9)
+        assert z["points"].shape[0] == z["labels"].shape[0] > 0
+        m = eval_cli.main([
+            "--model", "pointnet", "--log_dir", log,
+            "--adv_set", npz_path, "--batch_size", "4",
+        ])
+        # per-point accuracy over the same blocks under the same model:
+        # identical predictions → equal up to the attack CLI's per-block
+        # averaging granularity
+        tsv = os.path.join(log, "pointnet_nb_area5.tsv")
+        rows = [r.split("\t") for r in
+                open(tsv).read().strip().splitlines()[1:]]
+        per_block_adv = np.mean([float(r[3]) for r in rows])
+        assert abs(float(m.accuracy) - per_block_adv) < 0.02
+
     def test_defended_attack(self, trained):
         """--defense bit_depth: the attack runs against the defended
         model (BPDA). 3-bit color quantization largely neutralizes the
