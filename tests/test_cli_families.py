@@ -229,6 +229,35 @@ class TestResgcnCLI:
                 "--batch_size", "2",
             ])
 
+    def test_cross_family_adv_set_transfer(self, trained, tmp_path):
+        """Cross-MODEL transferability: adversarial blocks crafted
+        against a PointNet checkpoint re-evaluated under the ResGCN
+        checkpoint (both consume 9-ch blocks). Exercises --save_adv →
+        --adv_set across architectures; transfer strength is not
+        asserted (not guaranteed), the mechanics and metric sanity are."""
+        from pointsecguard_tpu.cli import attack, train
+        from pointsecguard_tpu.cli import eval as eval_cli
+
+        data, resgcn_log = trained
+        pn_log = str(tmp_path / "pn_log")
+        train.main([
+            "--model", "pointnet", "--data_root", data, "--log_dir", pn_log,
+            "--epochs", "2", "--npoint", "128", "--batch_size", "8",
+            "--learning_rate", "0.003", "--eval_every", "10",
+        ])
+        attack.main([
+            "--model", "pointnet", "--attack", "nb", "--data_root", data,
+            "--log_dir", pn_log, "--num_point", "128", "--batch_size", "2",
+            "--max_blocks", "4", "--save_adv",
+        ])
+        npz = os.path.join(pn_log, "pointnet_nb_adv_area5.npz")
+        m = eval_cli.main([
+            "--model", "resgcn", "--resgcn_blocks", "3",
+            "--log_dir", resgcn_log, "--adv_set", npz, "--batch_size", "4",
+        ])
+        assert np.isfinite(float(m.accuracy))
+        assert 0.0 <= float(m.miou) <= 1.0
+
     def test_fixed_graphs_attack_cli(self, trained):
         """--resgcn_fixed_graphs: edge graphs frozen at the clean input
         (documented deviation); the attack still degrades accuracy and
