@@ -91,7 +91,8 @@ def main(argv=None):
                     "re-evaluation under another model's checkpoint "
                     "(cli.eval --adv_set): transferability studies; the "
                     "torchattacks base's save-adv-dataset capability "
-                    "(attack.py:74-119). Block-based families only")
+                    "(attack.py:74-119). Semseg families (blocks or "
+                    "RandLA clouds)")
     ap.add_argument("--log_steps", action="store_true",
                     help="write per-iteration acc/sr/L2 trajectories to "
                          "*_steps.tsv (ares `bim.py:216-237` per-step logs); "
@@ -628,6 +629,8 @@ def _attack_randla(args, log):
     adv_cm = np.zeros((13, 13))
     key = jax.random.PRNGKey(args.seed)
     n_done = 0
+    adv_saved: list[np.ndarray] = []
+    adv_saved_labels: list[np.ndarray] = []
     for i, (xyz, feats, labels, _, cloud_idx) in enumerate(
         sampler.batches(B, -(-args.num_clouds // B))  # ceil: ≥num_clouds total
     ):
@@ -646,6 +649,9 @@ def _attack_randla(args, log):
         res, traj, rand_pred = run(feats_j, labels_j, mask, sub)
         adv_pred = np.asarray(res.adv_pred)
         dt = time.time() - t0
+        if getattr(args, "save_adv", False):
+            adv_saved.append(np.asarray(res.points_adv).astype(np.float32))
+            adv_saved_labels.append(labels.astype(np.int32))
         np.add.at(clean_cm, (labels.reshape(-1), clean_pred.reshape(-1)), 1)
         np.add.at(adv_cm, (labels.reshape(-1), adv_pred.reshape(-1)), 1)
         l2_np = np.asarray(res.l2_dist)
@@ -705,6 +711,17 @@ def _attack_randla(args, log):
         float(am.accuracy), n_done,
     )
     log.info("per-cloud TSV: %s", tsv_path)
+    if getattr(args, "save_adv", False) and adv_saved:
+        adv_path = os.path.join(
+            args.log_dir, f"randla_{args.attack}_adv_area{args.test_area}.npz"
+        )
+        np.savez_compressed(
+            adv_path,
+            points=np.concatenate(adv_saved, axis=0),
+            labels=np.concatenate(adv_saved_labels, axis=0),
+        )
+        log.info("adversarial set: %s (re-evaluate with cli.eval "
+                 "--model randla --adv_set)", adv_path)
     return cm, am
 
 

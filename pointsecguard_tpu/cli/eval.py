@@ -38,7 +38,8 @@ def main(argv=None):
                     help="evaluate a saved adversarial set (.npz from "
                     "cli.attack --save_adv) instead of the dataset — "
                     "attack under one checkpoint, re-evaluate under "
-                    "another (transferability). Block families only")
+                    "another (transferability). Semseg families (blocks "
+                    "or RandLA clouds)")
     ap.add_argument("--save_preds", default=None,
                     help="randla: save per-cloud prediction PLYs here")
     ap.add_argument("--data_root", default="data/stanford_indoor3d")
@@ -329,11 +330,15 @@ def _eval_randla(args, log):
     from pointsecguard_tpu.utils.metrics import metrics_from_confusion
 
     cfg = RandlaConfig()
-    num_points = getattr(args, "randla_points", 0) or cfg.num_points
-    sampler = SpatiallyRegularSampler.load(
-        args.randla_dir, split="test", test_area=args.test_area,
-        num_points=num_points, rng=np.random.default_rng(args.seed),
-    )
+    adv_npz = np.load(args.adv_set) if getattr(args, "adv_set", None) else None
+    if adv_npz is not None:  # the .npz is self-contained
+        num_points, sampler = int(adv_npz["points"].shape[1]), None
+    else:
+        num_points = getattr(args, "randla_points", 0) or cfg.num_points
+        sampler = SpatiallyRegularSampler.load(
+            args.randla_dir, split="test", test_area=args.test_area,
+            num_points=num_points, rng=np.random.default_rng(args.seed),
+        )
     model = RandLANet(
         d_out=cfg.d_out,
         dtype=jnp.bfloat16
@@ -373,6 +378,32 @@ def _eval_randla(args, log):
             model.apply(variables, f, pyramid_fn(f[..., :3])), axis=-1
         )
     )
+
+    if adv_npz is not None:
+        # saved-adversarial-cloud evaluation (cli.attack --save_adv)
+        from pointsecguard_tpu.utils.metrics import confusion_matrix
+
+        pts_all = adv_npz["points"].astype(np.float32)
+        labs_all = adv_npz["labels"].astype(np.int32)
+        cm = np.zeros((13, 13))
+        for start in range(0, len(pts_all), B):
+            chunk = pts_all[start : start + B]
+            labs = labs_all[start : start + B]
+            v = len(chunk)
+            if v < B:
+                reps = [1] * (v - 1) + [B - v + 1]
+                chunk = np.repeat(chunk, reps, axis=0)
+            preds = np.argmax(np.asarray(probs_fn(put(chunk))), axis=-1)[:v]
+            cm += np.asarray(
+                confusion_matrix(jnp.array(labs), jnp.array(preds), 13)
+            )
+        m = metrics_from_confusion(jnp.array(cm))
+        log.info(
+            "ADVSET %s: %d clouds  mIoU %.4f  acc %.4f",
+            os.path.basename(args.adv_set), len(pts_all),
+            float(m.miou), float(m.accuracy),
+        )
+        return m
 
     # per-sub-cloud probability vote pools
     pools = [np.zeros((len(c.labels), 13), np.float64) for c in sampler.clouds]

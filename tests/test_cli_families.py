@@ -80,6 +80,31 @@ class TestRandlaCLI:
         c = rows[1].split("\t")
         assert float(c[3]) > 0  # nonzero distortion
 
+    def test_save_adv_then_reevaluate(self, trained):
+        """Cloud-level --save_adv → eval --adv_set round trip (same
+        checkpoint ⇒ ADVSET accuracy reproduces the attack TSV's mean
+        adv accuracy; clouds are equal-sized so the means coincide)."""
+        from pointsecguard_tpu.cli import attack
+        from pointsecguard_tpu.cli import eval as eval_cli
+
+        rd, _, log = trained
+        attack.main([
+            "--model", "randla", "--attack", "nb", "--randla_dir", rd,
+            "--log_dir", log, "--randla_points", "512", "--num_clouds", "2",
+            "--save_adv",
+        ])
+        npz_path = os.path.join(log, "randla_nb_adv_area5.npz")
+        z = np.load(npz_path)
+        assert z["points"].shape[1:] == (512, 6)
+        m = eval_cli.main([
+            "--model", "randla", "--log_dir", log, "--adv_set", npz_path,
+        ])
+        tsv = os.path.join(log, "randla_nb_area5.tsv")
+        rows = [r.split("\t") for r in
+                open(tsv).read().strip().splitlines()[1:]]
+        per_cloud_adv = np.mean([float(r[2]) for r in rows])
+        assert abs(float(m.accuracy) - per_cloud_adv) < 1e-3
+
     def test_batched_attack_matches_single(self, trained, tmp_path):
         """--batch_size 2 attacks two clouds in one program; per-cloud
         TSV rows must match the B=1 run (same sampler seed ⇒ same cloud
