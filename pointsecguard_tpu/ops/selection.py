@@ -14,9 +14,12 @@ argmin + mask — is 3–4× faster, and the Pallas kernels are faster still.
 - "iterative": exact, k passes; XLA-level fallback.
 - "topk": exact, XLA sort; CPU default for large k (partial select).
 - "twostage": exact per-chunk sort + merge for LARGE k on wide rows
-  (ResGCN's dilated k·d up to 432) — opt-in; whether the narrower
-  per-chunk sorts beat one full-width sort is measured on-chip by
-  tools/bench_largek.py before any auto routing.
+  (ResGCN's dilated k·d up to 432) — opt-in ONLY: measured on-chip
+  (tools/bench_largek.py, v5e) at 28-32 ms vs top_k's 11.4-11.7 ms at
+  k=432 on [1,4096,4096]; the merge over C·k candidates costs more
+  than the narrower chunk sorts save. approx_max_k reads 9.9 ms there,
+  so even inexact selection buys ~13% — exact large-k selection on TPU
+  IS the full sort, and auto routing keeps "topk".
 - "approx": ``approx_max_k`` at recall_target 0.99 (measured recall
   0.998+). Since r2 exact selection costs about the same — approx is
   opt-in only, no longer any auto default (VERDICT r1 missing-item 2).
