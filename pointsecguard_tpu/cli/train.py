@@ -40,6 +40,14 @@ def main(argv=None):
                          "(0 = reference protocol, configs val_steps=100)")
     ap.add_argument("--steps_per_epoch", type=int, default=0,
                     help="override RandLA train steps per epoch (default 500)")
+    ap.add_argument("--min_block_points", type=int, default=1024,
+                    help="semseg block sampler: accept training blocks with "
+                         "at least this many raw points (reference default "
+                         "1024, `S3DISDataLoader.py:52-60`; lower values "
+                         "up-sample sparse blocks with replacement like the "
+                         "whole-scene evaluator's edge blocks, which "
+                         "suppresses out-of-distribution mispredictions "
+                         "there)")
     ap.add_argument("--resgcn_blocks", type=int, default=0,
                     help="override ResGCN depth (default: config 28 blocks)")
     ap.add_argument("--num_category", type=int, default=40,

@@ -56,7 +56,10 @@ def train_pointnet_family(args):
 
     rooms = RoomSet.load(args.data_root, "train", args.test_area)
     test_rooms = RoomSet.load(args.data_root, "test", args.test_area)
-    sampler = S3DISBlockSampler(rooms, num_point=args.npoint)
+    sampler = S3DISBlockSampler(
+        rooms, num_point=args.npoint,
+        min_points=getattr(args, "min_block_points", 1024),
+    )
     batch_size = args.batch_size or 32
     base_lr = args.learning_rate or 0.001
     # --devices N: batch-sharded data parallelism over a 1-D mesh (the
@@ -319,7 +322,8 @@ def train_resgcn(args):
     cfg = ResgcnConfig()
     rooms = RoomSet.load(args.data_root, "train", args.test_area)
     sampler = S3DISBlockSampler(
-        rooms, num_point=getattr(args, "npoint", 0) or cfg.num_point
+        rooms, num_point=getattr(args, "npoint", 0) or cfg.num_point,
+        min_points=getattr(args, "min_block_points", 1024),
     )
     model = DenseDeepGCN(
         n_blocks=getattr(args, "resgcn_blocks", 0) or cfg.n_blocks,

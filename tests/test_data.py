@@ -71,6 +71,26 @@ class TestBlockSampler:
         b = next(iter(sampler.batches(rng, 4)))
         assert b[0].shape == (4, 256, 9) and b[1].shape == (4, 256)
 
+    def test_min_points_admits_sparse_blocks(self, mini_s3dis):
+        """``min_points`` below the default admits sparse blocks, which
+        are up-sampled with replacement — the same duplicate-point
+        pattern the whole-scene evaluator's edge blocks produce
+        (`S3DISDataLoader.py:52-60` hardcodes the >1024 gate; exposing
+        it is this framework's OOD-robustness lever, `cli.train
+        --min_block_points`)."""
+        rooms = RoomSet.load(mini_s3dis, "train", test_area=5)
+        sparse = S3DISBlockSampler(rooms, num_point=512, min_points=8)
+        rng = np.random.default_rng(0)
+        sizes = []
+        for _ in range(40):
+            pts, labels = sparse.sample(rng)
+            assert pts.shape == (512, 9) and labels.shape == (512,)
+            sizes.append(len(np.unique(pts, axis=0)))
+        # an 8-point floor accepts the first block with >8 raw points, so
+        # sparse blocks (fewer uniques than num_point → up-sampled with
+        # replacement) must appear among the draws
+        assert min(sizes) < 512
+
     def test_block_index_matches_brute_force(self):
         """The grid index must return EXACTLY the brute-force
         ``np.where`` result (inclusive bounds, ascending order) so the
