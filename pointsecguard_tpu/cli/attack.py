@@ -571,8 +571,15 @@ def _attack_randla(args, log):
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     targeted = args.attack.startswith("tar_")
-    overrides = {"targeted": True, "target": args.target} if targeted else {}
-    attack_cfg = attack_preset("randla", args.attack, **overrides)
+    if args.attack == "random":
+        # fixed-norm noise control as its own driver (the ResGCN-side
+        # `sem_seg_dense/test.py:47-109` protocol at the RandLA cloud
+        # level; --noise_norm sets the L2 budget — the NB preset's
+        # magnitude is 17, so pass e.g. --noise_norm 17 to match it)
+        attack_cfg = None
+    else:
+        overrides = {"targeted": True, "target": args.target} if targeted else {}
+        attack_cfg = attack_preset("randla", args.attack, **overrides)
 
     @jax.jit
     def run(feats, labels, mask, key):
@@ -646,15 +653,25 @@ def _attack_randla(args, log):
         t0 = time.time()
         clean_pred = np.asarray(predict(feats_j))
         key, sub = jax.random.split(key)
-        res, traj, rand_pred = run(feats_j, labels_j, mask, sub)
-        adv_pred = np.asarray(res.adv_pred)
+        if attack_cfg is None:  # --attack random
+            norm = jnp.full((B,), args.noise_norm)
+            adv_points = equal_norm_color_noise(sub, feats_j, norm, mask=mask)
+            adv_pred = np.asarray(predict(adv_points))
+            res, traj, rand_pred = None, None, None
+            l2_np = np.full((B,), args.noise_norm)
+            steps_n, sr_global = 0, 0.0
+        else:
+            res, traj, rand_pred = run(feats_j, labels_j, mask, sub)
+            adv_pred = np.asarray(res.adv_pred)
+            adv_points = res.points_adv
+            l2_np = np.asarray(res.l2_dist)
+            steps_n, sr_global = int(res.steps), float(res.success_rate)
         dt = time.time() - t0
         if getattr(args, "save_adv", False):
-            adv_saved.append(np.asarray(res.points_adv).astype(np.float32))
+            adv_saved.append(np.asarray(adv_points).astype(np.float32))
             adv_saved_labels.append(labels.astype(np.int32))
         np.add.at(clean_cm, (labels.reshape(-1), clean_pred.reshape(-1)), 1)
         np.add.at(adv_cm, (labels.reshape(-1), adv_pred.reshape(-1)), 1)
-        l2_np = np.asarray(res.l2_dist)
         mask_np = np.asarray(mask) if mask is not None else None
         # one protocol row per CLOUD (the round-2 loop wrote cloud_idx[0]
         # for the whole batch — correct only at B=1)
@@ -666,11 +683,11 @@ def _attack_randla(args, log):
                     (adv_pred[b][mask_np[b]] == args.target).mean()
                 )
             else:
-                sr_b = float(res.success_rate)
+                sr_b = sr_global
             row = (
                 f"{int(cloud_idx[b])}\t{clean_acc:.4f}\t{adv_acc:.4f}"
                 f"\t{float(l2_np[b]):.4f}"
-                f"\t{sr_b:.4f}\t{int(res.steps)}\t{dt / B:.2f}"
+                f"\t{sr_b:.4f}\t{steps_n}\t{dt / B:.2f}"
             )
             if args.control:
                 rand_acc = float(

@@ -80,6 +80,27 @@ class TestRandlaCLI:
         c = rows[1].split("\t")
         assert float(c[3]) > 0  # nonzero distortion
 
+    def test_random_noise_driver(self, trained):
+        """`--attack random` runs the fixed-norm noise control as its own
+        driver at the cloud level (the `sem_seg_dense/test.py:47-109`
+        protocol; previously only block families accepted it)."""
+        from pointsecguard_tpu.cli import attack
+
+        rd, _, log = trained
+        cm, am = attack.main([
+            "--model", "randla", "--attack", "random", "--randla_dir", rd,
+            "--log_dir", log, "--randla_points", "512", "--num_clouds", "2",
+            "--noise_norm", "5.0",
+        ])
+        rows = [r.split("\t") for r in
+                open(os.path.join(log, "randla_random_area5.tsv"))
+                .read().strip().splitlines()[1:]]
+        assert rows
+        for r in rows:
+            assert float(r[3]) == pytest.approx(5.0)  # l2 = --noise_norm
+            assert int(r[5]) == 0  # no attack steps
+        assert 0.0 <= float(am.accuracy) <= 1.0
+
     def test_save_adv_then_reevaluate(self, trained):
         """Cloud-level --save_adv → eval --adv_set round trip (same
         checkpoint ⇒ ADVSET accuracy reproduces the attack TSV's mean
