@@ -184,6 +184,44 @@ def headline_nb_iters_per_sec():
     return iters_per_sec, tflops, mfu
 
 
+def extra_nb_batched_aggregate(batch=8, scan=5):
+    """Throughput-mode NB: `batch` blocks attacked per program on one
+    chip, reported as AGGREGATE block-iterations/s. The reference
+    protocol (and the headline) is bs=1 — this is the number a
+    robustness sweep over a whole dataset gets from the same chip
+    (`cli.attack --batch_size N` is the driver-level equivalent)."""
+    from jax import lax
+
+    from pointsecguard_tpu.attacks import attack_preset, pgd_color_attack
+    from pointsecguard_tpu.models import PointNet2SemSegSSG, build_geometry
+
+    model = PointNet2SemSegSSG(num_classes=13)
+    rng = np.random.RandomState(0)
+    points = jnp.array(rng.rand(batch, N_POINTS, 9).astype(np.float32))
+    labels = jnp.array(rng.randint(0, 13, (batch, N_POINTS)))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), points[:1])
+    cfg = attack_preset("pointnet2", "nb")
+
+    def attack_fn(pts, labs):
+        geo = build_geometry(pts[..., :3])
+        outputs_fn = lambda p: model.apply(variables, p, geometry=geo)[0]
+        return pgd_color_attack(outputs_fn, pts, labs, cfg)
+
+    @jax.jit
+    def attack_scan(pts, labs):
+        def body(p, _):
+            res = attack_fn(p, labs)
+            return res.points_adv, res.l2_dist
+        _, l2s = lax.scan(body, pts, None, length=scan)
+        return l2s
+
+    float(attack_scan(points, labels).sum())  # compile + warmup
+    best = _time_best(
+        lambda: float(attack_scan(points, labels).sum()), 3
+    )
+    return batch * ITERS * scan / best
+
+
 def extra_randla_nb_ms():
     from pointsecguard_tpu.attacks import attack_preset, pgd_color_attack
     from pointsecguard_tpu.configs import RandlaConfig
@@ -462,6 +500,8 @@ def main():
         ("pointnet2_train_blocks_per_sec",
          extra_pointnet2_train_blocks_per_sec, 1),
         ("pointnet2_nu_steps_per_sec", extra_nu_steps_per_sec, 1),
+        ("pointnet2_nb_bs8_aggregate_iters_per_sec",
+         extra_nb_batched_aggregate, 1),
         ("resgcn_nb_ms_per_iter", extra_resgcn_nb_ms_per_iter, 2),
         ("resgcn_nb_bf16_ms_per_iter",
          lambda: extra_resgcn_nb_ms_per_iter(jnp.bfloat16), 2),
