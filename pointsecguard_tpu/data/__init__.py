@@ -8,6 +8,13 @@ from pointsecguard_tpu.data.randla import (
     SpatiallyRegularSampler,
     prepare_room,
 )
+from pointsecguard_tpu.data.image_datasets import (
+    ImageClassifierSpec,
+    as_batches,
+    load_cifar10,
+    load_for_classifier,
+    load_imagenet_val,
+)
 from pointsecguard_tpu.data.partnet import PartNetDataset
 from pointsecguard_tpu.data.modelnet import (
     ModelNetDataset,
@@ -31,6 +38,11 @@ from pointsecguard_tpu.data.s3dis import (
 )
 
 __all__ = [
+    "ImageClassifierSpec",
+    "as_batches",
+    "load_cifar10",
+    "load_for_classifier",
+    "load_imagenet_val",
     "ModelNetDataset",
     "NUM_CLASSES",
     "PartNetDataset",
