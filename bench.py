@@ -222,6 +222,54 @@ def extra_nb_batched_aggregate(batch=8, scan=5):
     return batch * ITERS * scan / best
 
 
+def extra_pointnet2_serving_blocks_per_sec(batch=8, reps=20):
+    """Serving throughput through the AOT artifact (`utils/export.py`):
+    eval forward exported to serialized StableHLO, reloaded with
+    `load_artifact` (no model code, no re-trace), then timed on-device
+    with in-jit repetition — each rep feeds the previous output back into
+    the colors so XLA cannot hoist the forward out of the loop."""
+    import tempfile
+
+    from jax import lax
+
+    from pointsecguard_tpu.models import PointNet2SemSegSSG
+    from pointsecguard_tpu.utils.export import (
+        export_forward,
+        load_artifact,
+        save_artifact,
+    )
+
+    model = PointNet2SemSegSSG(num_classes=13)
+    rng = np.random.RandomState(3)
+    points = jnp.array(rng.rand(batch, N_POINTS, 9).astype(np.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), points)
+    # single-platform export: the forward embeds the Pallas FPS kernel on
+    # TPU, which cannot also lower for the CPU platform (and vice versa)
+    platform = "tpu" if jax.default_backend() != "cpu" else "cpu"
+    exported = export_forward(
+        lambda v, p: model.apply(v, p)[0], variables, points,
+        platforms=(platform,),
+    )
+    path = tempfile.mkdtemp(prefix="psg_bench_artifact_")
+    save_artifact(path, exported, variables)
+    forward, _ = load_artifact(path)
+
+    @jax.jit
+    def serve_scan(pts):
+        def body(p, _):
+            out = forward(p)  # [B,N,13] log-probs
+            p = p.at[..., 3:6].set(
+                jnp.clip(p[..., 3:6] + 1e-4 * out[..., :3], 0.0, 1.0)
+            )
+            return p, out.mean()
+        _, means = lax.scan(body, pts, None, length=reps)
+        return means
+
+    float(serve_scan(points).sum())  # compile + warmup
+    best = _time_best(lambda: float(serve_scan(points).sum()), 3)
+    return batch * reps / best
+
+
 def extra_randla_nb_ms():
     from pointsecguard_tpu.attacks import attack_preset, pgd_color_attack
     from pointsecguard_tpu.configs import RandlaConfig
@@ -489,29 +537,37 @@ def extra_pointnet2_train_pipeline_blocks_per_sec():
     return 1.0 / best
 
 
+# (name, fn, round-digits) — module-level so tests can assert the table
+# stays wired to real callables (a round-3 regression once swallowed
+# `def main()` entirely; tests/test_bench_structure.py guards this).
+EXTRAS = (
+    ("randla_nb_ms_per_cloud", extra_randla_nb_ms, 1),
+    ("pointnet2_train_blocks_per_sec",
+     extra_pointnet2_train_blocks_per_sec, 1),
+    ("pointnet2_nu_steps_per_sec", extra_nu_steps_per_sec, 1),
+    ("pointnet2_nb_bs8_aggregate_iters_per_sec",
+     extra_nb_batched_aggregate, 1),
+    ("pointnet2_serving_blocks_per_sec",
+     extra_pointnet2_serving_blocks_per_sec, 1),
+    ("resgcn_nb_ms_per_iter", extra_resgcn_nb_ms_per_iter, 2),
+    ("resgcn_nb_bf16_ms_per_iter",
+     lambda: extra_resgcn_nb_ms_per_iter(jnp.bfloat16), 2),
+    ("pointnet2_train_bf16_blocks_per_sec",
+     lambda: extra_pointnet2_train_blocks_per_sec(jnp.bfloat16), 1),
+    ("pointnet2_train_pipeline_blocks_per_sec",
+     extra_pointnet2_train_pipeline_blocks_per_sec, 1),
+    ("baseline_cpu_measured_nb_iters_per_sec",
+     extra_baseline_cpu_measured, 3),
+)
+
+
 def main():
     iters_per_sec, headline_tflops, headline_mfu = headline_nb_iters_per_sec()
     extras = {}
     if headline_tflops is not None:
         extras["headline_tflops_per_sec"] = round(headline_tflops, 2)
         extras["headline_mfu_pct_v5e_bf16"] = round(headline_mfu, 2)
-    for name, fn, nd in (
-        ("randla_nb_ms_per_cloud", extra_randla_nb_ms, 1),
-        ("pointnet2_train_blocks_per_sec",
-         extra_pointnet2_train_blocks_per_sec, 1),
-        ("pointnet2_nu_steps_per_sec", extra_nu_steps_per_sec, 1),
-        ("pointnet2_nb_bs8_aggregate_iters_per_sec",
-         extra_nb_batched_aggregate, 1),
-        ("resgcn_nb_ms_per_iter", extra_resgcn_nb_ms_per_iter, 2),
-        ("resgcn_nb_bf16_ms_per_iter",
-         lambda: extra_resgcn_nb_ms_per_iter(jnp.bfloat16), 2),
-        ("pointnet2_train_bf16_blocks_per_sec",
-         lambda: extra_pointnet2_train_blocks_per_sec(jnp.bfloat16), 1),
-        ("pointnet2_train_pipeline_blocks_per_sec",
-         extra_pointnet2_train_pipeline_blocks_per_sec, 1),
-        ("baseline_cpu_measured_nb_iters_per_sec",
-         extra_baseline_cpu_measured, 3),
-    ):
+    for name, fn, nd in EXTRAS:
         try:
             extras[name] = round(fn(), nd)
         except Exception as e:  # never let an extra break the headline

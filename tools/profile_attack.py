@@ -26,7 +26,7 @@ import tempfile
 import numpy as np
 
 
-def build_attack_scan(model_name: str, iters: int):
+def build_attack_scan(model_name: str, iters: int, batch: int = 1):
     """The same program shape bench.py times: a lax.scan of full NB
     attacks (each `cfg.iters` fused PGD steps) so per-dispatch tunnel
     cost vanishes. Returns (jitted_fn, args, total_attack_iters)."""
@@ -87,14 +87,18 @@ def build_attack_scan(model_name: str, iters: int):
         else:
             raise SystemExit(f"unsupported --model {model_name}")
         n, feat = 4096, 9
-        points = jnp.array(rng.rand(1, n, feat).astype(np.float32))
-        labels = jnp.array(rng.randint(0, 13, (1, n)))
-        variables = jax.jit(model.init)(jax.random.PRNGKey(0), points)
+        points = jnp.array(rng.rand(batch, n, feat).astype(np.float32))
+        labels = jnp.array(rng.randint(0, 13, (batch, n)))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(0), points[:1])
+
+        outputs_fn = (
+            (lambda p: model.apply(variables, p))
+            if model_name == "resgcn"
+            else (lambda p: model.apply(variables, p)[0])
+        )
 
         def attack_fn(pts, labs):
-            return pgd_color_attack(
-                lambda p: model.apply(variables, p), pts, labs, cfg
-            )
+            return pgd_color_attack(outputs_fn, pts, labs, cfg)
 
     @jax.jit
     def attack_scan(pts, labs):
@@ -151,6 +155,8 @@ def main() -> None:
                     help="full attacks in the scan (each cfg.iters steps; "
                     "resgcn: 1 attack = 50 steps ≈ 15 s of device time)")
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--batch", type=int, default=1,
+                    help="clouds per program (pointnet2/resgcn only)")
     ap.add_argument("--out", default=None, help="profile dir (default: tmp)")
     args = ap.parse_args()
 
@@ -159,7 +165,9 @@ def main() -> None:
     _ensure_backend()
     import jax
 
-    fn, fargs, total_iters = build_attack_scan(args.model, args.iters)
+    fn, fargs, total_iters = build_attack_scan(
+        args.model, args.iters, args.batch
+    )
     # compile + warm outside the trace
     float(np.asarray(fn(*fargs)).sum())
     out = args.out or tempfile.mkdtemp(prefix="psg_profile_")
