@@ -76,6 +76,23 @@ def main(argv=None):
     ap.add_argument("--devices", "-d", type=int, default=1,
                     help="data-parallel over the first N chips (batch size "
                          "must divide N); 1 = no sharding")
+    ap.add_argument("--adv_train", default="none", choices=["none", "nb"],
+                    help="adversarial training (beyond-reference): craft "
+                         "each batch with the fused NB/PGD color engine "
+                         "against the current params, then take the "
+                         "optimizer step on it — attack and step run in "
+                         "ONE XLA program (semseg families)")
+    ap.add_argument("--adv_eps", type=float, default=0.1,
+                    help="PGD-AT L-inf budget on colors (default: the "
+                         "paper's NB eps)")
+    ap.add_argument("--adv_alpha", type=float, default=0.05,
+                    help="PGD-AT step size")
+    ap.add_argument("--adv_iters", type=int, default=5,
+                    help="PGD-AT iterations per train step (each costs "
+                         "one extra fwd+bwd)")
+    ap.add_argument("--adv_rand_init", type=float, default=0.0,
+                    help="uniform random-start magnitude inside the "
+                         "eps ball (Madry-style; 0 = start at clean)")
     args = ap.parse_args(argv)
 
     import jax
@@ -102,6 +119,13 @@ def main(argv=None):
     )
     t0 = time.time()
     args.use_normals = not args.no_normals
+    if args.adv_train != "none" and (
+        args.model.endswith(("_cls", "_cls_msg")) or "part_seg" in args.model
+    ):
+        raise SystemExit(
+            "--adv_train currently covers the semseg families "
+            "(pointnet/pointnet2[_msg]/randla/resgcn)"
+        )
     if args.model in ("pointnet2", "pointnet2_msg", "pointnet"):
         args.npoint = args.npoint or 4096
         train_pointnet_family(args)

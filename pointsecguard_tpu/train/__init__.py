@@ -10,6 +10,7 @@ from pointsecguard_tpu.train.schedules import (
 from pointsecguard_tpu.train.trainer import (
     TrainState,
     create_train_state,
+    make_adv_train_fn,
     make_eval_step,
     make_multi_train_step,
     make_optimizer,
@@ -21,6 +22,7 @@ __all__ = [
     "add_votes",
     "create_train_state",
     "evaluate_whole_scenes",
+    "make_adv_train_fn",
     "make_eval_step",
     "make_multi_train_step",
     "make_optimizer",

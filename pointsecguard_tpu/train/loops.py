@@ -22,6 +22,31 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 
+def _maybe_adv_fn(args, model, *, model_args=None, output_head=None):
+    """``--adv_train nb`` → PGD adversarial-training hook
+    (`trainer.make_adv_train_fn`); None when not requested."""
+    kind = getattr(args, "adv_train", "none") or "none"
+    if kind == "none":
+        return None
+    if kind != "nb":
+        raise SystemExit(f"--adv_train supports 'nb', got {kind!r}")
+    from pointsecguard_tpu.attacks.pgd import PGDConfig
+    from pointsecguard_tpu.train import make_adv_train_fn
+
+    cfg = PGDConfig(
+        eps=getattr(args, "adv_eps", 0.1),
+        alpha=getattr(args, "adv_alpha", 0.05),
+        iters=getattr(args, "adv_iters", 5),
+        rand_init_eps=getattr(args, "adv_rand_init", 0.0),
+    )
+    kwargs = {}
+    if model_args is not None:
+        kwargs["model_args"] = model_args
+    if output_head is not None:
+        kwargs["output_head"] = output_head
+    return make_adv_train_fn(model, cfg, **kwargs)
+
+
 def train_pointnet_family(args):
     import jax
     import jax.numpy as jnp
@@ -90,7 +115,10 @@ def train_pointnet_family(args):
     state, tx = create_train_state(
         model, (jnp.array(pts0), jnp.array(lab0)), rng=jax.random.PRNGKey(args.seed)
     )
-    step_fn = make_multi_train_step(model, tx, weighted_nll_loss, aux_loss=aux)
+    step_fn = make_multi_train_step(
+        model, tx, weighted_nll_loss, aux_loss=aux,
+        adv_fn=_maybe_adv_fn(args, model),
+    )
     eval_fn = make_eval_step(model)
     weights = jnp.array(rooms.label_weights)
     ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
@@ -244,6 +272,8 @@ def train_randla(args):
     step_fn = make_multi_train_step(
         model, tx, weighted_softmax_ce_loss, model_args=model_args,
         output_head=lambda out: out,
+        adv_fn=_maybe_adv_fn(args, model, model_args=model_args,
+                             output_head=lambda out: out),
     )
     from pointsecguard_tpu.train import make_eval_step
 
@@ -349,7 +379,10 @@ def train_resgcn(args):
         model, (jnp.array(pts0), jnp.array(lab0)),
         rng=jax.random.PRNGKey(args.seed), weight_decay=0.0,
     )
-    step_fn = make_multi_train_step(model, tx, ce_loss, output_head=lambda o: o)
+    step_fn = make_multi_train_step(
+        model, tx, ce_loss, output_head=lambda o: o,
+        adv_fn=_maybe_adv_fn(args, model, output_head=lambda o: o),
+    )
     # keep LATEST (reference `_ckpt_latest.pth`, ckpt_util.py:109-114):
     # this loop has no in-loop eval, so the save metric is only -loss —
     # under keep="best" a resumed run would persist nothing (docstring)

@@ -75,14 +75,22 @@ def _make_step_body(
     model_args: Callable[[jnp.ndarray], tuple] | None,
     output_head: Callable,
     aux_loss: Callable | None,
+    adv_fn: Callable | None = None,
 ):
     """The un-jitted train-step body shared by ``make_train_step`` (one
     step per dispatch) and ``make_multi_train_step`` (K steps scanned
-    inside one program)."""
+    inside one program).
+
+    ``adv_fn`` (optional): ``(state, points, labels, key) → points`` —
+    crafts the batch against the CURRENT params before the optimizer
+    step (PGD adversarial training; see ``make_adv_train_fn``). Runs
+    inside the same XLA program as the step itself."""
 
     def train_step(state: TrainState, points, labels, class_weights, lr,
                    bn_momentum, rng):
         rngs = {"dropout": rng, "sample": jax.random.fold_in(rng, 1)}
+        if adv_fn is not None:
+            points = adv_fn(state, points, labels, jax.random.fold_in(rng, 2))
         args = model_args(points) if model_args else (points,)
 
         def compute_loss(params):
@@ -143,6 +151,7 @@ def make_train_step(
     model_args: Callable[[jnp.ndarray], tuple] | None = None,
     output_head: Callable = lambda out: out[0] if isinstance(out, tuple) else out,
     aux_loss: Callable | None = None,
+    adv_fn: Callable | None = None,
 ):
     """Build the jitted train step.
 
@@ -153,9 +162,11 @@ def make_train_step(
       output_head: extracts the segmentation output from the model return.
       aux_loss: optional (model_output) → scalar extra loss (e.g. the
         PointNet feature-transform regularizer, `pointnet_cls.py:46-49`).
+      adv_fn: optional batch-crafting hook (see ``_make_step_body``).
     """
     body = _make_step_body(
-        model, tx, loss_fn, num_classes, model_args, output_head, aux_loss
+        model, tx, loss_fn, num_classes, model_args, output_head, aux_loss,
+        adv_fn,
     )
     return partial(jax.jit, donate_argnums=0)(body)
 
@@ -169,6 +180,7 @@ def make_multi_train_step(
     model_args: Callable[[jnp.ndarray], tuple] | None = None,
     output_head: Callable = lambda out: out[0] if isinstance(out, tuple) else out,
     aux_loss: Callable | None = None,
+    adv_fn: Callable | None = None,
 ):
     """K optimizer steps per dispatch: ``lax.scan`` of the train step over
     batches stacked on a new leading axis (``data.loader.stack_batches``).
@@ -183,7 +195,8 @@ def make_multi_train_step(
     them); returns ``(state, losses [K], summed confusion matrix)``.
     """
     body = _make_step_body(
-        model, tx, loss_fn, num_classes, model_args, output_head, aux_loss
+        model, tx, loss_fn, num_classes, model_args, output_head, aux_loss,
+        adv_fn,
     )
 
     @partial(jax.jit, donate_argnums=0)
@@ -200,6 +213,39 @@ def make_multi_train_step(
         return state, losses, cms.sum(axis=0)
 
     return multi_step
+
+
+def make_adv_train_fn(
+    model,
+    attack_cfg,
+    *,
+    model_args: Callable[[jnp.ndarray], tuple] | None = None,
+    output_head: Callable = lambda out: out[0] if isinstance(out, tuple) else out,
+):
+    """PGD adversarial training hook (beyond-reference; Madry et al.
+    min-max recipe over the paper's color threat model).
+
+    Returns an ``adv_fn`` for ``make_(multi_)train_step``: each step
+    first runs the fused NB engine (`attacks/pgd.py`) against the
+    CURRENT params with an eval-mode forward (BN running stats, no
+    dropout — the same mode the reference's attacks use,
+    `torchattacks/attack.py:188`), then the optimizer step trains on
+    the crafted batch. Attack iterations, the input gradient, and the
+    training step all fuse into ONE XLA program per dispatch.
+    """
+    from pointsecguard_tpu.attacks.pgd import pgd_color_attack
+
+    def adv_fn(state: TrainState, points, labels, key):
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+        def outputs_fn(p):
+            args = model_args(p) if model_args else (p,)
+            return output_head(model.apply(variables, *args))
+
+        res = pgd_color_attack(outputs_fn, points, labels, attack_cfg, key=key)
+        return jax.lax.stop_gradient(res.points_adv)
+
+    return adv_fn
 
 
 def make_eval_step(
