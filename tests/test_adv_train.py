@@ -137,5 +137,11 @@ class TestAdvTrainCLI:
             out = res.stdout + res.stderr  # the summary goes via logging
             # "DATASET clean: mIoU a acc b | adv: mIoU c acc d"
             line = [l for l in out.splitlines() if "DATASET" in l][0]
-            accs[tag] = float(line.split("acc")[-1].strip())
-        assert accs["at"] > accs["clean"]
+            adv = line.split("adv:")[1]
+            accs[tag] = (
+                float(adv.split("mIoU")[1].split()[0]),  # adv mIoU
+                float(adv.split("acc")[1].split()[0]),   # adv acc
+            )
+        # measured margins at this config: +0.025 mIoU, +0.043 acc
+        assert accs["at"][0] > accs["clean"][0]
+        assert accs["at"][1] > accs["clean"][1]
