@@ -241,6 +241,129 @@ class TestOtherDatasets:
         assert len(back) < 800
         assert {"x", "red", "class"} <= set(back.dtype.names)
 
+    @staticmethod
+    def _write_kitti_seq(root, seq, n_scans, rng, labeled):
+        (root / seq / "velodyne").mkdir(parents=True)
+        if labeled:
+            (root / seq / "labels").mkdir()
+        for i in range(n_scans):
+            scan = (rng.rand(300, 4).astype(np.float32) * 4)
+            scan.tofile(str(root / seq / "velodyne" / f"{i:06d}.bin"))
+            if labeled:
+                sem = rng.choice([0, 10, 44, 252], 300).astype(np.uint32)
+                inst = rng.randint(0, 3, 300).astype(np.uint32)
+                ((inst << 16) | sem).tofile(
+                    str(root / seq / "labels" / f"{i:06d}.label")
+                )
+
+    def test_prepare_semantickitti_root_layout(self, tmp_path, rng):
+        """Artifact tree per `data_prepare_semantickitti.py:24-77`:
+        labels only for seqs < 11, proj only for seq 08 and >= 11."""
+        import pickle
+
+        from pointsecguard_tpu.data.other_datasets import (
+            prepare_semantickitti_root,
+        )
+
+        raw = tmp_path / "sequences"
+        self._write_kitti_seq(raw, "00", 2, rng, labeled=True)
+        self._write_kitti_seq(raw, "08", 1, rng, labeled=True)
+        self._write_kitti_seq(raw, "11", 1, rng, labeled=False)
+        out = tmp_path / "sequences_0.06"
+        lmap = {0: 0, 10: 1, 44: 2, 252: 1}
+        done = prepare_semantickitti_root(
+            str(raw), str(out), lmap, grid_size=0.5
+        )
+        assert done == ["00/000000", "00/000001", "08/000000", "11/000000"]
+        sub = np.load(str(out / "00" / "velodyne" / "000000.npy"))
+        lab = np.load(str(out / "00" / "labels" / "000000.npy"))
+        assert sub.shape[0] == lab.shape[0] < 300
+        assert set(np.unique(lab)) <= set(lmap.values())
+        # proj: seq 08 and the unlabeled seq 11 only, reference pickle
+        # format [proj_inds]
+        assert not (out / "00" / "proj").exists()
+        for seq in ("08", "11"):
+            with open(str(out / seq / "proj" / "000000_proj.pkl"), "rb") as f:
+                (proj,) = pickle.load(f)
+            n_sub = np.load(str(out / seq / "velodyne" / "000000.npy")).shape[0]
+            assert proj.shape == (300,) and proj.max() < n_sub
+            assert proj.dtype == np.int32
+        assert not (out / "11" / "labels").exists()
+        with open(str(out / "00" / "KDTree" / "000000.pkl"), "rb") as f:
+            tree = pickle.load(f)
+        assert tree.query(sub[:1], k=1)[1][0] == 0
+
+    def test_prepare_semantic3d_root_layout(self, tmp_path, rng):
+        """Artifact tree per `data_prepare_semantic3d.py:16-90`, labeled
+        and unlabeled clouds; proj queries the 0.01-grid original."""
+        import pickle
+
+        from pointsecguard_tpu.data import read_ply
+        from pointsecguard_tpu.data.other_datasets import (
+            prepare_semantic3d_root,
+        )
+
+        raw = tmp_path / "original_data"
+        raw.mkdir()
+        for name, labeled in (("bildstein1", True), ("castle5", False)):
+            pc = np.concatenate(
+                [
+                    rng.rand(400, 3).astype(np.float32) * 3,
+                    rng.rand(400, 1).astype(np.float32),  # intensity
+                    rng.randint(0, 255, (400, 3)).astype(np.float32),
+                ],
+                axis=1,
+            )
+            np.savetxt(str(raw / (name + ".txt")), pc, fmt="%.4f")
+            if labeled:
+                np.savetxt(
+                    str(raw / (name + ".labels")),
+                    rng.randint(0, 9, 400),
+                    fmt="%d",
+                )
+        out = tmp_path / "semantic3d"
+        done = prepare_semantic3d_root(
+            str(raw), str(out), first_grid=0.5, final_grid=1.0
+        )
+        assert done == ["bildstein1", "castle5"]
+        orig = read_ply(str(out / "original_ply" / "bildstein1.ply"))
+        assert "class" in orig.dtype.names and len(orig) < 400
+        sub = read_ply(str(out / "input_1.000" / "bildstein1.ply"))
+        assert len(sub) < len(orig)
+        assert sub["red"].max() <= 1.0  # colors scaled to [0,1]
+        test_orig = read_ply(str(out / "original_ply" / "castle5.ply"))
+        assert len(test_orig) == 400  # unlabeled: full resolution
+        assert "class" not in test_orig.dtype.names
+        with open(str(out / "input_1.000" / "bildstein1_proj.pkl"), "rb") as f:
+            proj, labels = pickle.load(f)
+        assert proj.shape == (len(orig),)  # queries the 0.01-grid cloud
+        assert labels.shape == (400,)
+        with open(str(out / "input_1.000" / "castle5_proj.pkl"), "rb") as f:
+            proj, labels = pickle.load(f)
+        assert proj.shape == (400,) and not labels.any()
+        # idempotent skip (`data_prepare_semantic3d.py:26-27`)
+        assert prepare_semantic3d_root(
+            str(raw), str(out), first_grid=0.5, final_grid=1.0
+        ) == []
+
+    def test_prepare_cli_semantickitti(self, tmp_path, rng):
+        from pointsecguard_tpu.cli import prepare as prepare_cli
+
+        raw = tmp_path / "sequences"
+        self._write_kitti_seq(raw, "00", 1, rng, labeled=True)
+        yaml_path = tmp_path / "semantic-kitti.yaml"
+        yaml_path.write_text(
+            "labels:\n  0: unlabeled\nlearning_map:\n  0: 0\n  10: 1\n"
+            "  44: 2\n  252: 1\n"
+        )
+        out = tmp_path / "out"
+        prepare_cli.main([
+            "--dataset", "semantickitti", "--raw_root", str(raw),
+            "--out_root", str(out), "--kitti_yaml", str(yaml_path),
+            "--sub_grid_size", "0.5",
+        ])
+        assert (out / "00" / "velodyne" / "000000.npy").exists()
+
 
 class TestPartNet:
     """PartNet h5 loader (`ResGCN/utils/data_util.py:79-215` layouts)."""
