@@ -26,6 +26,12 @@ def main(argv=None):
                              "pointnet2_part_seg", "pointnet2_part_seg_msg"])
     ap.add_argument("--data_root", default="data/stanford_indoor3d")
     ap.add_argument("--randla_dir", default="data/randla_input_0.040")
+    ap.add_argument("--randla_dataset",
+                    choices=["s3dis", "semantickitti", "semantic3d"],
+                    default="s3dis",
+                    help="randla only: dataset preset + prepared-tree "
+                         "layout (`helper_tool.py:18-100` configs; "
+                         "kitti/sem3d read cli.prepare artifact trees)")
     ap.add_argument("--log_dir", default="log/run")
     ap.add_argument("--test_area", type=int, default=5)
     ap.add_argument("--epochs", type=int, default=32)

@@ -75,7 +75,7 @@ def prepare_room(
 class RandlaCloud:
     name: str
     xyz: np.ndarray  # [N, 3] sub-sampled coordinates
-    colors: np.ndarray  # [N, 3] in [0, 1]
+    colors: np.ndarray | None  # [N, 3] in [0, 1]; None = xyz-only (KITTI)
     labels: np.ndarray  # [N]
     tree: cKDTree
 
@@ -136,6 +136,96 @@ class SpatiallyRegularSampler:
             clouds.append(RandlaCloud(name, xyz, colors, labels, tree))
         return cls(clouds, num_points=num_points, rng=rng)
 
+    @classmethod
+    def load_semantickitti(
+        cls,
+        sequences_root: str,
+        *,
+        split: str = "train",
+        val_seq: str = "08",
+        num_points: int = 45056,
+        rng: np.random.Generator | None = None,
+    ):
+        """Load a SemanticKITTI tree prepared by
+        ``prepare_semantickitti_root`` / ``cli.prepare --dataset
+        semantickitti``. Split convention of the upstream protocol the
+        reference configs target (`helper_tool.py:18-41`): sequences
+        00-10 are labeled, ``val_seq`` (08) is validation, >= 11 are the
+        unlabeled test split. Scans have no colors — features are
+        xyz-only (label 0 = unlabeled, ignored downstream)."""
+        clouds = []
+        for seq_id in sorted(os.listdir(sequences_root)):
+            pc_dir = os.path.join(sequences_root, seq_id, "velodyne")
+            if not os.path.isdir(pc_dir):
+                continue
+            labeled = int(seq_id) < 11
+            # part naming: "test" = the held-out labeled seq (08), like
+            # the s3dis loader's Area-5 convention; "test_scans" = the
+            # unlabeled submission sequences >= 11
+            part = (
+                "test_scans" if not labeled
+                else "test" if seq_id == val_seq
+                else "train"
+            )
+            if part != split:
+                continue
+            for fname in sorted(os.listdir(pc_dir)):
+                scan_id = os.path.splitext(fname)[0]
+                xyz = np.load(os.path.join(pc_dir, fname)).astype(np.float32)
+                lab_path = os.path.join(
+                    sequences_root, seq_id, "labels", scan_id + ".npy"
+                )
+                labels = (
+                    np.load(lab_path).reshape(-1).astype(np.int64)
+                    if os.path.exists(lab_path)
+                    else np.zeros(len(xyz), np.int64)
+                )
+                with open(
+                    os.path.join(sequences_root, seq_id, "KDTree", scan_id + ".pkl"),
+                    "rb",
+                ) as f:
+                    tree = pickle.load(f)
+                clouds.append(
+                    RandlaCloud(f"{seq_id}_{scan_id}", xyz, None, labels, tree)
+                )
+        return cls(clouds, num_points=num_points, rng=rng)
+
+    @classmethod
+    def load_semantic3d(
+        cls,
+        input_dir: str,
+        *,
+        split: str = "train",
+        val_names: tuple = ("bildstein_station3", "sg27_station2"),
+        num_points: int = 65536,
+        rng: np.random.Generator | None = None,
+    ):
+        """Load a Semantic3D dir prepared by ``prepare_semantic3d_root``
+        / ``cli.prepare --dataset semantic3d``. Labeled clouds split by
+        name substring (``val_names``); unlabeled test clouds are
+        skipped for train/val. Labels keep the raw 0-8 range (0 =
+        unlabeled, ignored downstream)."""
+        clouds = []
+        for fname in sorted(os.listdir(input_dir)):
+            if not fname.endswith(".ply"):
+                continue
+            name = fname[:-4]
+            data = read_ply(os.path.join(input_dir, fname))
+            if "class" not in data.dtype.names:
+                continue  # unlabeled test cloud
+            is_val = any(v in name for v in val_names)
+            if (split == "train") == is_val:
+                continue
+            xyz = np.vstack([data["x"], data["y"], data["z"]]).T.astype(np.float32)
+            colors = np.vstack(
+                [data["red"], data["green"], data["blue"]]
+            ).T.astype(np.float32)
+            labels = np.asarray(data["class"], np.int64)
+            with open(os.path.join(input_dir, name + "_KDTree.pkl"), "rb") as f:
+                tree = pickle.load(f)
+            clouds.append(RandlaCloud(name, xyz, colors, labels, tree))
+        return cls(clouds, num_points=num_points, rng=rng)
+
     def sample(self):
         """→ (xyz [P,3] centered, colors [P,3], labels [P], idx [P],
         cloud_idx int). P = num_points, up-sampled with replacement for
@@ -154,7 +244,11 @@ class SpatiallyRegularSampler:
         queried = queried[0]
         self.rng.shuffle(queried)
         q_xyz = points[queried] - pick
-        q_colors = cloud.colors[queried]
+        q_colors = (
+            cloud.colors[queried]
+            if cloud.colors is not None
+            else np.zeros((k, 0), np.float32)  # xyz-only dataset (KITTI)
+        )
         q_labels = cloud.labels[queried]
 
         dists = np.sum(

@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import logging
 import time
+from functools import partial
 
 import numpy as np
 
@@ -229,19 +230,44 @@ def train_randla(args):
         replicate,
     )
 
-    cfg = RandlaConfig()
+    # dataset presets: the reference ships configs for all three RandLA
+    # datasets (`helper_tool.py:18-100`) but a driver only for S3DIS;
+    # kitti/sem3d are drivable here over the cli.prepare artifact trees
+    dataset = getattr(args, "randla_dataset", "s3dis") or "s3dis"
+    if dataset == "semantickitti":
+        from pointsecguard_tpu.configs import RandlaSemanticKITTIConfig
+
+        cfg = RandlaSemanticKITTIConfig()
+        weights_key, ignored = "SemanticKITTI", (0,)
+        def _load(split, r, n):
+            return SpatiallyRegularSampler.load_semantickitti(
+                args.randla_dir, split=split, num_points=n, rng=r,
+            )
+    elif dataset == "semantic3d":
+        from pointsecguard_tpu.configs import RandlaSemantic3DConfig
+
+        cfg = RandlaSemantic3DConfig()
+        weights_key, ignored = "Semantic3D", (0,)
+        def _load(split, r, n):
+            return SpatiallyRegularSampler.load_semantic3d(
+                args.randla_dir, split=split, num_points=n, rng=r,
+            )
+    else:
+        cfg = RandlaConfig()
+        weights_key, ignored = "S3DIS", ()
+        def _load(split, r, n):
+            return SpatiallyRegularSampler.load(
+                args.randla_dir, split=split, test_area=args.test_area,
+                num_points=n, rng=r,
+            )
+    num_classes = getattr(cfg, "num_classes", 13)
     num_points = getattr(args, "randla_points", 0) or cfg.num_points
     train_steps = getattr(args, "steps_per_epoch", 0) or cfg.train_steps
     rng = np.random.default_rng(args.seed)
-    train_sampler = SpatiallyRegularSampler.load(
-        args.randla_dir, split="train", test_area=args.test_area,
-        num_points=num_points, rng=rng,
-    )
-    val_sampler = SpatiallyRegularSampler.load(
-        args.randla_dir, split="test", test_area=args.test_area,
-        num_points=num_points, rng=np.random.default_rng(args.seed + 9),
-    )
+    train_sampler = _load("train", rng, num_points)
+    val_sampler = _load("test", np.random.default_rng(args.seed + 9), num_points)
     model = RandLANet(
+        num_classes=num_classes,
         d_out=cfg.d_out,
         dtype=jnp.bfloat16
         if getattr(args, "precision", "float32") == "bfloat16" else None,
@@ -256,7 +282,7 @@ def train_randla(args):
     # reference-identical CE class weights (`helper_tool.py:245-261`)
     from pointsecguard_tpu.data.class_weights import get_class_weights
 
-    weights = jnp.array(get_class_weights("S3DIS"))
+    weights = jnp.array(get_class_weights(weights_key))
 
     batch_size = args.batch_size or cfg.batch_size
     mesh = data_parallel_mesh(getattr(args, "devices", 1))
@@ -269,8 +295,13 @@ def train_randla(args):
         model, (jnp.array(f0), jnp.array(l0)), rng=jax.random.PRNGKey(args.seed),
         model_args=model_args, weight_decay=0.0,
     )
+    loss_fn = (
+        partial(weighted_softmax_ce_loss, ignored_labels=ignored)
+        if ignored else weighted_softmax_ce_loss
+    )
     step_fn = make_multi_train_step(
-        model, tx, weighted_softmax_ce_loss, model_args=model_args,
+        model, tx, loss_fn, model_args=model_args,
+        num_classes=num_classes,
         output_head=lambda out: out,
         adv_fn=_maybe_adv_fn(args, model, model_args=model_args,
                              output_head=lambda out: out),
@@ -312,12 +343,26 @@ def train_randla(args):
         # 5x noisier mIoU estimate than the protocol — removed (VERDICT
         # r2 weak-item 1). --val_steps overrides for sub-scale CI drives.
         val_steps = getattr(args, "val_steps", 0) or cfg.val_steps
-        cm = np.zeros((13, 13))
+        cm = np.zeros((num_classes, num_classes))
+        # raw label -> contiguous valid-class index; ignored labels
+        # (KITTI/Sem3D class 0) are excluded from the confusion
+        # (`RandLANet.py:103-124` reducing_list semantics)
+        keep = np.array(
+            [l for l in range(num_classes + len(ignored))
+             if l not in set(ignored)]
+        )
+        reduce_lut = np.zeros(num_classes + len(ignored), np.int64)
+        reduce_lut[keep] = np.arange(num_classes)
         for _, feats, labels, _, _ in val_sampler.batches(
             cfg.val_batch_size, val_steps
         ):
             preds = np.asarray(eval_fn(state, jnp.array(feats)))
-            np.add.at(cm, (labels.reshape(-1), preds.reshape(-1)), 1)
+            y = labels.reshape(-1)
+            p = preds.reshape(-1)
+            if ignored:
+                valid = ~np.isin(y, list(ignored))
+                y, p = reduce_lut[y[valid]], p[valid]
+            np.add.at(cm, (y, p), 1)
         m = metrics_from_confusion(jnp.array(cm))
         miou = float(m.miou)
         log.info("epoch %d loss %.4f val mIoU %.4f (%.1fs)", epoch,
