@@ -70,6 +70,32 @@ def _populate():
 _populate()
 
 
+def load_model_from_path(path: str):
+    """Load a python file as a model module (ares `loader.py:8-30`
+    semantics): the file should define a ``load(...)`` function returning
+    the model instance (here typically ``(model, variables)`` or an
+    ``outputs_fn`` closure — e.g. a ``models.torch_bridge`` wrap). The
+    file's directory joins ``sys.path`` during import so relative imports
+    work, and is removed again if it was added."""
+    import importlib.util
+    import os
+    import sys
+
+    path = os.path.abspath(path)
+    path_dir = os.path.dirname(path)
+    need_remove = path_dir not in sys.path
+    if need_remove:
+        sys.path.append(path_dir)
+    try:
+        spec = importlib.util.spec_from_file_location("psg_user_model", path)
+        module = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(module)
+    finally:
+        if need_remove:
+            sys.path.remove(path_dir)
+    return module
+
+
 def ensemble_outputs(outputs: list[jnp.ndarray], *, from_log_probs: bool = False):
     """Average an ensemble's per-point predictions
     (`ares/model/ensemble.py` capability): softmax-space mean."""

@@ -84,3 +84,24 @@ class TestRegistry:
         out = registry.ensemble_outputs([a, b])
         probs = np.asarray(jnp.exp(out).sum(-1))
         np.testing.assert_allclose(probs, 1.0, atol=1e-4)
+
+    def test_load_model_from_path(self, tmp_path):
+        """ares `loader.py:8-30` capability: a user .py file defining
+        load() becomes a model source; relative imports from the file's
+        directory work; sys.path is restored."""
+        import sys
+
+        (tmp_path / "helper_mod.py").write_text("NUM_CLASSES = 13\n")
+        f = tmp_path / "my_model.py"
+        f.write_text(
+            "import helper_mod\n"
+            "from pointsecguard_tpu.models import registry\n"
+            "def load():\n"
+            "    return registry.create('pointnet2_sem_seg',\n"
+            "                           num_classes=helper_mod.NUM_CLASSES)\n"
+        )
+        before = list(sys.path)
+        mod = registry.load_model_from_path(str(f))
+        assert sys.path == before
+        model = mod.load()
+        assert model.num_classes == 13
