@@ -73,6 +73,13 @@ def main(argv=None):
     ap.add_argument("--devices", "-d", type=int, default=1,
                     help="data-parallel over the first N chips; blocks are "
                          "batched over the mesh (batch_size must divide N)")
+    ap.add_argument("--shard_points", type=int, default=1,
+                    help="also shard the N-points axis over a second mesh "
+                         "axis of this size (sequence parallelism; "
+                         "--devices must be a multiple). Aimed at the "
+                         "RandLA family, whose protocol batch is one "
+                         "40960-pt cloud — DP cannot split a single cloud, "
+                         "SP can; num points must divide the axis")
     ap.add_argument("--control", action="store_true",
                     help="also evaluate the equal-norm random-noise control "
                          "at the attack's measured L2 per block "
@@ -176,8 +183,10 @@ def main(argv=None):
         replicate,
     )
 
-    mesh = data_parallel_mesh(args.devices)
-    put = make_batch_put(mesh, batch_size=B)
+    mesh = data_parallel_mesh(args.devices, args.shard_points)
+    put = make_batch_put(
+        mesh, batch_size=B, shard_points=args.shard_points > 1
+    )
     state = replicate(mesh, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
     if args.model in ("pointnet2", "pointnet2_msg"):
@@ -565,8 +574,10 @@ def _attack_randla(args, log):
         replicate,
     )
 
-    mesh = data_parallel_mesh(args.devices)
-    put = make_batch_put(mesh, batch_size=B)
+    mesh = data_parallel_mesh(args.devices, args.shard_points)
+    put = make_batch_put(
+        mesh, batch_size=B, shard_points=args.shard_points > 1
+    )
     state = replicate(mesh, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 

@@ -52,13 +52,19 @@ def shard_batch(mesh: Mesh, tree, *, shard_points: bool = False):
     return jax.tree_util.tree_map(put, tree)
 
 
-def data_parallel_mesh(n_devices: int) -> Mesh | None:
+def data_parallel_mesh(n_devices: int, shard_points: int = 1) -> Mesh | None:
     """Driver-facing mesh factory behind the CLIs' ``--devices`` flag.
 
     The TPU-native equivalent of the reference's ``torch.nn.DataParallel``
     wrap (`ResGCN/sem_seg_dense/train.py:22-23`): a 1-D "data" mesh over
     the first ``n_devices`` chips. Returns None for n ≤ 1 (single-device
     program, no sharding annotations at all).
+
+    ``shard_points > 1`` adds a second mesh axis of that size and the
+    mesh becomes 2-D (data × points) — sequence parallelism for the
+    N-points axis (SP): the partitioner turns every neighborhood
+    gather/scatter that crosses shard boundaries into ICI collectives.
+    The data axis then spans ``n_devices // shard_points`` chips.
     """
     if n_devices is None or n_devices <= 1:
         return None
@@ -67,26 +73,41 @@ def data_parallel_mesh(n_devices: int) -> Mesh | None:
         raise ValueError(
             f"--devices {n_devices} > {len(devs)} available ({devs[0].platform})"
         )
+    if shard_points and shard_points > 1:
+        if n_devices % shard_points:
+            raise ValueError(
+                f"--devices {n_devices} not divisible by "
+                f"--shard_points {shard_points}"
+            )
+        return make_mesh(devs[:n_devices], points_axis=shard_points)
     return make_mesh(devs[:n_devices])
 
 
-def make_batch_put(mesh: Mesh | None, *, batch_size: int | None = None):
+def make_batch_put(
+    mesh: Mesh | None,
+    *,
+    batch_size: int | None = None,
+    shard_points: bool = False,
+):
     """host array → device array, batch-sharded over the mesh.
 
     With ``mesh=None`` this is a plain transfer (identical semantics to the
     pre-mesh drivers). Arrays whose leading dim is not the batch (ndim 0/1)
-    are replicated. Validates the batch divides the mesh once up front.
+    are replicated. Validates the batch divides the mesh's data axis once
+    up front. ``shard_points=True`` (2-D mesh) additionally shards axis 1
+    (the N-points axis) over 'points' — the array's N must divide the
+    points-axis size.
     """
     import jax.numpy as jnp
 
     if mesh is None:
         return jnp.asarray
-    n = mesh.devices.size
+    n = dict(mesh.shape).get("data", mesh.devices.size)
     if batch_size is not None and batch_size % n:
         raise ValueError(
-            f"batch size {batch_size} not divisible by --devices {n}"
+            f"batch size {batch_size} not divisible by the data axis ({n})"
         )
-    sh = batch_sharding(mesh)
+    sh = batch_sharding(mesh, shard_points=shard_points)
     rep = replicated(mesh)
 
     def put(x):

@@ -170,6 +170,48 @@ class TestRandlaCLI:
                                        atol=2e-3)
             np.testing.assert_allclose(a[3], b[3], rtol=0.1)
 
+    def test_points_sharded_attack_matches_single(self, trained, tmp_path):
+        """--shard_points 2 runs the SAME B=1 attack with the cloud's
+        N-points axis sharded over a 1×2 data×points mesh (sequence
+        parallelism — the only way multi-chip helps the RandLA protocol,
+        whose batch is one cloud). GSPMD turns the pyramid's neighbor
+        gathers and the backward's scatter-adds into cross-shard
+        collectives; per-cloud TSV rows must match the unsharded run."""
+        import shutil
+
+        from pointsecguard_tpu.cli import attack
+
+        rd, _, log = trained
+        log1 = str(tmp_path / "sp1")
+        log2 = str(tmp_path / "sp2")
+        for dst in (log1, log2):
+            shutil.copytree(os.path.join(log, "checkpoints"),
+                            os.path.join(dst, "checkpoints"))
+        base = [
+            "--model", "randla", "--attack", "nb", "--randla_dir", rd,
+            "--randla_points", "512", "--num_clouds", "2", "--seed", "3",
+        ]
+        attack.main(base + ["--log_dir", log1])
+        attack.main(base + ["--log_dir", log2,
+                            "--devices", "2", "--shard_points", "2"])
+
+        def rows(d):
+            path = os.path.join(d, "randla_nb_area5.tsv")
+            return [
+                [float(x) for x in line.split("\t")[:5]]
+                for line in open(path).read().strip().splitlines()[1:]
+            ]
+
+        r1, r2 = rows(log1), rows(log2)
+        assert len(r1) == len(r2) == 2
+        for a, b in zip(r1, r2):
+            # same tolerance rationale as the batched test: the sharded
+            # program reassociates reductions (~1e-7 grad noise), which
+            # drifts the trajectory's L2 slightly; accuracies are stable
+            np.testing.assert_allclose(a[:3] + a[4:], b[:3] + b[4:],
+                                       atol=2e-3)
+            np.testing.assert_allclose(a[3], b[3], rtol=0.1)
+
     def test_batched_targeted_rejected(self, trained):
         from pointsecguard_tpu.cli import attack
 
