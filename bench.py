@@ -222,6 +222,54 @@ def extra_nb_batched_aggregate(batch=8, scan=5):
     return batch * ITERS * scan / best
 
 
+def extra_cls_nb_iters_per_sec(batch=16, npoint=1024, scan=3):
+    """Object-task coordinate-domain NB (the `cli.attack_object` path):
+    pointnet2_cls on ModelNet-shaped inputs, perturbation on xyz
+    (channels 0:3, no [0,1] clip), geometry recomputed inside the loop
+    because the coordinates move (unlike the color attacks, nothing can
+    be hoisted). Driver defaults: eps=.05, alpha=.005, iters=50, bs=16,
+    1024 pts. Reported as aggregate shape-iterations/s."""
+    from jax import lax
+
+    from pointsecguard_tpu.attacks import pgd_color_attack
+    from pointsecguard_tpu.attacks.pgd import PGDConfig
+    from pointsecguard_tpu.train.loops import _cls_partseg_model
+
+    model, _ = _cls_partseg_model(
+        "pointnet2_cls", num_classes=40, use_normals=True, dtype=None
+    )
+    rng = np.random.RandomState(0)
+    points = jnp.array(
+        (rng.rand(batch, npoint, 6) * 2 - 1).astype(np.float32)
+    )
+    labels = jnp.array(rng.randint(0, 40, (batch, 1)))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), points)
+    cfg = PGDConfig(
+        eps=0.05, alpha=0.005, iters=50, loss="ce", ce_reduction="mean",
+        num_classes=40, channels=(0, 3), clip=None,
+    )
+
+    def attack_fn(pts, labs):
+        # cls log-probs wrapped as [B, 1, K] "one-point" clouds so the
+        # per-point engine applies unchanged (cli/attack_object.py)
+        outputs_fn = lambda p: model.apply(variables, p)[0][:, None, :]
+        return pgd_color_attack(outputs_fn, pts, labs, cfg)
+
+    @jax.jit
+    def attack_scan(pts, labs):
+        def body(p, _):
+            res = attack_fn(p, labs)
+            return res.points_adv, res.l2_dist
+        _, l2s = lax.scan(body, pts, None, length=scan)
+        return l2s
+
+    float(attack_scan(points, labels).sum())  # compile + warmup
+    best = _time_best(
+        lambda: float(attack_scan(points, labels).sum()), 3
+    )
+    return batch * cfg.iters * scan / best
+
+
 def extra_pointnet2_serving_blocks_per_sec(batch=8, reps=20):
     """Serving throughput through the AOT artifact (`utils/export.py`):
     eval forward exported to serialized StableHLO, reloaded with
@@ -549,6 +597,7 @@ EXTRAS = (
      extra_nb_batched_aggregate, 1),
     ("pointnet2_serving_blocks_per_sec",
      extra_pointnet2_serving_blocks_per_sec, 1),
+    ("pointnet2_cls_nb_iters_per_sec", extra_cls_nb_iters_per_sec, 1),
     ("resgcn_nb_ms_per_iter", extra_resgcn_nb_ms_per_iter, 2),
     ("resgcn_nb_bf16_ms_per_iter",
      lambda: extra_resgcn_nb_ms_per_iter(jnp.bfloat16), 2),
