@@ -54,6 +54,11 @@ def main(argv=None):
     ap.add_argument("--devices", "-d", type=int, default=1,
                     help="data-parallel over the first N chips (batch size "
                          "must divide N); 1 = no sharding")
+    ap.add_argument("--shard_points", type=int, default=1,
+                    help="also shard the N-points axis over a second mesh "
+                         "axis of this size (sequence parallelism; "
+                         "--devices must be a multiple) — splits RandLA's "
+                         "one-cloud val batches across chips")
     ap.add_argument("--precision", default="float32",
                     choices=["float32", "bfloat16"],
                     help="model compute precision (bf16 matmuls on the MXU; "
@@ -138,8 +143,11 @@ def main(argv=None):
         replicate,
     )
 
-    mesh = data_parallel_mesh(args.devices)
-    put = make_batch_put(mesh, batch_size=args.batch_size)
+    mesh = data_parallel_mesh(args.devices, getattr(args, "shard_points", 1))
+    put = make_batch_put(
+        mesh, batch_size=args.batch_size,
+        shard_points=getattr(args, "shard_points", 1) > 1,
+    )
     state = replicate(mesh, state)
     eval_fn = make_eval_step(model)
     predict = lambda p: np.asarray(eval_fn(state, put(p)))
@@ -217,8 +225,11 @@ def _restore_object_state(args, log, model, dummy, model_args=None):
         raise SystemExit(f"no checkpoint under {args.log_dir}/checkpoints")
     state, step = restored
     log.info("restored checkpoint step %d", step)
-    mesh = data_parallel_mesh(args.devices)
-    put = make_batch_put(mesh, batch_size=args.batch_size)
+    mesh = data_parallel_mesh(args.devices, getattr(args, "shard_points", 1))
+    put = make_batch_put(
+        mesh, batch_size=args.batch_size,
+        shard_points=getattr(args, "shard_points", 1) > 1,
+    )
     state = replicate(mesh, state)
 
     @jax.jit
@@ -368,8 +379,11 @@ def _eval_randla(args, log):
         replicate,
     )
 
-    mesh = data_parallel_mesh(args.devices)
-    put = make_batch_put(mesh, batch_size=B)
+    mesh = data_parallel_mesh(args.devices, getattr(args, "shard_points", 1))
+    put = make_batch_put(
+        mesh, batch_size=B,
+        shard_points=getattr(args, "shard_points", 1) > 1,
+    )
     state = replicate(mesh, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 

@@ -212,6 +212,25 @@ class TestRandlaCLI:
                                        atol=2e-3)
             np.testing.assert_allclose(a[3], b[3], rtol=0.1)
 
+    def test_points_sharded_eval_matches_single(self, trained):
+        """cli.eval --shard_points 2: the vote-pooled whole-cloud metrics
+        of the sharded run must equal the unsharded run (forward only —
+        results are deterministic up to reduction order, and the argmax
+        votes are integer-stable at fixture scale)."""
+        from pointsecguard_tpu.cli import eval as eval_cli
+
+        rd, _, log = trained
+        base = [
+            "--model", "randla", "--randla_dir", rd, "--log_dir", log,
+            "--randla_points", "512", "--num_clouds", "2", "--seed", "5",
+        ]
+        m1 = eval_cli.main(base)
+        m2 = eval_cli.main(base + ["--devices", "2", "--shard_points", "2"])
+        np.testing.assert_allclose(float(m1.accuracy), float(m2.accuracy),
+                                   atol=1e-6)
+        np.testing.assert_allclose(float(m1.miou), float(m2.miou),
+                                   atol=1e-6)
+
     def test_batched_targeted_rejected(self, trained):
         from pointsecguard_tpu.cli import attack
 
