@@ -82,6 +82,12 @@ def main(argv=None):
     ap.add_argument("--devices", "-d", type=int, default=1,
                     help="data-parallel over the first N chips (batch size "
                          "must divide N); 1 = no sharding")
+    ap.add_argument("--shard_points", type=int, default=1,
+                    help="also shard the N-points axis over a second mesh "
+                         "axis of this size (sequence parallelism; "
+                         "--devices must be a multiple). Semseg families; "
+                         "lets e.g. 8 chips run batch 4 × 2-way point "
+                         "shards when the global batch can't fill the mesh")
     ap.add_argument("--adv_train", default="none", choices=["none", "nb"],
                     help="adversarial training (beyond-reference): craft "
                          "each batch with the fused NB/PGD color engine "
@@ -130,6 +136,13 @@ def main(argv=None):
     ):
         raise SystemExit(
             "--adv_train currently covers the semseg families "
+            "(pointnet/pointnet2[_msg]/randla/resgcn)"
+        )
+    if args.shard_points > 1 and (
+        args.model.endswith(("_cls", "_cls_msg")) or "part_seg" in args.model
+    ):
+        raise SystemExit(
+            "--shard_points covers the semseg families "
             "(pointnet/pointnet2[_msg]/randla/resgcn)"
         )
     if args.model in ("pointnet2", "pointnet2_msg", "pointnet"):

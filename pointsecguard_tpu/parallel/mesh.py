@@ -116,21 +116,31 @@ def make_batch_put(
     return put
 
 
-def make_stacked_batch_put(mesh: Mesh | None, *, batch_size: int | None = None):
+def make_stacked_batch_put(
+    mesh: Mesh | None,
+    *,
+    batch_size: int | None = None,
+    shard_points: bool = False,
+):
     """host array → device array for K-step stacks ``[K, B, ...]``
     (``data.loader.stack_batches``): the BATCH axis (axis 1) shards over
     'data', the step axis stays whole on every chip (each scanned step
-    consumes one full sharded batch). ``mesh=None`` → plain transfer."""
+    consumes one full sharded batch). ``shard_points=True`` (2-D mesh)
+    additionally shards axis 2 (the N-points axis) over 'points'.
+    ``mesh=None`` → plain transfer."""
     import jax.numpy as jnp
 
     if mesh is None:
         return jnp.asarray
-    n = mesh.devices.size
+    n = dict(mesh.shape).get("data", mesh.devices.size)
     if batch_size is not None and batch_size % n:
         raise ValueError(
-            f"batch size {batch_size} not divisible by --devices {n}"
+            f"batch size {batch_size} not divisible by the data axis ({n})"
         )
-    sh = NamedSharding(mesh, P(None, "data"))
+    if shard_points and "points" in mesh.axis_names:
+        sh = NamedSharding(mesh, P(None, "data", "points"))
+    else:
+        sh = NamedSharding(mesh, P(None, "data"))
     rep = replicated(mesh)
 
     def put(x):

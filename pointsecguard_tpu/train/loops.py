@@ -90,9 +90,12 @@ def train_pointnet_family(args):
     base_lr = args.learning_rate or 0.001
     # --devices N: batch-sharded data parallelism over a 1-D mesh (the
     # TPU-native DataParallel, `ResGCN/sem_seg_dense/train.py:22-23`)
-    mesh = data_parallel_mesh(getattr(args, "devices", 1))
-    put = make_batch_put(mesh, batch_size=batch_size)
-    sput = make_stacked_batch_put(mesh, batch_size=batch_size)
+    sp = getattr(args, "shard_points", 1) or 1
+    mesh = data_parallel_mesh(getattr(args, "devices", 1), sp)
+    put = make_batch_put(mesh, batch_size=batch_size, shard_points=sp > 1)
+    sput = make_stacked_batch_put(
+        mesh, batch_size=batch_size, shard_points=sp > 1
+    )
     spc = max(getattr(args, "steps_per_call", 1) or 1, 1)
     depth = getattr(args, "prefetch", 2)
 
@@ -285,8 +288,11 @@ def train_randla(args):
     weights = jnp.array(get_class_weights(weights_key))
 
     batch_size = args.batch_size or cfg.batch_size
-    mesh = data_parallel_mesh(getattr(args, "devices", 1))
-    sput = make_stacked_batch_put(mesh, batch_size=batch_size)
+    sp = getattr(args, "shard_points", 1) or 1
+    mesh = data_parallel_mesh(getattr(args, "devices", 1), sp)
+    sput = make_stacked_batch_put(
+        mesh, batch_size=batch_size, shard_points=sp > 1
+    )
     spc = max(getattr(args, "steps_per_call", 1) or 1, 1)
     depth = getattr(args, "prefetch", 2)
     _, f0, l0, _, _ = next(iter(train_sampler.batches(batch_size, 1)))
@@ -414,8 +420,11 @@ def train_resgcn(args):
 
     rng = np.random.default_rng(args.seed)
     batch_size = args.batch_size or 8
-    mesh = data_parallel_mesh(getattr(args, "devices", 1))
-    sput = make_stacked_batch_put(mesh, batch_size=batch_size)
+    sp = getattr(args, "shard_points", 1) or 1
+    mesh = data_parallel_mesh(getattr(args, "devices", 1), sp)
+    sput = make_stacked_batch_put(
+        mesh, batch_size=batch_size, shard_points=sp > 1
+    )
     spc = max(getattr(args, "steps_per_call", 1) or 1, 1)
     depth = getattr(args, "prefetch", 2)
     pts0, lab0 = next(iter(sampler.batches(rng, batch_size)))

@@ -272,6 +272,26 @@ class TestDataParallelCLI:
         # on the steep early loss of the class-colored fixture)
         np.testing.assert_allclose(losses[8], losses[1], rtol=3e-2)
 
+    def test_train_loss_matches_with_points_sharding(self, tmp_path):
+        """--shard_points 2 on a 4×2 data×points mesh reproduces the
+        1-device epoch losses (same tolerance rationale as the DP test:
+        sharded reductions reassociate floats, Adam compounds them)."""
+        from pointsecguard_tpu.cli import train
+
+        data = str(tmp_path / "d")
+        make_synthetic_rooms(data, points_per_room=3000, seed=1)
+        losses = {}
+        for name, extra in (
+            ("plain", []),
+            ("sp", ["--devices", "8", "--shard_points", "2"]),
+        ):
+            log = str(tmp_path / f"log_{name}")
+            train.main(_train_args(data, log, epochs=1) + extra)
+            losses[name] = [
+                e["loss"] for e in _events(log) if e["event"] == "epoch"
+            ]
+        np.testing.assert_allclose(losses["sp"], losses["plain"], rtol=3e-2)
+
 
 class TestInputPipelineCLI:
     def test_steps_per_call_and_prefetch_equivalence(self, tmp_path):
