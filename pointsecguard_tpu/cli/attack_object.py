@@ -83,6 +83,9 @@ def _build_argparser() -> argparse.ArgumentParser:
                     help="freeze FPS/ball-query plans at the clean cloud "
                          "(deviation: neighborhoods stop tracking the "
                          "perturbed coordinates)")
+    ap.add_argument("--devices", "-d", type=int, default=1,
+                    help="data-parallel over the first N chips (batch size "
+                         "must divide N); 1 = no sharding")
     ap.add_argument("--precision", default="float32",
                     choices=["float32", "bfloat16"])
     return ap
@@ -154,6 +157,16 @@ def main(argv=None):
     if restored is None:
         raise SystemExit(f"no checkpoint under {args.log_dir}/checkpoints")
     state, _ = restored
+
+    from pointsecguard_tpu.parallel import (
+        data_parallel_mesh,
+        make_batch_put,
+        replicate,
+    )
+
+    mesh = data_parallel_mesh(args.devices)
+    put = make_batch_put(mesh, batch_size=B)
+    state = replicate(mesh, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     geo_fn = None
@@ -236,15 +249,15 @@ def main(argv=None):
 
     if part:
         _attack_partseg(args, log, dataset, n, B, make_outputs_fn,
-                        run_attack, tsv_path)
+                        run_attack, tsv_path, put)
     else:
         _attack_cls(args, log, dataset, n, B, make_outputs_fn, run_attack,
-                    tsv_path)
+                    tsv_path, put)
     return tsv_path
 
 
 def _attack_cls(args, log, dataset, n, B, make_outputs_fn, run_attack,
-                tsv_path):
+                tsv_path, put):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -275,7 +288,7 @@ def _attack_cls(args, log, dataset, n, B, make_outputs_fn, run_attack,
             pts = np.stack([dataset.load(int(i))[0] for i in idx])
             labs = labels_all[idx]
             key, sub = jax.random.split(key)
-            cp, ap, l2, rp = run(jnp.asarray(pts), jnp.asarray(labs), sub)
+            cp, ap, l2, rp = run(put(pts), jnp.asarray(labs), sub)
             cp, ap, l2, rp = (np.asarray(cp), np.asarray(ap),
                               np.asarray(l2), np.asarray(rp))
             take = idx[:n_valid]
@@ -305,7 +318,7 @@ def _attack_cls(args, log, dataset, n, B, make_outputs_fn, run_attack,
 
 
 def _attack_partseg(args, log, dataset, n, B, make_outputs_fn, run_attack,
-                    tsv_path):
+                    tsv_path, put):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -345,8 +358,7 @@ def _attack_partseg(args, log, dataset, n, B, make_outputs_fn, run_attack,
             one_hot = np.eye(16, dtype=np.float32)[cls]
             key, sub = jax.random.split(key)
             clean_lp, adv_lp, l2, rand_lp = run(
-                jnp.asarray(pts), jnp.asarray(one_hot), jnp.asarray(seg),
-                sub,
+                put(pts), put(one_hot), put(seg), sub,
             )
             clean_lp, adv_lp, l2, rand_lp = (
                 np.asarray(clean_lp), np.asarray(adv_lp), np.asarray(l2),

@@ -162,6 +162,28 @@ class TestAttackObjectCLI:
         l2s = [float(r.split("\t")[4]) for r in rows[1:]]
         assert all(v > 0 for v in l2s)
 
+    def test_cls_nb_matches_across_mesh_sizes(self, modelnet_root, tmp_path):
+        """--devices 4 (batch sharded over a 4-device CPU mesh) writes the
+        same per-shape TSV as the 1-device run (NB is deterministic given
+        the seed; only the sharding layout changes)."""
+        from pointsecguard_tpu.cli import attack_object
+
+        rows = {}
+        for dev in (1, 4):
+            log_dir = str(tmp_path / f"log{dev}")
+            _seed_ckpt("pointnet2_cls", log_dir, 64, ncls=4)
+            tsv = attack_object.main([
+                "--model", "pointnet2_cls", "--data_root", modelnet_root,
+                "--log_dir", log_dir, "--attack", "nb", "--iters", "3",
+                "--num_point", "64", "--batch_size", "4",
+                "--max_shapes", "4", "--devices", str(dev),
+            ])
+            rows[dev] = open(tsv).read().strip().split("\n")[1:]
+        for a, b in zip(rows[1], rows[4]):
+            ca, cb = a.split("\t"), b.split("\t")
+            assert ca[:4] == cb[:4]  # idx, label, clean_pred, adv_pred
+            np.testing.assert_allclose(float(ca[4]), float(cb[4]), rtol=1e-4)
+
     def test_cls_random_noise_norm(self, modelnet_root, tmp_path):
         from pointsecguard_tpu.cli import attack_object
 
