@@ -43,6 +43,9 @@ def main(argv=None):
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--cw_steps", type=int, default=200)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--devices", "-d", type=int, default=1,
+                    help="data-parallel over the first N chips (batch size "
+                         "must divide N); 1 = no sharding")
     ap.add_argument("--precision", default="float32",
                     choices=["float32", "bfloat16"])
     ap.add_argument("--output", default="",
@@ -92,6 +95,16 @@ def main(argv=None):
     if restored is None:
         raise SystemExit(f"no checkpoint under {args.log_dir}/checkpoints")
     state, _ = restored
+
+    from pointsecguard_tpu.parallel import (
+        data_parallel_mesh,
+        make_batch_put,
+        replicate,
+    )
+
+    mesh = data_parallel_mesh(args.devices)
+    put = make_batch_put(mesh, batch_size=args.batch_size)
+    state = replicate(mesh, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
     if args.model in ("pointnet2", "pointnet2_msg"):
@@ -113,7 +126,7 @@ def main(argv=None):
 
     def batches():
         for s in range(0, len(feats) - B + 1, B):
-            yield jnp.array(feats[s:s + B]), jnp.array(labs[s:s + B])
+            yield put(feats[s:s + B]), put(labs[s:s + B])
 
     if args.mode == "prediction":
         # ares prediction_cli (`benchmark/prediction_cli.py:1-62`): run

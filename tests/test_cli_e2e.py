@@ -214,6 +214,26 @@ class TestBenchmarkCLI:
         assert len(details["probes"]) >= 1
         assert eps > 0
 
+    def test_attack_mode_matches_across_mesh_sizes(self, trained):
+        """cli.benchmark --devices 4: identical per-block benchmark
+        verdicts to the 1-device run (batch sharded over the mesh)."""
+        from pointsecguard_tpu.cli import benchmark
+
+        data, log = trained
+        args = [
+            "--mode", "attack", "--attack_name", "bim", "--goal", "ut",
+            "--model", "pointnet", "--data_root", data, "--log_dir", log,
+            "--num_point", "128", "--batch_size", "4", "--max_blocks", "8",
+        ]
+        acc1, adv1, tot1, succ1, dist1 = benchmark.main(args)
+        acc4, adv4, tot4, succ4, dist4 = benchmark.main(
+            args + ["--devices", "4"]
+        )
+        np.testing.assert_array_equal(acc1, acc4)
+        np.testing.assert_array_equal(adv1, adv4)
+        np.testing.assert_array_equal(succ1, succ4)
+        np.testing.assert_allclose(dist1, dist4, rtol=1e-5)
+
     def test_prediction_mode(self, trained, tmp_path):
         """ares prediction_cli analog (`benchmark/prediction_cli.py`):
         clean predictions + {ys, ys_target, predictions} artifact."""
