@@ -67,6 +67,13 @@ def main(argv=None):
     ap.add_argument("--defense_sigma", type=float, default=0.02)
     ap.add_argument("--defense_quality", type=int, default=95,
                     help="jpeg-analog defense quality (libjpeg curve)")
+    ap.add_argument("--eot", type=int, default=1,
+                    help="expectation-over-transformation for the "
+                         "randomized (jitter) defense: average the "
+                         "defended log-probs over K noise draws so the "
+                         "attack gradient integrates over the defense's "
+                         "randomness (Athalye et al. 2018) instead of "
+                         "seeing one fixed draw; 1 = single fixed draw")
     ap.add_argument("--visual", action="store_true",
                     help="dump clean/adv/pred/gt .xyzrgb clouds per room "
                          "(`NB_nontarget_test_semseg.py:131-136` artifacts)")
@@ -215,6 +222,11 @@ def main(argv=None):
         def make_outputs_fn(pts):
             return lambda p: head(model.apply(variables, p))
 
+    if args.eot > 1 and args.defense != "jitter":
+        raise SystemExit(
+            "--eot only applies to the randomized defense "
+            "(--defense jitter); bit_depth/jpeg are deterministic"
+        )
     if args.defense != "none":
         # evaluate the attack against a defended model (BPDA-style:
         # `attacks/defenses.py`; the ares defense decorators the fork
@@ -238,12 +250,34 @@ def main(argv=None):
                     plain_make(pts), jpeg_color_compression,
                     args.defense_quality,
                 )
-        else:  # jitter (fixed key: deterministic protocol runs)
-            def make_outputs_fn(pts):
-                return apply_color_defense(
-                    plain_make(pts), random_color_jitter,
-                    jax.random.PRNGKey(args.seed + 99), args.defense_sigma,
+        else:  # jitter (fixed key set: deterministic protocol runs)
+            if args.eot > 1:
+                # EoT: vmapped forwards over K fixed draws, averaged
+                # log-probs — the attack gradient integrates over the
+                # defense's randomness rather than one transparent draw
+                eot_keys = jax.random.split(
+                    jax.random.PRNGKey(args.seed + 99), args.eot
                 )
+
+                def make_outputs_fn(pts):
+                    plain = plain_make(pts)
+
+                    def defended(p):
+                        outs = jax.vmap(
+                            lambda k: plain(
+                                random_color_jitter(p, k, args.defense_sigma)
+                            )
+                        )(eot_keys)
+                        return outs.mean(axis=0)
+
+                    return defended
+            else:
+                def make_outputs_fn(pts):
+                    return apply_color_defense(
+                        plain_make(pts), random_color_jitter,
+                        jax.random.PRNGKey(args.seed + 99),
+                        args.defense_sigma,
+                    )
 
     outputs_fn = lambda pts: make_outputs_fn(pts)(pts)
     predict = jax.jit(lambda pts: jnp.argmax(outputs_fn(pts), axis=-1))

@@ -157,6 +157,35 @@ class TestAttackCLI:
         # the defense holds: accuracy loss under attack stays small
         assert float(adv_m.accuracy) > float(clean_m.accuracy) - 0.05
 
+    def test_eot_attack_on_randomized_defense(self, trained):
+        """--defense jitter --eot 4: the attack gradient integrates over
+        4 fixed noise draws (averaged log-probs, vmapped forwards) —
+        the proper evaluation of a randomized defense (Athalye et al.).
+        Protocol completes with sane metrics; EoT is rejected for the
+        deterministic defenses."""
+        import pytest as _pytest
+
+        from pointsecguard_tpu.cli import attack
+
+        data, log = trained
+        base = [
+            "--model", "pointnet", "--attack", "nb", "--data_root", data,
+            "--log_dir", log, "--num_point", "128", "--batch_size", "2",
+            "--max_blocks", "4", "--defense", "jitter",
+        ]
+        clean_m, adv_m = attack.main(base + ["--eot", "4"])
+        assert 0.0 <= float(adv_m.accuracy) <= 1.0
+        # the attack still degrades the defended model (jitter alone is
+        # weak against eps=0.1 NB); EoT must not break the engine
+        assert float(adv_m.accuracy) <= float(clean_m.accuracy)
+        with _pytest.raises(SystemExit, match="eot"):
+            attack.main([
+                "--model", "pointnet", "--attack", "nb",
+                "--data_root", data, "--log_dir", log,
+                "--num_point", "128", "--defense", "bit_depth",
+                "--eot", "4",
+            ])
+
     def test_tar_nb_attack_writes_protocol_tsv(self, trained):
         from pointsecguard_tpu.cli import attack
 
