@@ -21,6 +21,60 @@ import os
 import time
 
 
+def _defense_wrapper(args, jax):
+    """--defense / --eot wiring shared by the block and RandLA drivers:
+    returns None (no defense) or a function wrapping an outputs closure
+    with the input transformation (BPDA-style; `attacks/defenses.py`,
+    the ares `defense/input_transformation.py` decorator pattern)."""
+    if args.eot > 1 and args.defense != "jitter":
+        raise SystemExit(
+            "--eot only applies to the randomized defense "
+            "(--defense jitter); bit_depth/jpeg are deterministic"
+        )
+    if args.defense == "none":
+        return None
+    from pointsecguard_tpu.attacks import (
+        apply_color_defense,
+        bit_depth_reduction,
+        jpeg_color_compression,
+        random_color_jitter,
+    )
+
+    if args.defense == "bit_depth":
+        return lambda f: apply_color_defense(
+            f, bit_depth_reduction, args.defense_bits
+        )
+    if args.defense == "jpeg":
+        return lambda f: apply_color_defense(
+            f, jpeg_color_compression, args.defense_quality
+        )
+    # jitter (fixed key set: deterministic protocol runs)
+    if args.eot > 1:
+        # EoT: vmapped forwards over K fixed draws, averaged log-probs —
+        # the attack gradient integrates over the defense's randomness
+        # rather than one transparent draw (Athalye et al. 2018)
+        eot_keys = jax.random.split(
+            jax.random.PRNGKey(args.seed + 99), args.eot
+        )
+
+        def wrap(f):
+            def defended(p):
+                outs = jax.vmap(
+                    lambda k: f(
+                        random_color_jitter(p, k, args.defense_sigma)
+                    )
+                )(eot_keys)
+                return outs.mean(axis=0)
+
+            return defended
+
+        return wrap
+    return lambda f: apply_color_defense(
+        f, random_color_jitter, jax.random.PRNGKey(args.seed + 99),
+        args.defense_sigma,
+    )
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser("attack")
     ap.add_argument("--model", default="pointnet2",
@@ -222,62 +276,13 @@ def main(argv=None):
         def make_outputs_fn(pts):
             return lambda p: head(model.apply(variables, p))
 
-    if args.eot > 1 and args.defense != "jitter":
-        raise SystemExit(
-            "--eot only applies to the randomized defense "
-            "(--defense jitter); bit_depth/jpeg are deterministic"
-        )
-    if args.defense != "none":
-        # evaluate the attack against a defended model (BPDA-style:
-        # `attacks/defenses.py`; the ares defense decorators the fork
-        # shipped but never wired, `ares/defense/input_transformation.py`)
-        from pointsecguard_tpu.attacks import (
-            apply_color_defense,
-            bit_depth_reduction,
-            jpeg_color_compression,
-            random_color_jitter,
-        )
-
+    defense_wrap = _defense_wrapper(args, jax)
+    if defense_wrap is not None:
+        # evaluate the attack against a defended model (BPDA-style; the
+        # ares defense decorators the fork shipped but never wired,
+        # `ares/defense/input_transformation.py`)
         plain_make = make_outputs_fn
-        if args.defense == "bit_depth":
-            def make_outputs_fn(pts):
-                return apply_color_defense(
-                    plain_make(pts), bit_depth_reduction, args.defense_bits
-                )
-        elif args.defense == "jpeg":
-            def make_outputs_fn(pts):
-                return apply_color_defense(
-                    plain_make(pts), jpeg_color_compression,
-                    args.defense_quality,
-                )
-        else:  # jitter (fixed key set: deterministic protocol runs)
-            if args.eot > 1:
-                # EoT: vmapped forwards over K fixed draws, averaged
-                # log-probs — the attack gradient integrates over the
-                # defense's randomness rather than one transparent draw
-                eot_keys = jax.random.split(
-                    jax.random.PRNGKey(args.seed + 99), args.eot
-                )
-
-                def make_outputs_fn(pts):
-                    plain = plain_make(pts)
-
-                    def defended(p):
-                        outs = jax.vmap(
-                            lambda k: plain(
-                                random_color_jitter(p, k, args.defense_sigma)
-                            )
-                        )(eot_keys)
-                        return outs.mean(axis=0)
-
-                    return defended
-            else:
-                def make_outputs_fn(pts):
-                    return apply_color_defense(
-                        plain_make(pts), random_color_jitter,
-                        jax.random.PRNGKey(args.seed + 99),
-                        args.defense_sigma,
-                    )
+        make_outputs_fn = lambda pts: defense_wrap(plain_make(pts))
 
     outputs_fn = lambda pts: make_outputs_fn(pts)(pts)
     predict = jax.jit(lambda pts: jnp.argmax(outputs_fn(pts), axis=-1))
@@ -615,6 +620,7 @@ def _attack_randla(args, log):
     state = replicate(mesh, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
+    defense_wrap = _defense_wrapper(args, jax)
     targeted = args.attack.startswith("tar_")
     if args.attack == "random":
         # fixed-norm noise control as its own driver (the ResGCN-side
@@ -634,6 +640,8 @@ def _attack_randla(args, log):
         # decoder half of this collect call is dead code and eliminated)
         _, pos = model.apply(variables, feats, pyr, collect_pos=True)
         outputs_fn = lambda f: model.apply(variables, f, pyr, pos_plan=pos)
+        if defense_wrap is not None:
+            outputs_fn = defense_wrap(outputs_fn)
         if isinstance(attack_cfg, PGDConfig):
             res = pgd_color_attack(
                 outputs_fn, feats, labels, attack_cfg, mask=mask, key=key,
@@ -656,11 +664,13 @@ def _attack_randla(args, log):
             rand_pred = None
         return res, traj, rand_pred
 
-    predict = jax.jit(
-        lambda f: jnp.argmax(
-            model.apply(variables, f, pyramid_fn(f[..., :3])), axis=-1
-        )
-    )
+    def _fwd(f):
+        out_fn = lambda g: model.apply(variables, g, pyramid_fn(g[..., :3]))
+        if defense_wrap is not None:
+            out_fn = defense_wrap(out_fn)
+        return out_fn(f)
+
+    predict = jax.jit(lambda f: jnp.argmax(_fwd(f), axis=-1))
 
     import os
 

@@ -212,6 +212,25 @@ class TestRandlaCLI:
                                        atol=2e-3)
             np.testing.assert_allclose(a[3], b[3], rtol=0.1)
 
+    def test_defended_attack_randla(self, trained):
+        """--defense now wires into the RandLA driver too (the ares
+        defenses ORIGINATE from this subtree, `ares/defense/`): the
+        attack runs against the bit-depth-defended model and the
+        protocol completes; EoT works with the randomized jitter."""
+        from pointsecguard_tpu.cli import attack
+
+        rd, _, log = trained
+        base = [
+            "--model", "randla", "--attack", "nb", "--randla_dir", rd,
+            "--log_dir", log, "--randla_points", "512",
+            "--num_clouds", "1",
+        ]
+        cm, am = attack.main(base + ["--defense", "bit_depth",
+                                     "--defense_bits", "3"])
+        assert 0.0 <= float(am.accuracy) <= 1.0
+        cm2, am2 = attack.main(base + ["--defense", "jitter", "--eot", "2"])
+        assert float(am2.accuracy) <= float(cm2.accuracy)
+
     def test_points_sharded_eval_matches_single(self, trained):
         """cli.eval --shard_points 2: the vote-pooled whole-cloud metrics
         of the sharded run must equal the unsharded run (forward only —
