@@ -751,6 +751,36 @@ def _attack_randla(args, log):
                 row += f"\t{rand_acc:.4f}"
             tsv.write(row + "\n")
         tsv.flush()
+        if args.visual:
+            # per-cloud .xyzrgb artifacts + interactive HTML viewer, like
+            # the block driver (`NB_nontarget_test_semseg.py:131-136`
+            # artifacts at the RandLA cloud level)
+            from pointsecguard_tpu.utils.logging import (
+                write_label_cloud,
+                write_xyzrgb,
+            )
+            from pointsecguard_tpu.utils.viz import export_html_viewer
+
+            vis_dir = os.path.join(args.log_dir, "visual")
+            os.makedirs(vis_dir, exist_ok=True)
+            feats_np = np.asarray(feats)
+            adv_np = np.asarray(adv_points)
+            for b in range(B):
+                base = os.path.join(
+                    vis_dir, f"cloud{int(cloud_idx[b])}_{args.attack}"
+                )
+                write_xyzrgb(base + "_raw.xyzrgb", xyz[b],
+                             feats_np[b, :, 3:6])
+                write_xyzrgb(base + "_adv_raw.xyzrgb", xyz[b],
+                             adv_np[b, :, 3:6])
+                write_label_cloud(base + "_pred.xyzrgb", xyz[b],
+                                  adv_pred[b])
+                write_label_cloud(base + "_gt.xyzrgb", xyz[b], labels[b])
+                export_html_viewer(
+                    base + "_adv.html", xyz[b], colors=adv_np[b, :, 3:6],
+                    title=f"cloud {int(cloud_idx[b])} {args.attack} "
+                          "adversarial",
+                )
         if steps_tsv is not None and traj is not None:
             # acc/sr trajectories are batch-global (engine reductions);
             # l2 is per cloud

@@ -212,6 +212,26 @@ class TestRandlaCLI:
                                        atol=2e-3)
             np.testing.assert_allclose(a[3], b[3], rtol=0.1)
 
+    def test_visual_artifacts_randla(self, trained):
+        """--visual on the RandLA driver writes per-cloud clean/adv/pred/
+        gt .xyzrgb dumps and the HTML viewer (block-driver parity)."""
+        from pointsecguard_tpu.cli import attack
+
+        rd, _, log = trained
+        attack.main([
+            "--model", "randla", "--attack", "nb", "--randla_dir", rd,
+            "--log_dir", log, "--randla_points", "512",
+            "--num_clouds", "1", "--visual",
+        ])
+        vis = os.path.join(log, "visual")
+        names = os.listdir(vis)
+        for suffix in ("_raw.xyzrgb", "_adv_raw.xyzrgb", "_pred.xyzrgb",
+                       "_gt.xyzrgb", "_adv.html"):
+            assert any(n.endswith(suffix) for n in names), suffix
+        xyzrgb = [n for n in names if n.endswith("_adv_raw.xyzrgb")][0]
+        rows = np.loadtxt(os.path.join(vis, xyzrgb))
+        assert rows.shape == (512, 6)
+
     def test_defended_attack_randla(self, trained):
         """--defense now wires into the RandLA driver too (the ares
         defenses ORIGINATE from this subtree, `ares/defense/`): the
