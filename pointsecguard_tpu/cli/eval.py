@@ -51,6 +51,11 @@ def main(argv=None):
     ap.add_argument("--batch_size", type=int, default=16)
     ap.add_argument("--num_votes", type=int, default=5)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--visual", action="store_true",
+                    help="write per-room prediction/GT label clouds "
+                         "(.xyzrgb + HTML viewer) to <log_dir>/visual "
+                         "(the reference test driver's --visual, "
+                         "`test_semseg.py:101-174`)")
     ap.add_argument("--devices", "-d", type=int, default=1,
                     help="data-parallel over the first N chips (batch size "
                          "must divide N); 1 = no sharding")
@@ -186,9 +191,13 @@ def main(argv=None):
             float(m.miou), float(m.accuracy),
         )
         return m
+    import os
+
     total, per_room = evaluate_whole_scenes(
         predict, rooms, batch_size=args.batch_size, num_votes=args.num_votes,
         block_points=args.num_point, rng=np.random.default_rng(args.seed),
+        visual_dir=(os.path.join(args.log_dir, "visual")
+                    if args.visual else None),
     )
     for name, m in zip(rooms.names, per_room):
         log.info("%s: mIoU %.4f acc %.4f", name, float(m.miou), float(m.accuracy))

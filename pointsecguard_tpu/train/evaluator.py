@@ -43,12 +43,17 @@ def evaluate_whole_scenes(
     block_points: int = 4096,
     rng: np.random.Generator | None = None,
     num_classes: int = NUM_CLASSES,
+    visual_dir: str | None = None,
 ) -> tuple[SegMetrics, list[SegMetrics]]:
     """Evaluate every room of ``rooms`` with vote pooling.
 
     Args:
       predict_fn: points [B, P, 9] → predicted labels [B, P] (a jitted
         closure over model state).
+      visual_dir: if set, write per-room prediction/GT label clouds
+        (.xyzrgb + interactive HTML) there — the reference test driver's
+        ``--visual`` artifacts (`test_semseg.py:101-174`, which dumps
+        label-colored .obj files per room).
 
     Returns:
       (dataset-level metrics, per-room metrics) — both confusion-based.
@@ -76,6 +81,21 @@ def evaluate_whole_scenes(
                     vote_pool, pidx[start:end], preds, weights[start:end]
                 )
         room_pred = np.argmax(vote_pool, axis=1)
+        if visual_dir is not None:
+            import os
+
+            from pointsecguard_tpu.utils.logging import write_label_cloud
+            from pointsecguard_tpu.utils.viz import export_html_viewer
+
+            os.makedirs(visual_dir, exist_ok=True)
+            xyz = rooms.points[room_idx][:, :3]
+            base = os.path.join(visual_dir, rooms.names[room_idx])
+            write_label_cloud(base + "_pred.xyzrgb", xyz, room_pred)
+            write_label_cloud(base + "_gt.xyzrgb", xyz, labels_room)
+            export_html_viewer(
+                base + "_pred.html", xyz, labels=room_pred,
+                title=f"{rooms.names[room_idx]} predictions",
+            )
         cm = np.zeros((num_classes, num_classes), np.float64)
         np.add.at(cm, (labels_room, room_pred), 1.0)
         total_cm += cm

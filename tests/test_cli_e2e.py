@@ -77,6 +77,24 @@ class TestEvalCLI:
         assert float(total.accuracy) > 0.5
 
 
+class TestEvalVisual:
+    def test_eval_visual_artifacts(self, trained):
+        """cli.eval --visual writes per-room pred/gt label clouds + HTML
+        (the reference test driver's --visual, test_semseg.py:101-174)."""
+        from pointsecguard_tpu.cli import eval as eval_cli
+
+        data, log = trained
+        eval_cli.main([
+            "--model", "pointnet", "--data_root", data, "--log_dir", log,
+            "--num_point", "128", "--batch_size", "8", "--num_votes", "1",
+            "--visual",
+        ])
+        vis = os.path.join(log, "visual")
+        names = os.listdir(vis)
+        for suffix in ("_pred.xyzrgb", "_gt.xyzrgb", "_pred.html"):
+            assert any(n.endswith(suffix) for n in names), suffix
+
+
 class TestAttackCLI:
     def test_nb_attack_degrades_accuracy(self, trained):
         from pointsecguard_tpu.cli import attack
