@@ -106,6 +106,21 @@ def main(argv=None):
     ap.add_argument("--resgcn_blocks", type=int, default=0,
                     help="override ResGCN depth (must match the trained "
                          "checkpoint; default: config 28 blocks)")
+    ap.add_argument("--resgcn_k", type=int, default=0,
+                    help="override ResGCN kNN k (OptInit --kernel_size; "
+                         "must match the trained checkpoint's graph fan-in)")
+    ap.add_argument("--resgcn_filters", type=int, default=0,
+                    help="override ResGCN channel width (OptInit "
+                         "--n_filters; must match the checkpoint)")
+    ap.add_argument("--resgcn_block_type", default="",
+                    choices=["", "res", "dense", "plain"],
+                    help="backbone block (OptInit --block)")
+    ap.add_argument("--resgcn_conv", default="",
+                    choices=["", "edge", "mr"],
+                    help="graph conv (OptInit --conv)")
+    ap.add_argument("--resgcn_epsilon", type=float, default=0.0,
+                    help="stochastic-dilation epsilon (OptInit "
+                         "--epsilon; reference enables with 0.2)")
     ap.add_argument("--resgcn_fast", action="store_true",
                     help="resgcn: dilated_mode=subsample + approx kNN "
                          "(6x faster; documented deviation, PARITY.md)")
@@ -211,12 +226,9 @@ def main(argv=None):
 
     model_dtype = jnp.bfloat16 if args.precision == "bfloat16" else None
     if args.model == "resgcn":
-        overrides = {}
-        if args.resgcn_blocks:
-            overrides["n_blocks"] = args.resgcn_blocks
-        if args.resgcn_fast:
-            overrides.update(dilated_mode="subsample", knn_strategy="approx")
-        model = DenseDeepGCN(dtype=model_dtype, **overrides)
+        from pointsecguard_tpu.configs import resgcn_overrides
+
+        model = DenseDeepGCN(dtype=model_dtype, **resgcn_overrides(args))
         preset_family = "resgcn"
         head = lambda out: out
     else:

@@ -27,6 +27,21 @@ def main(argv=None):
     ap.add_argument("--resgcn_blocks", type=int, default=0,
                     help="override ResGCN depth (must match the trained "
                          "checkpoint; default: config 28 blocks)")
+    ap.add_argument("--resgcn_k", type=int, default=0,
+                    help="override ResGCN kNN k (OptInit --kernel_size; "
+                         "must match the trained checkpoint's graph fan-in)")
+    ap.add_argument("--resgcn_filters", type=int, default=0,
+                    help="override ResGCN channel width (OptInit "
+                         "--n_filters; must match the checkpoint)")
+    ap.add_argument("--resgcn_block_type", default="",
+                    choices=["", "res", "dense", "plain"],
+                    help="backbone block (OptInit --block)")
+    ap.add_argument("--resgcn_conv", default="",
+                    choices=["", "edge", "mr"],
+                    help="graph conv (OptInit --conv)")
+    ap.add_argument("--resgcn_epsilon", type=float, default=0.0,
+                    help="stochastic-dilation epsilon (OptInit "
+                         "--epsilon; reference enables with 0.2)")
     ap.add_argument("--resgcn_fast", action="store_true",
                     help="resgcn: dilated_mode=subsample + approx kNN")
     ap.add_argument("--randla_dir", default="data/randla_input_0.040")
@@ -111,12 +126,9 @@ def main(argv=None):
         # sliding-window pass with vote pooling)
         from pointsecguard_tpu.models import DenseDeepGCN
 
-        overrides = {}
-        if args.resgcn_blocks:
-            overrides["n_blocks"] = args.resgcn_blocks
-        if args.resgcn_fast:
-            overrides.update(dilated_mode="subsample", knn_strategy="approx")
-        model = DenseDeepGCN(dtype=model_dtype, **overrides)
+        from pointsecguard_tpu.configs import resgcn_overrides
+
+        model = DenseDeepGCN(dtype=model_dtype, **resgcn_overrides(args))
     else:
         model = {
             "pointnet2": PointNet2SemSegSSG,

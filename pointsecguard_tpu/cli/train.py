@@ -56,6 +56,18 @@ def main(argv=None):
                          "there)")
     ap.add_argument("--resgcn_blocks", type=int, default=0,
                     help="override ResGCN depth (default: config 28 blocks)")
+    ap.add_argument("--resgcn_k", type=int, default=0,
+                    help="ResGCN kNN k (OptInit --kernel_size)")
+    ap.add_argument("--resgcn_filters", type=int, default=0,
+                    help="ResGCN channel width (OptInit --n_filters)")
+    ap.add_argument("--resgcn_block_type", default="",
+                    choices=["", "res", "dense", "plain"],
+                    help="backbone block (OptInit --block)")
+    ap.add_argument("--resgcn_conv", default="",
+                    choices=["", "edge", "mr"],
+                    help="graph conv (OptInit --conv)")
+    ap.add_argument("--resgcn_epsilon", type=float, default=0.0,
+                    help="stochastic-dilation epsilon (OptInit --epsilon)")
     ap.add_argument("--num_category", type=int, default=40,
                     help="ModelNet class count for the cls models (10|40)")
     ap.add_argument("--no_normals", action="store_true",

@@ -128,3 +128,28 @@ class RandlaSemantic3DConfig:
     augment_scale_anisotropic: bool = True
     augment_rotation: str = "vertical"
     augment_noise: float = 0.001
+
+
+def resgcn_overrides(args) -> dict:
+    """CLI flags → DenseDeepGCN kwargs (the reference's OptInit model
+    flags, `ResGCN/sem_seg_dense/config.py:40-57`: --n_blocks,
+    --n_filters, --kernel_size/k, --block, --conv, --epsilon/stochastic).
+    0 / "" means "use the config default"; shared by cli.{train,eval,
+    attack} so a non-default model trains, evaluates and attacks with
+    one consistent flag set."""
+    ov = {}
+    if getattr(args, "resgcn_blocks", 0):
+        ov["n_blocks"] = args.resgcn_blocks
+    if getattr(args, "resgcn_k", 0):
+        ov["k"] = args.resgcn_k
+    if getattr(args, "resgcn_filters", 0):
+        ov["n_filters"] = args.resgcn_filters
+    if getattr(args, "resgcn_block_type", ""):
+        ov["block"] = args.resgcn_block_type
+    if getattr(args, "resgcn_conv", ""):
+        ov["conv"] = args.resgcn_conv
+    if getattr(args, "resgcn_epsilon", 0.0):
+        ov["epsilon"] = args.resgcn_epsilon
+    if getattr(args, "resgcn_fast", False):
+        ov.update(dilated_mode="subsample", knn_strategy="approx")
+    return ov

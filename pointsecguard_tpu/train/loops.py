@@ -406,12 +406,17 @@ def train_resgcn(args):
         rooms, num_point=getattr(args, "npoint", 0) or cfg.num_point,
         min_points=getattr(args, "min_block_points", 1024),
     )
-    model = DenseDeepGCN(
-        n_blocks=getattr(args, "resgcn_blocks", 0) or cfg.n_blocks,
-        n_filters=cfg.n_filters, k=cfg.k,
+    from pointsecguard_tpu.configs import resgcn_overrides
+
+    model_kwargs = dict(
+        n_blocks=cfg.n_blocks, n_filters=cfg.n_filters, k=cfg.k,
         epsilon=cfg.epsilon, stochastic=cfg.stochastic, dropout=cfg.dropout,
+    )
+    model_kwargs.update(resgcn_overrides(args))
+    model = DenseDeepGCN(
         dtype=jnp.bfloat16
         if getattr(args, "precision", "float32") == "bfloat16" else None,
+        **model_kwargs,
     )
 
     def ce_loss(logits, labels, _):

@@ -364,6 +364,39 @@ class TestResgcnCLI:
         assert np.isfinite(float(total.accuracy))
         assert 0.0 <= float(total.miou) <= 1.0
 
+    def test_optinit_model_flags_roundtrip(self, trained, tmp_path):
+        """The OptInit model flags (`config.py:40-57`: --kernel_size,
+        --n_filters, --block, --conv, --epsilon) are CLI-drivable and
+        consistent across train → eval → attack: a non-default MRConv
+        dense-block model trains, restores and attacks with one flag
+        set."""
+        from pointsecguard_tpu.cli import attack, train
+        from pointsecguard_tpu.cli import eval as eval_cli
+
+        data, _ = trained
+        log = str(tmp_path / "log")
+        flags = [
+            "--resgcn_blocks", "3", "--resgcn_k", "8",
+            "--resgcn_filters", "32", "--resgcn_block_type", "dense",
+            "--resgcn_conv", "mr",
+        ]
+        train.main([
+            "--model", "resgcn", "--data_root", data, "--log_dir", log,
+            "--epochs", "1", "--npoint", "128", "--batch_size", "4",
+            "--seed", "0",
+        ] + flags)
+        m = eval_cli.main([
+            "--model", "resgcn", "--data_root", data, "--log_dir", log,
+            "--num_point", "128", "--batch_size", "4", "--num_votes", "1",
+        ] + flags)
+        assert 0.0 <= float(m.accuracy) <= 1.0
+        cm, am = attack.main([
+            "--model", "resgcn", "--attack", "nb", "--data_root", data,
+            "--log_dir", log, "--num_point", "128", "--batch_size", "1",
+            "--max_blocks", "2",
+        ] + flags)
+        assert float(am.accuracy) <= float(cm.accuracy) + 1e-6
+
     def test_tar_requires_bs1(self, trained):
         from pointsecguard_tpu.cli import attack
 
