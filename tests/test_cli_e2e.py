@@ -77,6 +77,36 @@ class TestEvalCLI:
         assert float(total.accuracy) > 0.5
 
 
+class TestMsgFamilyCLI:
+    def test_msg_train_eval_attack(self, tmp_path):
+        """pointnet2_msg (the reference's `pointnet2_sem_seg_msg.py`
+        variant) through the full CLI protocol — the only semseg model
+        file that had no driver-level e2e coverage."""
+        from pointsecguard_tpu.cli import attack, train
+        from pointsecguard_tpu.cli import eval as eval_cli
+
+        data = str(tmp_path / "d")
+        log = str(tmp_path / "log")
+        make_synthetic_rooms(data, points_per_room=3000, seed=6)
+        train.main([
+            "--model", "pointnet2_msg", "--data_root", data,
+            "--log_dir", log, "--epochs", "1", "--npoint", "128",
+            "--batch_size", "4", "--eval_every", "10",
+        ])
+        m = eval_cli.main([
+            "--model", "pointnet2_msg", "--data_root", data,
+            "--log_dir", log, "--num_point", "128", "--batch_size", "4",
+            "--num_votes", "1",
+        ])
+        assert 0.0 <= float(m.accuracy) <= 1.0
+        cm, am = attack.main([
+            "--model", "pointnet2_msg", "--attack", "nb",
+            "--data_root", data, "--log_dir", log, "--num_point", "128",
+            "--batch_size", "2", "--max_blocks", "4",
+        ])
+        assert float(am.accuracy) <= float(cm.accuracy) + 1e-6
+
+
 class TestEvalVisual:
     def test_eval_visual_artifacts(self, trained):
         """cli.eval --visual writes per-room pred/gt label clouds + HTML
