@@ -109,8 +109,14 @@ def make_batch_put(
         )
     sh = batch_sharding(mesh, shard_points=shard_points)
     rep = replicated(mesh)
+    pa = dict(mesh.shape).get("points", 1)
 
     def put(x):
+        if shard_points and np.ndim(x) >= 2 and np.shape(x)[1] % pa:
+            raise ValueError(
+                f"points axis {np.shape(x)[1]} not divisible by "
+                f"--shard_points {pa}"
+            )
         return jax.device_put(x, sh if np.ndim(x) >= 2 else rep)
 
     return put
@@ -142,8 +148,14 @@ def make_stacked_batch_put(
     else:
         sh = NamedSharding(mesh, P(None, "data"))
     rep = replicated(mesh)
+    pa = dict(mesh.shape).get("points", 1) if shard_points else 1
 
     def put(x):
+        if pa > 1 and np.ndim(x) >= 3 and np.shape(x)[2] % pa:
+            raise ValueError(
+                f"points axis {np.shape(x)[2]} not divisible by "
+                f"--shard_points {pa}"
+            )
         return jax.device_put(x, sh if np.ndim(x) >= 3 else rep)
 
     return put

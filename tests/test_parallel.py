@@ -124,3 +124,34 @@ class TestRandlaPointsAxisSharding:
         np.testing.assert_allclose(
             np.asarray(grad_plain), np.asarray(grad_s), atol=1e-5
         )
+
+
+class TestPutValidation:
+    """make_batch_put / make_stacked_batch_put raise actionable errors
+    instead of GSPMD's device_put message when shapes don't divide."""
+
+    def test_points_axis_divisibility(self):
+        from pointsecguard_tpu.parallel import (
+            make_batch_put,
+            make_stacked_batch_put,
+        )
+
+        mesh = make_mesh(jax.devices()[:4], points_axis=2)
+        put = make_batch_put(mesh, batch_size=2, shard_points=True)
+        with pytest.raises(ValueError, match="shard_points"):
+            put(np.zeros((2, 63, 6), np.float32))
+        sput = make_stacked_batch_put(mesh, batch_size=2,
+                                      shard_points=True)
+        with pytest.raises(ValueError, match="shard_points"):
+            sput(np.zeros((3, 2, 63, 6), np.float32))
+        # divisible shapes go through with both axes sharded
+        out = put(np.zeros((2, 64, 6), np.float32))
+        assert out.sharding.spec == P("data", "points")
+
+    def test_batch_validates_against_data_axis(self):
+        from pointsecguard_tpu.parallel import make_batch_put
+
+        mesh = make_mesh(jax.devices()[:8], points_axis=2)  # data=4
+        make_batch_put(mesh, batch_size=4, shard_points=True)  # ok
+        with pytest.raises(ValueError, match="data axis"):
+            make_batch_put(mesh, batch_size=6, shard_points=True)
