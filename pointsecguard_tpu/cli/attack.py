@@ -22,14 +22,22 @@ import time
 
 
 def _defense_wrapper(args, jax):
-    """--defense / --eot wiring shared by the block and RandLA drivers:
-    returns None (no defense) or a function wrapping an outputs closure
-    with the input transformation (BPDA-style; `attacks/defenses.py`,
-    the ares `defense/input_transformation.py` decorator pattern)."""
+    """--defense / --eot wiring shared by the block and RandLA drivers.
+
+    Returns None (no defense) or ``(eval_wrap, attack_wrap)`` — each
+    wraps an outputs closure with the input transformation (BPDA-style;
+    `attacks/defenses.py`, the ares `defense/input_transformation.py`
+    decorator pattern). ``eval_wrap`` is always the DEPLOYED defense
+    (single fixed draw for jitter), used for every reported clean/adv/
+    control prediction; ``attack_wrap`` is what the ATTACKER differentiates
+    through — with ``--eot K`` it averages the defended log-probs over K
+    vmapped draws so the gradient integrates over the defense's
+    randomness (Athalye et al. 2018), without changing the victim model
+    the metrics are computed on."""
     if args.eot > 1 and args.defense != "jitter":
         raise SystemExit(
-            "--eot only applies to the randomized defense "
-            "(--defense jitter); bit_depth/jpeg are deterministic"
+            "--eot requires --defense jitter (the randomized defense); "
+            "it averages attack gradients over the defense's noise draws"
         )
     if args.defense == "none":
         return None
@@ -41,23 +49,26 @@ def _defense_wrapper(args, jax):
     )
 
     if args.defense == "bit_depth":
-        return lambda f: apply_color_defense(
+        wrap = lambda f: apply_color_defense(
             f, bit_depth_reduction, args.defense_bits
         )
+        return wrap, wrap
     if args.defense == "jpeg":
-        return lambda f: apply_color_defense(
+        wrap = lambda f: apply_color_defense(
             f, jpeg_color_compression, args.defense_quality
         )
+        return wrap, wrap
     # jitter (fixed key set: deterministic protocol runs)
+    eval_wrap = lambda f: apply_color_defense(
+        f, random_color_jitter, jax.random.PRNGKey(args.seed + 99),
+        args.defense_sigma,
+    )
     if args.eot > 1:
-        # EoT: vmapped forwards over K fixed draws, averaged log-probs —
-        # the attack gradient integrates over the defense's randomness
-        # rather than one transparent draw (Athalye et al. 2018)
         eot_keys = jax.random.split(
             jax.random.PRNGKey(args.seed + 99), args.eot
         )
 
-        def wrap(f):
+        def attack_wrap(f):
             def defended(p):
                 outs = jax.vmap(
                     lambda k: f(
@@ -68,11 +79,8 @@ def _defense_wrapper(args, jax):
 
             return defended
 
-        return wrap
-    return lambda f: apply_color_defense(
-        f, random_color_jitter, jax.random.PRNGKey(args.seed + 99),
-        args.defense_sigma,
-    )
+        return eval_wrap, attack_wrap
+    return eval_wrap, eval_wrap
 
 
 def main(argv=None):
@@ -138,11 +146,12 @@ def main(argv=None):
                     help="jpeg-analog defense quality (libjpeg curve)")
     ap.add_argument("--eot", type=int, default=1,
                     help="expectation-over-transformation for the "
-                         "randomized (jitter) defense: average the "
-                         "defended log-probs over K noise draws so the "
-                         "attack gradient integrates over the defense's "
-                         "randomness (Athalye et al. 2018) instead of "
-                         "seeing one fixed draw; 1 = single fixed draw")
+                         "randomized (jitter) defense: the ATTACK "
+                         "differentiates through the mean of K defended "
+                         "log-prob draws so its gradient integrates over "
+                         "the defense's randomness (Athalye et al. 2018); "
+                         "all reported clean/adv/control metrics still "
+                         "evaluate the deployed single-draw defense")
     ap.add_argument("--visual", action="store_true",
                     help="dump clean/adv/pred/gt .xyzrgb clouds per room "
                          "(`NB_nontarget_test_semseg.py:131-136` artifacts)")
@@ -288,15 +297,21 @@ def main(argv=None):
         def make_outputs_fn(pts):
             return lambda p: head(model.apply(variables, p))
 
-    defense_wrap = _defense_wrapper(args, jax)
-    if defense_wrap is not None:
+    wraps = _defense_wrapper(args, jax)
+    if wraps is not None:
         # evaluate the attack against a defended model (BPDA-style; the
         # ares defense decorators the fork shipped but never wired,
-        # `ares/defense/input_transformation.py`)
+        # `ares/defense/input_transformation.py`). All reported metrics
+        # use the deployed defense (eval_wrap); the attacker
+        # differentiates through attack_wrap (EoT when --eot > 1).
+        eval_wrap, attack_wrap = wraps
         plain_make = make_outputs_fn
-        make_outputs_fn = lambda pts: defense_wrap(plain_make(pts))
+        make_eval_fn = lambda pts: eval_wrap(plain_make(pts))
+        make_attack_fn = lambda pts: attack_wrap(plain_make(pts))
+    else:
+        make_eval_fn = make_attack_fn = make_outputs_fn
 
-    outputs_fn = lambda pts: make_outputs_fn(pts)(pts)
+    outputs_fn = lambda pts: make_eval_fn(pts)(pts)
     predict = jax.jit(lambda pts: jnp.argmax(outputs_fn(pts), axis=-1))
 
     targeted = args.attack.startswith("tar_")
@@ -313,30 +328,33 @@ def main(argv=None):
 
         @jax.jit
         def run_attack(pts, labels, mask, key):
-            f = make_outputs_fn(pts)
-            clean_pred = jnp.argmax(f(pts), axis=-1)
+            f_eval = make_eval_fn(pts)
+            f_atk = make_attack_fn(pts)
+            clean_pred = jnp.argmax(f_eval(pts), axis=-1)
             if isinstance(attack_cfg, PGDConfig):
                 res = pgd_color_attack(
-                    f, pts, labels, attack_cfg, mask=mask, key=key,
+                    f_atk, pts, labels, attack_cfg, mask=mask, key=key,
                     trajectory=args.log_steps,
                 )
             else:
                 res = cw_color_attack(
-                    f, pts, labels, attack_cfg, mask=mask,
+                    f_atk, pts, labels, attack_cfg, mask=mask,
                     trajectory=args.log_steps,
                 )
             res, traj = res if args.log_steps else (res, None)
+            # score the adversarial points under the DEPLOYED defense
+            # (identical closure when eot == 1: XLA CSEs the forward)
+            adv_pred = jnp.argmax(f_eval(res.points_adv), axis=-1)
             if args.control:
                 # equal-norm random control at the attack's *measured* L2
                 # (`NUattack.py:236-254`)
                 rand = equal_norm_color_noise(
                     jax.random.fold_in(key, 7), pts, res.l2_dist, mask=mask
                 )
-                rand_pred = jnp.argmax(f(rand), axis=-1)
+                rand_pred = jnp.argmax(f_eval(rand), axis=-1)
             else:
                 rand_pred = None
-            # the attack's final forward already produced adv predictions
-            return clean_pred, res.adv_pred, res, traj, rand_pred
+            return clean_pred, adv_pred, res, traj, rand_pred
     else:
         run_attack = None
 
@@ -589,10 +607,16 @@ def _attack_randla(args, log):
         dtype=jnp.bfloat16
         if getattr(args, "precision", "float32") == "bfloat16" else None,
     )
+    # Under points-axis sharding route the pyramid through the XLA kNN
+    # path (knn_tile=None): the Pallas fused-kNN custom call has no SPMD
+    # partitioning rule, so on a real multi-chip mesh GSPMD would have
+    # to replicate it (or fail); the XLA ops partition cleanly.
+    # Bit-identical semantics either way.
+    knn_tile = None if getattr(args, "shard_points", 1) > 1 else 4096
     pyramid_fn = jax.jit(
         lambda xyz: build_pyramid(
             xyz, num_layers=cfg.num_layers, k=cfg.k_n,
-            sub_ratios=cfg.sub_sampling_ratio,
+            sub_ratios=cfg.sub_sampling_ratio, knn_tile=knn_tile,
         )
     )
     # --batch_size N attacks N clouds per jitted program (amortizes the
@@ -632,8 +656,14 @@ def _attack_randla(args, log):
     state = replicate(mesh, state)
     variables = {"params": state.params, "batch_stats": state.batch_stats}
 
-    defense_wrap = _defense_wrapper(args, jax)
+    wraps = _defense_wrapper(args, jax)
+    eval_wrap, attack_wrap = wraps if wraps is not None else (None, None)
     targeted = args.attack.startswith("tar_")
+    if args.attack == "random" and args.control:
+        # the "attack" IS equal-norm noise — a separate control would
+        # duplicate it (same no-op as cli.attack_object)
+        log.info("--control is a no-op with --attack random; ignoring")
+        args.control = False
     if args.attack == "random":
         # fixed-norm noise control as its own driver (the ResGCN-side
         # `sem_seg_dense/test.py:47-109` protocol at the RandLA cloud
@@ -652,34 +682,37 @@ def _attack_randla(args, log):
         # decoder half of this collect call is dead code and eliminated)
         _, pos = model.apply(variables, feats, pyr, collect_pos=True)
         outputs_fn = lambda f: model.apply(variables, f, pyr, pos_plan=pos)
-        if defense_wrap is not None:
-            outputs_fn = defense_wrap(outputs_fn)
+        out_eval = eval_wrap(outputs_fn) if eval_wrap else outputs_fn
+        out_atk = attack_wrap(outputs_fn) if attack_wrap else outputs_fn
         if isinstance(attack_cfg, PGDConfig):
             res = pgd_color_attack(
-                outputs_fn, feats, labels, attack_cfg, mask=mask, key=key,
+                out_atk, feats, labels, attack_cfg, mask=mask, key=key,
                 trajectory=args.log_steps,
             )
         else:
             res = cw_color_attack(
-                outputs_fn, feats, labels, attack_cfg, mask=mask,
+                out_atk, feats, labels, attack_cfg, mask=mask,
                 trajectory=args.log_steps,
             )
         res, traj = res if args.log_steps else (res, None)
+        # score the adversarial clouds under the DEPLOYED defense
+        # (identical closure when eot == 1: XLA CSEs the forward)
+        adv_pred = jnp.argmax(out_eval(res.points_adv), axis=-1)
         if args.control:
             # ares runs the control at the *found* distortion norm
             # (`NUattack.py:236-254`), inside the same evaluation
             rand = equal_norm_color_noise(
                 jax.random.fold_in(key, 7), feats, res.l2_dist, mask=mask
             )
-            rand_pred = jnp.argmax(outputs_fn(rand), axis=-1)
+            rand_pred = jnp.argmax(out_eval(rand), axis=-1)
         else:
             rand_pred = None
-        return res, traj, rand_pred
+        return res, adv_pred, traj, rand_pred
 
     def _fwd(f):
         out_fn = lambda g: model.apply(variables, g, pyramid_fn(g[..., :3]))
-        if defense_wrap is not None:
-            out_fn = defense_wrap(out_fn)
+        if eval_wrap is not None:
+            out_fn = eval_wrap(out_fn)
         return out_fn(f)
 
     predict = jax.jit(lambda f: jnp.argmax(_fwd(f), axis=-1))
@@ -728,8 +761,10 @@ def _attack_randla(args, log):
             l2_np = np.full((B,), args.noise_norm)
             steps_n, sr_global = 0, 0.0
         else:
-            res, traj, rand_pred = run(feats_j, labels_j, mask, sub)
-            adv_pred = np.asarray(res.adv_pred)
+            res, adv_pred_j, traj, rand_pred = run(
+                feats_j, labels_j, mask, sub
+            )
+            adv_pred = np.asarray(adv_pred_j)
             adv_points = res.points_adv
             l2_np = np.asarray(res.l2_dist)
             steps_n, sr_global = int(res.steps), float(res.success_rate)

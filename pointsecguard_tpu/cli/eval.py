@@ -111,11 +111,23 @@ def main(argv=None):
 
     model_dtype = jnp.bfloat16 if args.precision == "bfloat16" else None
     args.use_normals = not args.no_normals
+    is_object = (args.model.endswith(("_cls", "_cls_msg"))
+                 or "part_seg" in args.model)
+    if args.shard_points > 1 and is_object:
+        raise SystemExit(
+            "--shard_points covers the semseg families "
+            "(pointnet/pointnet2[_msg]/randla/resgcn)"
+        )
     if args.model == "randla":
         return _eval_randla(args, log)
-    if args.model.endswith("_cls") or args.model.endswith("_cls_msg"):
-        return _eval_cls(args, log, model_dtype)
-    if "part_seg" in args.model:
+    if is_object:
+        if args.visual:
+            raise SystemExit(
+                "--visual covers the semseg families (per-room/cloud "
+                "label dumps); object tasks have no scene to render"
+            )
+        if args.model.endswith(("_cls", "_cls_msg")):
+            return _eval_cls(args, log, model_dtype)
         return _eval_partseg(args, log, model_dtype)
     args.num_point = args.num_point or 4096
 
@@ -376,10 +388,16 @@ def _eval_randla(args, log):
         dtype=jnp.bfloat16
         if getattr(args, "precision", "float32") == "bfloat16" else None,
     )
+    # Under points-axis sharding route the pyramid through the XLA kNN
+    # path (knn_tile=None): the Pallas fused-kNN custom call has no SPMD
+    # partitioning rule, so on a real multi-chip mesh GSPMD would have
+    # to replicate it (or fail); the XLA ops partition cleanly.
+    # Bit-identical semantics either way.
+    knn_tile = None if getattr(args, "shard_points", 1) > 1 else 4096
     pyramid_fn = jax.jit(
         lambda xyz: build_pyramid(
             xyz, num_layers=cfg.num_layers, k=cfg.k_n,
-            sub_ratios=cfg.sub_sampling_ratio,
+            sub_ratios=cfg.sub_sampling_ratio, knn_tile=knn_tile,
         )
     )
     model_args = lambda f: (f, pyramid_fn(f[..., :3]))
@@ -466,6 +484,21 @@ def _eval_randla(args, log):
                 )
         else:  # fall back to sub-cloud labels
             np.add.at(cm, (cloud.labels, sub_pred), 1.0)
+        if args.visual:
+            # per-cloud pred/gt label dumps + HTML at the sub-cloud
+            # resolution (the block path's --visual, cloud level)
+            from pointsecguard_tpu.utils.logging import write_label_cloud
+            from pointsecguard_tpu.utils.viz import export_html_viewer
+
+            vis_dir = os.path.join(args.log_dir, "visual")
+            os.makedirs(vis_dir, exist_ok=True)
+            base = os.path.join(vis_dir, cloud.name)
+            write_label_cloud(base + "_pred.xyzrgb", cloud.xyz, sub_pred)
+            write_label_cloud(base + "_gt.xyzrgb", cloud.xyz, cloud.labels)
+            export_html_viewer(
+                base + "_pred.html", cloud.xyz, labels=sub_pred,
+                title=f"{cloud.name} predictions",
+            )
 
     m = metrics_from_confusion(jnp.array(cm))
     for cls, iou in zip(S3DIS_CLASSES, np.asarray(m.class_iou)):

@@ -67,6 +67,12 @@ def data_parallel_mesh(n_devices: int, shard_points: int = 1) -> Mesh | None:
     The data axis then spans ``n_devices // shard_points`` chips.
     """
     if n_devices is None or n_devices <= 1:
+        if shard_points and shard_points > 1:
+            raise ValueError(
+                f"--shard_points {shard_points} requires --devices >= "
+                f"{shard_points} (got {n_devices or 1}); a 1-device run "
+                "would silently ignore the points sharding"
+            )
         return None
     devs = jax.devices()
     if n_devices > len(devs):

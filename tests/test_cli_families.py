@@ -55,9 +55,14 @@ class TestRandlaCLI:
         eval_cli.main([
             "--model", "randla", "--randla_dir", rd, "--log_dir", log,
             "--randla_points", "512", "--num_clouds", "2",
-            "--save_preds", preds,
+            "--save_preds", preds, "--visual",
         ])
         assert os.listdir(preds)
+        # --visual on the randla eval: per-cloud pred/gt dumps + HTML
+        vis = os.listdir(os.path.join(log, "visual"))
+        assert any(n.endswith("_pred.xyzrgb") for n in vis)
+        assert any(n.endswith("_gt.xyzrgb") for n in vis)
+        assert any(n.endswith("_pred.html") for n in vis)
         m = cv6fold.main([
             "--results_dir", preds, "--original_dir", orig,
         ])
@@ -211,6 +216,20 @@ class TestRandlaCLI:
             np.testing.assert_allclose(a[:3] + a[4:], b[:3] + b[4:],
                                        atol=2e-3)
             np.testing.assert_allclose(a[3], b[3], rtol=0.1)
+
+    def test_random_with_control_is_noop(self, trained):
+        """--attack random --control must not crash (the 'attack' IS the
+        equal-norm noise; a round-3 review found the control column
+        indexed a None rand_pred) — the flag is ignored with a log."""
+        from pointsecguard_tpu.cli import attack
+
+        rd, _, log = trained
+        cm, am = attack.main([
+            "--model", "randla", "--attack", "random", "--randla_dir", rd,
+            "--log_dir", log, "--randla_points", "512",
+            "--num_clouds", "1", "--noise_norm", "2.0", "--control",
+        ])
+        assert 0.0 <= float(am.accuracy) <= 1.0
 
     def test_visual_artifacts_randla(self, trained):
         """--visual on the RandLA driver writes per-cloud clean/adv/pred/
