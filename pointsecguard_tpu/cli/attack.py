@@ -602,6 +602,12 @@ def _attack_randla(args, log):
     # not the full model's bottleneck), so the exact unfused composition
     # stays the default.
     ap_impl = "fused" if args.fused_ap else "reference"
+    if args.fused_ap and args.shard_points > 1:
+        # the fused-AP Pallas custom call has no SPMD partitioning rule
+        # either — under points sharding use the exact composition
+        log.info("--fused_ap is ignored under --shard_points "
+                 "(no SPMD rule for the Pallas kernel)")
+        ap_impl = "reference"
     model = RandLANet(
         d_out=cfg.d_out, ap_impl=ap_impl,
         dtype=jnp.bfloat16
