@@ -613,16 +613,25 @@ def _attack_randla(args, log):
         dtype=jnp.bfloat16
         if getattr(args, "precision", "float32") == "bfloat16" else None,
     )
-    # Under points-axis sharding route the pyramid through the XLA kNN
-    # path (knn_tile=None): the Pallas fused-kNN custom call has no SPMD
-    # partitioning rule, so on a real multi-chip mesh GSPMD would have
-    # to replicate it (or fail); the XLA ops partition cleanly.
-    # Bit-identical semantics either way.
-    knn_tile = None if getattr(args, "shard_points", 1) > 1 else 4096
+    # Under points-axis sharding the pyramid runs its neighbor searches
+    # through parallel.spmd_ops.knn_points_sharded — a shard_map that
+    # all-gathers the tiny candidate xyz and runs the (fused Pallas, on
+    # TPU) kNN kernel on each device's local query shard. The Pallas
+    # custom call has no GSPMD partitioning rule, so without this the
+    # partitioner could only replicate it; shard_map keeps the 1/P
+    # compute split AND the kernel. knn_tile=None because the XLA
+    # fallback's lax.map query tiling fights the points sharding.
+    # Index results are identical either way.
+    from pointsecguard_tpu.parallel import data_parallel_mesh
+
+    mesh = data_parallel_mesh(args.devices, args.shard_points)
+    sp_mesh = mesh if args.shard_points > 1 else None
+    knn_tile = None if sp_mesh is not None else 4096
     pyramid_fn = jax.jit(
         lambda xyz: build_pyramid(
             xyz, num_layers=cfg.num_layers, k=cfg.k_n,
             sub_ratios=cfg.sub_sampling_ratio, knn_tile=knn_tile,
+            sp_mesh=sp_mesh,
         )
     )
     # --batch_size N attacks N clouds per jitted program (amortizes the
@@ -649,13 +658,8 @@ def _attack_randla(args, log):
     state, _ = restored
 
     from pointsecguard_tpu.attacks import equal_norm_color_noise
-    from pointsecguard_tpu.parallel import (
-        data_parallel_mesh,
-        make_batch_put,
-        replicate,
-    )
+    from pointsecguard_tpu.parallel import make_batch_put, replicate
 
-    mesh = data_parallel_mesh(args.devices, args.shard_points)
     put = make_batch_put(
         mesh, batch_size=B, shard_points=args.shard_points > 1
     )

@@ -388,16 +388,23 @@ def _eval_randla(args, log):
         dtype=jnp.bfloat16
         if getattr(args, "precision", "float32") == "bfloat16" else None,
     )
-    # Under points-axis sharding route the pyramid through the XLA kNN
-    # path (knn_tile=None): the Pallas fused-kNN custom call has no SPMD
-    # partitioning rule, so on a real multi-chip mesh GSPMD would have
-    # to replicate it (or fail); the XLA ops partition cleanly.
-    # Bit-identical semantics either way.
-    knn_tile = None if getattr(args, "shard_points", 1) > 1 else 4096
+    # Under points-axis sharding the pyramid's neighbor searches run
+    # through parallel.spmd_ops.knn_points_sharded (shard_map: gather
+    # the tiny candidate xyz, per-device fused kNN on the local query
+    # shard — keeps the Pallas kernel AND the 1/P compute split; the
+    # custom call has no GSPMD rule so auto-partitioning could only
+    # replicate it). knn_tile=None because the XLA fallback's lax.map
+    # query tiling fights the points sharding. Index results identical.
+    from pointsecguard_tpu.parallel import data_parallel_mesh
+
+    mesh = data_parallel_mesh(args.devices, getattr(args, "shard_points", 1))
+    sp_mesh = mesh if getattr(args, "shard_points", 1) > 1 else None
+    knn_tile = None if sp_mesh is not None else 4096
     pyramid_fn = jax.jit(
         lambda xyz: build_pyramid(
             xyz, num_layers=cfg.num_layers, k=cfg.k_n,
             sub_ratios=cfg.sub_sampling_ratio, knn_tile=knn_tile,
+            sp_mesh=sp_mesh,
         )
     )
     model_args = lambda f: (f, pyramid_fn(f[..., :3]))
@@ -412,13 +419,8 @@ def _eval_randla(args, log):
         raise SystemExit(f"no checkpoint under {args.log_dir}/checkpoints")
     state, _ = restored
 
-    from pointsecguard_tpu.parallel import (
-        data_parallel_mesh,
-        make_batch_put,
-        replicate,
-    )
+    from pointsecguard_tpu.parallel import make_batch_put, replicate
 
-    mesh = data_parallel_mesh(args.devices, getattr(args, "shard_points", 1))
     put = make_batch_put(
         mesh, batch_size=B,
         shard_points=getattr(args, "shard_points", 1) > 1,

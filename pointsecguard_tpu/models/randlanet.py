@@ -53,6 +53,7 @@ def build_pyramid(
     k: int = 16,
     sub_ratios: Sequence[int] = (4, 4, 4, 4, 2),
     knn_tile: int | None = 4096,
+    sp_mesh=None,
 ) -> dict:
     """Compute the RandLA input pyramid on device.
 
@@ -72,16 +73,39 @@ def build_pyramid(
 
     Args:
       xyz: [B, N, 3]; N must be divisible by prod(sub_ratios).
+      sp_mesh: optional 2-D ('data', 'points') ``jax.sharding.Mesh``
+        when the points axis is sharded (``--shard_points``): neighbor
+        search runs through ``parallel.spmd_ops.knn_points_sharded`` —
+        a ``shard_map`` that all-gathers the tiny candidate xyz and
+        runs the (Pallas, on TPU) kNN kernel per device on its local
+        query shard, splitting the quadratic distance work 1/P.
+        Bit-identical to the unsharded pyramid. Levels whose sizes do
+        not divide the mesh fall back to the plain op (GSPMD).
 
     Returns:
       dict with tuple-of-levels fields: xyz, neigh_idx, sub_idx, interp_idx.
     """
+    from pointsecguard_tpu.parallel.spmd_ops import (
+        knn_points_sharded,
+        sp_shapes_ok,
+    )
+
+    def sp_knn(query, pts, kk):
+        """kNN for the sharded-pyramid path (sp_mesh given); identical
+        results to ops.knn either way."""
+        if sp_shapes_ok(sp_mesh, query, pts):
+            return knn_points_sharded(query, pts, kk, mesh=sp_mesh)
+        return ops.knn(query, pts, kk)
+
     def knn_padded(query, pts, kk, tile):
         """kNN that tolerates kk > N (tiny clouds in tests / deep levels):
         repeats the neighbor list to reach kk columns."""
         n = pts.shape[1]
         k_eff = min(kk, n)
-        _, idx = ops.knn(query, pts, k_eff, tile=tile)
+        if sp_mesh is not None:
+            _, idx = sp_knn(query, pts, k_eff)
+        else:
+            _, idx = ops.knn(query, pts, k_eff, tile=tile)
         if k_eff < kk:
             reps = -(-kk // k_eff)
             idx = jnp.tile(idx, (1, 1, reps))[:, :, :kk]
@@ -96,7 +120,10 @@ def build_pyramid(
         sub_n = n // sub_ratios[i]
         sub_xyz = cur[:, :sub_n, :]
         sub_idx = neigh[:, :sub_n, :]  # kNN rows of the kept points
-        _, interp = ops.knn(cur, sub_xyz, 1)
+        if sp_mesh is not None:
+            _, interp = sp_knn(cur, sub_xyz, 1)
+        else:
+            _, interp = ops.knn(cur, sub_xyz, 1)
         xyzs.append(cur)
         neighs.append(neigh)
         subs.append(sub_idx)

@@ -275,21 +275,25 @@ def train_randla(args):
         dtype=jnp.bfloat16
         if getattr(args, "precision", "float32") == "bfloat16" else None,
     )
+    batch_size = args.batch_size or cfg.batch_size
+    sp = getattr(args, "shard_points", 1) or 1
+    mesh = data_parallel_mesh(getattr(args, "devices", 1), sp)
+    # under --shard_points the pyramid's neighbor searches run through
+    # the shard_map distributed kNN (parallel/spmd_ops.py): per-device
+    # fused kernel on the local query shard instead of GSPMD replicating
+    # the Pallas custom call; index results identical
     model_args = lambda feats: (
         feats,
         build_pyramid(
             feats[..., :3], num_layers=cfg.num_layers, k=cfg.k_n,
             sub_ratios=cfg.sub_sampling_ratio,
+            sp_mesh=mesh if sp > 1 else None,
         ),
     )
     # reference-identical CE class weights (`helper_tool.py:245-261`)
     from pointsecguard_tpu.data.class_weights import get_class_weights
 
     weights = jnp.array(get_class_weights(weights_key))
-
-    batch_size = args.batch_size or cfg.batch_size
-    sp = getattr(args, "shard_points", 1) or 1
-    mesh = data_parallel_mesh(getattr(args, "devices", 1), sp)
     sput = make_stacked_batch_put(
         mesh, batch_size=batch_size, shard_points=sp > 1
     )

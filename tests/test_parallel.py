@@ -155,3 +155,103 @@ class TestPutValidation:
         make_batch_put(mesh, batch_size=4, shard_points=True)  # ok
         with pytest.raises(ValueError, match="data axis"):
             make_batch_put(mesh, batch_size=6, shard_points=True)
+
+
+class TestShardMapDistributedKnn:
+    """parallel/spmd_ops.knn_points_sharded — the shard_map "gather
+    candidates, shard queries" distributed exact kNN that keeps the
+    fused Pallas kernel usable under ``--shard_points`` (a Pallas
+    custom call has no GSPMD partitioning rule, so auto-sharding could
+    only replicate it). Every query row sees the same candidate set in
+    the same order as the unsharded op, so INDICES must be bit-identical;
+    distances are rounding-level equal (XLA may lower the distance
+    matmul differently at the per-shard shapes)."""
+
+    def test_indices_bit_identical_2x4(self):
+        from pointsecguard_tpu import ops
+        from pointsecguard_tpu.parallel import knn_points_sharded
+
+        mesh = make_mesh(jax.devices(), points_axis=4)  # 2×4
+        rng = np.random.RandomState(0)
+        q = jnp.array(rng.rand(2, 256, 3).astype(np.float32))
+        p = jnp.array(rng.rand(2, 512, 3).astype(np.float32))
+        d0, i0 = ops.knn(q, p, 16)
+        qs, ps = shard_batch(mesh, (q, p), shard_points=True)
+        d1, i1 = jax.jit(
+            lambda a, b: knn_points_sharded(a, b, 16, mesh=mesh)
+        )(qs, ps)
+        # jax normalizes trailing Nones off the spec
+        assert tuple(i1.sharding.spec)[:2] == ("data", "points")
+        np.testing.assert_array_equal(np.asarray(i0), np.asarray(i1))
+        np.testing.assert_allclose(
+            np.asarray(d0), np.asarray(d1), atol=1e-5
+        )
+
+    def test_rejects_indivisible_shapes(self):
+        from pointsecguard_tpu.parallel import knn_points_sharded
+
+        mesh = make_mesh(jax.devices()[:4], points_axis=4)
+        q = jnp.zeros((1, 30, 3))  # 30 % 4 != 0
+        p = jnp.zeros((1, 64, 3))
+        with pytest.raises(ValueError, match="divide"):
+            knn_points_sharded(q, p, 4, mesh=mesh)
+        with pytest.raises(ValueError, match="k="):
+            knn_points_sharded(p, p, 128, mesh=mesh)
+
+    @pytest.mark.parametrize("n_dev,points_axis", [(2, 2), (4, 4)])
+    def test_pyramid_sp_mesh_identical(self, n_dev, points_axis):
+        """build_pyramid(sp_mesh=...) must produce bit-identical index
+        pyramids — including the deep levels that fall back to the
+        plain op when their sizes stop dividing the mesh."""
+        from pointsecguard_tpu.models import build_pyramid
+
+        mesh = make_mesh(jax.devices()[:n_dev], points_axis=points_axis)
+        rng = np.random.RandomState(3)
+        xyz = jnp.array(rng.rand(1, 1024, 3).astype(np.float32))
+        pyr0 = jax.jit(lambda x: build_pyramid(x))(xyz)
+        xyz_s = shard_batch(mesh, xyz, shard_points=True)
+        pyr1 = jax.jit(lambda x: build_pyramid(x, sp_mesh=mesh))(xyz_s)
+        for field in ("neigh_idx", "sub_idx", "interp_idx"):
+            for lvl, (a, b) in enumerate(zip(pyr0[field], pyr1[field])):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b),
+                    err_msg=f"{field} level {lvl}",
+                )
+
+    def test_randla_forward_backward_sp_pyramid(self):
+        """Full RandLA forward+backward with the pyramid built through
+        the shard_map kNN — the exact composition the drivers run under
+        --shard_points — must match the unsharded run."""
+        from pointsecguard_tpu.models import RandLANet, build_pyramid
+
+        N = 2048
+        rng = np.random.RandomState(0)
+        feats = jnp.array(rng.rand(1, N, 6).astype(np.float32))
+        labels = jnp.array(rng.randint(0, 13, (1, N)))
+        model = RandLANet()
+        variables = jax.jit(model.init)(
+            jax.random.PRNGKey(0), feats,
+            build_pyramid(feats[..., :3], knn_tile=None),
+        )
+        mesh = make_mesh(jax.devices()[:2], points_axis=2)
+
+        def make_loss(sp_mesh):
+            def loss_fn(f):
+                pyr = build_pyramid(
+                    f[..., :3], knn_tile=None, sp_mesh=sp_mesh
+                )
+                lp = jax.nn.log_softmax(model.apply(variables, f, pyr))
+                return -jnp.mean(
+                    jnp.take_along_axis(lp, labels[..., None], axis=-1)
+                )
+            return loss_fn
+
+        loss0, grad0 = jax.jit(jax.value_and_grad(make_loss(None)))(feats)
+        feats_s = shard_batch(mesh, feats, shard_points=True)
+        loss1, grad1 = jax.jit(
+            jax.value_and_grad(make_loss(mesh))
+        )(feats_s)
+        np.testing.assert_allclose(float(loss0), float(loss1), rtol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(grad0), np.asarray(grad1), atol=1e-5
+        )
