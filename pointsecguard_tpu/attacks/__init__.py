@@ -28,6 +28,7 @@ from pointsecguard_tpu.attacks.defenses import (
     bit_depth_reduction,
     jpeg_color_compression,
     random_color_jitter,
+    random_color_resample,
     random_point_permutation,
 )
 from pointsecguard_tpu.attacks.noise import equal_norm_color_noise
@@ -128,5 +129,6 @@ __all__ = [
     "pgd_color_attack",
     "point_accuracy",
     "random_color_jitter",
+    "random_color_resample",
     "random_point_permutation",
 ]

@@ -96,6 +96,39 @@ def jpeg_color_compression(
     return set_color(points, color_st)
 
 
+def random_color_resample(
+    points: jnp.ndarray, key: jax.Array, k: int = 8
+) -> jnp.ndarray:
+    """Randomized local color resampling — the point-cloud analogue of
+    ares' randomization-by-resizing defense (`defense/randomization.py`:
+    resizing resamples each output pixel from a random sub-pixel
+    neighborhood of the input). Each point takes the color of one of its
+    ``k`` nearest SPATIAL neighbors, chosen uniformly at random (self
+    included). Smooth color fields survive (neighbors are near-
+    duplicates); per-point-index adversarial color patterns are
+    spatially scrambled. Positions and labels are untouched, so the
+    per-point semseg protocols stay aligned — unlike an actual
+    point-count resample, which would break label alignment.
+
+    The transform is an exact gather, so the attacker's gradient is the
+    true gradient (scatter of the incoming cotangent over the chosen
+    neighbors), not a straight-through surrogate; with ``--eot K`` it
+    additionally integrates over the neighbor draws. The kNN graph is
+    built on xyz, which the color attacks never perturb, so the graph
+    is constant along the attack trajectory.
+    """
+    from pointsecguard_tpu import ops
+
+    xyz = points[..., :3]
+    color = get_color(points)
+    k_eff = min(k, points.shape[1])
+    _, idx = ops.knn(xyz, xyz, k_eff)  # [B, N, k]
+    choice = jax.random.randint(key, idx.shape[:2] + (1,), 0, k_eff)
+    picked = jnp.take_along_axis(idx, choice, axis=2)  # [B, N, 1]
+    resampled = jnp.take_along_axis(color, picked, axis=1)
+    return set_color(points, resampled)
+
+
 def random_point_permutation(
     points: jnp.ndarray, key: jax.Array
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

@@ -34,9 +34,10 @@ def _defense_wrapper(args, jax):
     vmapped draws so the gradient integrates over the defense's
     randomness (Athalye et al. 2018), without changing the victim model
     the metrics are computed on."""
-    if args.eot > 1 and args.defense != "jitter":
+    randomized = ("jitter", "resample")
+    if args.eot > 1 and args.defense not in randomized:
         raise SystemExit(
-            "--eot requires --defense jitter (the randomized defense); "
+            "--eot requires a randomized defense (jitter or resample); "
             "it averages attack gradients over the defense's noise draws"
         )
     if args.defense == "none":
@@ -46,6 +47,7 @@ def _defense_wrapper(args, jax):
         bit_depth_reduction,
         jpeg_color_compression,
         random_color_jitter,
+        random_color_resample,
     )
 
     if args.defense == "bit_depth":
@@ -58,23 +60,19 @@ def _defense_wrapper(args, jax):
             f, jpeg_color_compression, args.defense_quality
         )
         return wrap, wrap
-    # jitter (fixed key set: deterministic protocol runs)
-    eval_wrap = lambda f: apply_color_defense(
-        f, random_color_jitter, jax.random.PRNGKey(args.seed + 99),
-        args.defense_sigma,
-    )
+    # randomized defenses (fixed key set: deterministic protocol runs)
+    if args.defense == "jitter":
+        transform = lambda p, k: random_color_jitter(p, k, args.defense_sigma)
+    else:  # resample
+        transform = lambda p, k: random_color_resample(p, k, args.defense_knn)
+    key0 = jax.random.PRNGKey(args.seed + 99)
+    eval_wrap = lambda f: apply_color_defense(f, transform, key0)
     if args.eot > 1:
-        eot_keys = jax.random.split(
-            jax.random.PRNGKey(args.seed + 99), args.eot
-        )
+        eot_keys = jax.random.split(key0, args.eot)
 
         def attack_wrap(f):
             def defended(p):
-                outs = jax.vmap(
-                    lambda k: f(
-                        random_color_jitter(p, k, args.defense_sigma)
-                    )
-                )(eot_keys)
+                outs = jax.vmap(lambda k: f(transform(p, k)))(eot_keys)
                 return outs.mean(axis=0)
 
             return defended
@@ -137,16 +135,20 @@ def main(argv=None):
                          "clean input for the whole attack (skips 27 "
                          "kNNs/iter; documented deviation, PARITY.md)")
     ap.add_argument("--defense", default="none",
-                    choices=["none", "bit_depth", "jitter", "jpeg"],
+                    choices=["none", "bit_depth", "jitter", "jpeg",
+                             "resample"],
                     help="input-transformation defense on the model "
                          "(attack sees the defended model, BPDA-style)")
     ap.add_argument("--defense_bits", type=int, default=4)
     ap.add_argument("--defense_sigma", type=float, default=0.02)
     ap.add_argument("--defense_quality", type=int, default=95,
                     help="jpeg-analog defense quality (libjpeg curve)")
+    ap.add_argument("--defense_knn", type=int, default=8,
+                    help="resample defense: neighbors per point the "
+                         "random color draw picks from")
     ap.add_argument("--eot", type=int, default=1,
-                    help="expectation-over-transformation for the "
-                         "randomized (jitter) defense: the ATTACK "
+                    help="expectation-over-transformation for a "
+                         "randomized (jitter/resample) defense: the ATTACK "
                          "differentiates through the mean of K defended "
                          "log-prob draws so its gradient integrates over "
                          "the defense's randomness (Athalye et al. 2018); "

@@ -13,6 +13,7 @@ from pointsecguard_tpu.attacks import (
     iteration_curve,
     pgd_color_attack,
     random_color_jitter,
+    random_color_resample,
     random_point_permutation,
 )
 
@@ -60,6 +61,50 @@ class TestDefenses:
         out, perm = random_point_permutation(pts, jax.random.PRNGKey(1))
         inv = np.argsort(np.asarray(perm))
         np.testing.assert_array_equal(np.asarray(out[:, inv]), np.asarray(pts))
+
+    def test_resample_colors_from_spatial_neighbors(self, batch):
+        """Every output color must be the input color of one of the
+        point's k nearest spatial neighbors; xyz/labels stay aligned."""
+        from pointsecguard_tpu import ops
+
+        pts, _ = batch
+        k = 4
+        out = random_color_resample(pts, jax.random.PRNGKey(7), k=k)
+        np.testing.assert_array_equal(np.asarray(out[..., :3]),
+                                      np.asarray(pts[..., :3]))
+        _, idx = ops.knn(pts[..., :3], pts[..., :3], k)
+        idx = np.asarray(idx)
+        color_in = np.asarray(pts[..., 3:6])
+        color_out = np.asarray(out[..., 3:6])
+        for b in range(color_in.shape[0]):
+            for n in range(color_in.shape[1]):
+                neighbors = color_in[b, idx[b, n]]  # [k, 3]
+                assert any(
+                    np.array_equal(color_out[b, n], nb) for nb in neighbors
+                ), f"point ({b},{n}) color not from its kNN"
+
+    def test_resample_exact_gather_gradient(self, batch):
+        """The defense is a plain gather, so d(sum of defended colors)/
+        d(input colors) is the pick-count scatter: non-negative integers
+        summing to N per (batch, channel) — NOT a straight-through
+        identity."""
+        pts, _ = batch
+        g = jax.grad(
+            lambda p: random_color_resample(
+                p, jax.random.PRNGKey(3), k=4
+            )[..., 3:6].sum()
+        )(pts)
+        gc = np.asarray(g[..., 3:6])
+        assert np.all(gc >= 0) and np.all(gc == np.round(gc))
+        np.testing.assert_allclose(gc.sum(axis=1), pts.shape[1])
+
+    def test_resample_constant_field_invariant(self, batch):
+        """A spatially smooth (here constant) color field must survive —
+        the defense only scrambles high-frequency per-point patterns."""
+        pts, _ = batch
+        flat = pts.at[..., 3:6].set(0.42)
+        out = random_color_resample(flat, jax.random.PRNGKey(9), k=4)
+        np.testing.assert_allclose(np.asarray(out[..., 3:6]), 0.42)
 
     def test_defended_model_attackable(self, surrogate, batch):
         pts, labels = batch
