@@ -148,12 +148,15 @@ def cw_color_attack(
                     * (m[..., 0] if m is not None else 1.0)
                 )
             else:
-                # working untargeted direction: hinge of the true-class margin
+                # working untargeted direction: hinge of the true-class
+                # margin; an (untargeted) mask restricts the objective to
+                # the valid points (ignored-label datasets)
                 f = jnp.sum(
                     jnp.maximum(
                         0.0,
                         _true_margin(outputs, labels, cfg.num_classes) + cfg.kappa,
                     )
+                    * (m[..., 0] if m is not None else 1.0)
                 )
             cost = jnp.sum(dist) + cfg.f_coeff * f
         else:
@@ -162,7 +165,10 @@ def cw_color_attack(
                 per_pt = cw_f_targeted(outputs, cfg.target, cfg.kappa, cfg.num_classes)
                 f = jnp.sum(per_pt * (m[..., 0] if m is not None else 1.0))
             else:
-                f = jnp.sum(cw_f_prob(outputs, labels, cfg.kappa, cfg.num_classes))
+                f = jnp.sum(
+                    cw_f_prob(outputs, labels, cfg.kappa, cfg.num_classes)
+                    * (m[..., 0] if m is not None else 1.0)
+                )
             cost = cfg.f_coeff * f + cfg.l2_coeff * l2
             if cfg.smooth_coeff:  # skip the [N,N] matrix when disabled
                 cost = cost + cfg.smooth_coeff * jnp.sum(
@@ -185,10 +191,13 @@ def cw_color_attack(
         i, w, st, _, _, _, _ = carry
         (cost, outputs), g = grad_fn(w)
         pred = jnp.argmax(outputs, axis=-1)
-        acc = point_accuracy(outputs, labels)
         if cfg.targeted:
+            acc = point_accuracy(outputs, labels)
             sr = point_accuracy(outputs, jnp.full_like(labels, cfg.target), mask)
         else:
+            # an untargeted mask = the valid points (ignored-label
+            # datasets): the early-exit accuracy scores only those
+            acc = point_accuracy(outputs, labels, mask)
             sr = jnp.zeros(())
         w_new, st_new = adam_step(w, g, st)
         if cfg.lr_halve_every > 0:

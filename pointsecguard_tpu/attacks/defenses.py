@@ -71,6 +71,10 @@ def jpeg_color_compression(
     into any point-cloud path (images only), and the point axis is an
     arbitrary ordering rather than a spatial grid.
     """
+    if not 1 <= quality <= 100:
+        # libjpeg's valid range; q=0 would divide by zero and q>100 a
+        # negative scale (quantization silently disabled)
+        raise ValueError(f"jpeg quality must be in [1, 100], got {quality}")
     color = get_color(points)  # [B, N, 3]
     B, N, C = color.shape
     pad = (-N) % block

@@ -103,7 +103,12 @@ def pgd_color_attack(
         outputs = outputs_fn(adv)
         if cfg.loss == "ce":
             ce = per_point_ce(outputs, ys)
-            if mask is not None:
+            if mask is not None and not cfg.targeted:
+                # untargeted CE restricted to the masked points — used by
+                # adversarial training on ignored-label datasets (the
+                # reference never combines an untargeted CE with a mask)
+                loss = jnp.sum(ce * m[..., 0]) / jnp.maximum(m.sum(), 1.0)
+            elif mask is not None:
                 # tar_NB computes CE over all points against the remapped
                 # labels (`target.py:36-39` uses the full target vector)
                 loss = jnp.mean(ce)
@@ -152,7 +157,10 @@ def pgd_color_attack(
             )
             step = cfg.alpha * unit.reshape(g.shape)
         color = project(color + direction * step)
-        acc = point_accuracy(outputs, labels)
+        # an untargeted mask = the valid points (ignored-label datasets)
+        acc = point_accuracy(
+            outputs, labels, None if cfg.targeted else mask
+        )
         if cfg.targeted and mask is not None:
             sr = point_accuracy(outputs, jnp.full_like(labels, cfg.target), mask)
         else:
@@ -208,7 +216,7 @@ def pgd_color_attack(
     # instead of paying another forward)
     outputs = outputs_fn(adv)
     adv_pred = jnp.argmax(outputs, axis=-1)
-    acc = point_accuracy(outputs, labels)
+    acc = point_accuracy(outputs, labels, None if cfg.targeted else mask)
     if cfg.targeted and mask is not None:
         sr = point_accuracy(outputs, jnp.full_like(labels, cfg.target), mask)
     l2 = jnp.linalg.norm((color_adv - color0).reshape(B, -1), axis=1)

@@ -87,6 +87,12 @@ def main(argv=None):
                     choices=["pointnet2", "pointnet2_msg", "pointnet", "resgcn",
                              "randla"])
     ap.add_argument("--randla_dir", default="data/randla_input_0.040")
+    ap.add_argument("--randla_dataset", default="s3dis",
+                    choices=["s3dis", "semantickitti", "semantic3d"],
+                    help="randla: dataset preset (`helper_tool.py:18-100`) "
+                         "over the cli.prepare artifact tree; semantic3d "
+                         "attacks mask out the ignored label 0, kitti is "
+                         "rejected (xyz-only, no color threat surface)")
     ap.add_argument("--num_clouds", type=int, default=100,
                     help="randla: number of sampled clouds (`tester_S3DIS.py:166`)")
     ap.add_argument("--randla_points", type=int, default=0,
@@ -584,18 +590,32 @@ def _attack_randla(args, log):
     from pointsecguard_tpu.attacks import attack_preset, make_target_labels
     from pointsecguard_tpu.attacks.cw import CWConfig, cw_color_attack
     from pointsecguard_tpu.attacks.pgd import PGDConfig, pgd_color_attack
-    from pointsecguard_tpu.configs import RandlaConfig
-    from pointsecguard_tpu.data import SpatiallyRegularSampler
+    from pointsecguard_tpu.data.randla import (
+        label_reduce_lut,
+        randla_dataset_preset,
+    )
     from pointsecguard_tpu.models import RandLANet, build_pyramid
     from pointsecguard_tpu.train import create_train_state
     from pointsecguard_tpu.utils.checkpoint import CheckpointManager
     from pointsecguard_tpu.utils.metrics import metrics_from_confusion
 
-    cfg = RandlaConfig()
+    preset = randla_dataset_preset(getattr(args, "randla_dataset", "s3dis"))
+    if not preset.has_colors:
+        raise SystemExit(
+            f"--randla_dataset {preset.name} clouds are xyz-only; the "
+            "paper's color threat model (and the equal-norm noise "
+            "control) does not apply"
+        )
+    cfg, K, ignored = preset.cfg, preset.num_classes, preset.ignored_labels
+    # ignored-label datasets (Semantic3D label 0): the model's logits span
+    # the K VALID classes (`RandLANet.py:103-124`), so raw labels are
+    # remapped and ignored points are masked out of the attack objective
+    # and every metric; --origin/--target stay RAW dataset labels
+    lut = label_reduce_lut(K, ignored) if ignored else None
     num_points = getattr(args, "randla_points", 0) or cfg.num_points
-    sampler = SpatiallyRegularSampler.load(
-        args.randla_dir, split="test", test_area=args.test_area,
-        num_points=num_points, rng=np.random.default_rng(args.seed),
+    sampler = preset.make_sampler(
+        args.randla_dir, "test", num_points,
+        np.random.default_rng(args.seed), test_area=args.test_area,
     )
     # --fused_ap: Pallas attentive pooling (reassociation-level numeric
     # difference only — tests/test_models.py asserts equivalence).
@@ -611,7 +631,7 @@ def _attack_randla(args, log):
                  "(no SPMD rule for the Pallas kernel)")
         ap_impl = "reference"
     model = RandLANet(
-        d_out=cfg.d_out, ap_impl=ap_impl,
+        num_classes=K, d_out=cfg.d_out, ap_impl=ap_impl,
         dtype=jnp.bfloat16
         if getattr(args, "precision", "float32") == "bfloat16" else None,
     )
@@ -676,6 +696,16 @@ def _attack_randla(args, log):
         # duplicate it (same no-op as cli.attack_object)
         log.info("--control is a no-op with --attack random; ignoring")
         args.control = False
+    if targeted and ignored:
+        n_raw = K + len(ignored)
+        if args.origin in ignored or args.target in ignored \
+                or not (0 <= args.origin < n_raw and 0 <= args.target < n_raw):
+            raise SystemExit(
+                f"--origin/--target must be valid raw {preset.name} labels "
+                f"(1..{n_raw - 1}; label(s) {set(ignored)} are ignored)"
+            )
+    # attack-internal labels live in the VALID class space
+    target_v = int(lut[args.target]) if (targeted and ignored) else args.target
     if args.attack == "random":
         # fixed-norm noise control as its own driver (the ResGCN-side
         # `sem_seg_dense/test.py:47-109` protocol at the RandLA cloud
@@ -683,7 +713,11 @@ def _attack_randla(args, log):
         # magnitude is 17, so pass e.g. --noise_norm 17 to match it)
         attack_cfg = None
     else:
-        overrides = {"targeted": True, "target": args.target} if targeted else {}
+        overrides = {"targeted": True, "target": target_v} if targeted else {}
+        if K != 13:
+            overrides["num_classes"] = K
+            if args.attack in ("nu", "tar_nu"):
+                overrides["success_acc"] = 1.0 / K
         attack_cfg = attack_preset("randla", args.attack, **overrides)
 
     @jax.jit
@@ -744,8 +778,8 @@ def _attack_randla(args, log):
     if args.log_steps:
         steps_tsv = open(tsv_path.replace(".tsv", "_steps.tsv"), "w")
         steps_tsv.write("cloud\titer\tacc\tsr\tl2\n")
-    clean_cm = np.zeros((13, 13))
-    adv_cm = np.zeros((13, 13))
+    clean_cm = np.zeros((K, K))
+    adv_cm = np.zeros((K, K))
     key = jax.random.PRNGKey(args.seed)
     n_done = 0
     adv_saved: list[np.ndarray] = []
@@ -754,12 +788,25 @@ def _attack_randla(args, log):
         sampler.batches(B, -(-args.num_clouds // B))  # ceil: ≥num_clouds total
     ):
         feats_j = put(feats)
-        labels_j = put(labels)
+        if ignored:
+            # the attack/metric label space is the VALID classes the model
+            # predicts over (`RandLANet.py:103-124`); ignored points are
+            # masked out of the objective and every score below
+            valid_np = ~np.isin(labels, list(ignored))
+            labels_v = lut[labels]
+        else:
+            valid_np = np.ones_like(labels, bool)
+            labels_v = labels
+        labels_j = put(labels_v.astype(np.int32))
         if targeted:
-            _, mask = make_target_labels(labels_j, args.origin, args.target)
+            # the origin mask uses RAW labels (ignored points can never
+            # equal a validated non-ignored --origin, so it is also valid)
+            _, mask = make_target_labels(put(labels), args.origin, args.target)
             # skip clouds with <500 origin points (`tester_S3DIS.py:253-258`)
             if int(np.asarray(mask).sum()) < 500:
                 continue
+        elif ignored:
+            mask = put(valid_np)
         else:
             mask = None
         t0 = time.time()
@@ -784,17 +831,23 @@ def _attack_randla(args, log):
         if getattr(args, "save_adv", False):
             adv_saved.append(np.asarray(adv_points).astype(np.float32))
             adv_saved_labels.append(labels.astype(np.int32))
-        np.add.at(clean_cm, (labels.reshape(-1), clean_pred.reshape(-1)), 1)
-        np.add.at(adv_cm, (labels.reshape(-1), adv_pred.reshape(-1)), 1)
+        vv = valid_np.reshape(-1)
+        np.add.at(
+            clean_cm, (labels_v.reshape(-1)[vv], clean_pred.reshape(-1)[vv]), 1
+        )
+        np.add.at(
+            adv_cm, (labels_v.reshape(-1)[vv], adv_pred.reshape(-1)[vv]), 1
+        )
         mask_np = np.asarray(mask) if mask is not None else None
         # one protocol row per CLOUD (the round-2 loop wrote cloud_idx[0]
         # for the whole batch — correct only at B=1)
         for b in range(B):
-            clean_acc = float((clean_pred[b] == labels[b]).mean())
-            adv_acc = float((adv_pred[b] == labels[b]).mean())
+            vb = valid_np[b]
+            clean_acc = float((clean_pred[b][vb] == labels_v[b][vb]).mean())
+            adv_acc = float((adv_pred[b][vb] == labels_v[b][vb]).mean())
             if targeted and mask_np is not None and mask_np[b].any():
                 sr_b = float(
-                    (adv_pred[b][mask_np[b]] == args.target).mean()
+                    (adv_pred[b][mask_np[b]] == target_v).mean()
                 )
             else:
                 sr_b = sr_global
@@ -805,7 +858,7 @@ def _attack_randla(args, log):
             )
             if args.control:
                 rand_acc = float(
-                    (np.asarray(rand_pred)[b] == labels[b]).mean()
+                    (np.asarray(rand_pred)[b][vb] == labels_v[b][vb]).mean()
                 )
                 row += f"\t{rand_acc:.4f}"
             tsv.write(row + "\n")

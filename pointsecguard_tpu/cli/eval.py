@@ -45,6 +45,12 @@ def main(argv=None):
     ap.add_argument("--resgcn_fast", action="store_true",
                     help="resgcn: dilated_mode=subsample + approx kNN")
     ap.add_argument("--randla_dir", default="data/randla_input_0.040")
+    ap.add_argument("--randla_dataset", default="s3dis",
+                    choices=["s3dis", "semantickitti", "semantic3d"],
+                    help="randla: dataset preset (`helper_tool.py:18-100` "
+                         "configs) over the cli.prepare artifact tree; "
+                         "kitti scores held-out seq 08, sem3d the labeled "
+                         "validation clouds (label 0 ignored)")
     ap.add_argument("--num_clouds", type=int, default=200,
                     help="randla: spatially-regular samples to vote over")
     ap.add_argument("--randla_points", type=int, default=0,
@@ -190,20 +196,18 @@ def main(argv=None):
             metrics_from_confusion,
         )
 
+        from pointsecguard_tpu.train.object_eval import _padded_batches
+
         pts_all = adv_npz["points"].astype(np.float32)
         labs_all = adv_npz["labels"].astype(np.int32)
         B = args.batch_size
         cm = np.zeros((13, 13))
-        for start in range(0, len(pts_all), B):
-            chunk = pts_all[start : start + B]
-            labs = labs_all[start : start + B]
-            v = len(chunk)
-            if v < B:  # pad the tail to the jitted shape
-                reps = [1] * (v - 1) + [B - v + 1]
-                chunk = np.repeat(chunk, reps, axis=0)
-            preds = predict(chunk)[:v]
+        for idx, v in _padded_batches(len(pts_all), B):
+            preds = predict(pts_all[idx])[:v]
             cm += np.asarray(
-                confusion_matrix(jnp.array(labs), jnp.array(preds), 13)
+                confusion_matrix(
+                    jnp.array(labs_all[idx[:v]]), jnp.array(preds), 13
+                )
             )
         m = metrics_from_confusion(jnp.array(cm))
         log.info("---- class IoU ----")
@@ -354,7 +358,11 @@ def _eval_randla(args, log):
     indices), then reproject onto the full-resolution clouds with the
     prepared ``_proj.pkl`` indices — the original RandLA-Net test
     procedure the fork's `evaluate:255-311` approximates. Optionally saves
-    per-cloud prediction PLYs for `cli.cv6fold`."""
+    per-cloud prediction PLYs for `cli.cv6fold`. ``--randla_dataset``
+    selects the dataset preset (S3DIS default; SemanticKITTI evaluates
+    the held-out seq-08 scans at sub resolution, Semantic3D the labeled
+    validation clouds — label 0 is ignored for both,
+    `RandLANet.py:103-124`)."""
     import os
     import pickle
 
@@ -362,28 +370,41 @@ def _eval_randla(args, log):
     import jax.numpy as jnp
     import numpy as np
 
-    from pointsecguard_tpu.configs import RandlaConfig
-    from pointsecguard_tpu.data import (
-        S3DIS_CLASSES,
-        SpatiallyRegularSampler,
-        write_ply,
+    from pointsecguard_tpu.data import write_ply
+    from pointsecguard_tpu.data.randla import (
+        label_reduce_lut,
+        randla_dataset_preset,
     )
     from pointsecguard_tpu.models import RandLANet, build_pyramid
     from pointsecguard_tpu.train import create_train_state
     from pointsecguard_tpu.utils.checkpoint import CheckpointManager
     from pointsecguard_tpu.utils.metrics import metrics_from_confusion
 
-    cfg = RandlaConfig()
+    preset = randla_dataset_preset(getattr(args, "randla_dataset", "s3dis"))
+    cfg, K, ignored = preset.cfg, preset.num_classes, preset.ignored_labels
+    lut = label_reduce_lut(K, ignored)
+    feat_dim = 6 if preset.has_colors else 3
+
+    def _reduced(raw_labels, preds):
+        """(valid raw labels → contiguous index, matching preds)."""
+        raw_labels = np.asarray(raw_labels).reshape(-1)
+        preds = np.asarray(preds).reshape(-1)
+        if ignored:
+            valid = ~np.isin(raw_labels, list(ignored))
+            return lut[raw_labels[valid]], preds[valid]
+        return raw_labels, preds
+
     adv_npz = np.load(args.adv_set) if getattr(args, "adv_set", None) else None
     if adv_npz is not None:  # the .npz is self-contained
         num_points, sampler = int(adv_npz["points"].shape[1]), None
     else:
         num_points = getattr(args, "randla_points", 0) or cfg.num_points
-        sampler = SpatiallyRegularSampler.load(
-            args.randla_dir, split="test", test_area=args.test_area,
-            num_points=num_points, rng=np.random.default_rng(args.seed),
+        sampler = preset.make_sampler(
+            args.randla_dir, "test", num_points,
+            np.random.default_rng(args.seed), test_area=args.test_area,
         )
     model = RandLANet(
+        num_classes=K,
         d_out=cfg.d_out,
         dtype=jnp.bfloat16
         if getattr(args, "precision", "float32") == "bfloat16" else None,
@@ -409,7 +430,7 @@ def _eval_randla(args, log):
     )
     model_args = lambda f: (f, pyramid_fn(f[..., :3]))
     B = cfg.val_batch_size
-    dummy = jnp.zeros((B, num_points, 6), jnp.float32)
+    dummy = jnp.zeros((B, num_points, feat_dim), jnp.float32)
     state, _ = create_train_state(
         model, (dummy, None), rng=jax.random.PRNGKey(0), model_args=model_args
     )
@@ -438,19 +459,18 @@ def _eval_randla(args, log):
         # saved-adversarial-cloud evaluation (cli.attack --save_adv)
         from pointsecguard_tpu.utils.metrics import confusion_matrix
 
+        from pointsecguard_tpu.train.object_eval import _padded_batches
+
         pts_all = adv_npz["points"].astype(np.float32)
         labs_all = adv_npz["labels"].astype(np.int32)
-        cm = np.zeros((13, 13))
-        for start in range(0, len(pts_all), B):
-            chunk = pts_all[start : start + B]
-            labs = labs_all[start : start + B]
-            v = len(chunk)
-            if v < B:
-                reps = [1] * (v - 1) + [B - v + 1]
-                chunk = np.repeat(chunk, reps, axis=0)
-            preds = np.argmax(np.asarray(probs_fn(put(chunk))), axis=-1)[:v]
+        cm = np.zeros((K, K))
+        for idx, v in _padded_batches(len(pts_all), B):
+            preds = np.argmax(
+                np.asarray(probs_fn(put(pts_all[idx]))), axis=-1
+            )[:v]
+            y, p = _reduced(labs_all[idx[:v]], preds)
             cm += np.asarray(
-                confusion_matrix(jnp.array(labs), jnp.array(preds), 13)
+                confusion_matrix(jnp.array(y), jnp.array(p), K)
             )
         m = metrics_from_confusion(jnp.array(cm))
         log.info(
@@ -461,31 +481,52 @@ def _eval_randla(args, log):
         return m
 
     # per-sub-cloud probability vote pools
-    pools = [np.zeros((len(c.labels), 13), np.float64) for c in sampler.clouds]
+    pools = [np.zeros((len(c.labels), K), np.float64) for c in sampler.clouds]
     for _, feats, labels, idx, cloud_idx in sampler.batches(B, args.num_clouds):
         probs = np.asarray(probs_fn(put(feats)))
         for b in range(B):
             np.add.at(pools[int(cloud_idx[b])], idx[b], probs[b])
 
-    cm = np.zeros((13, 13), np.float64)
+    cm = np.zeros((K, K), np.float64)
     if args.save_preds:
         os.makedirs(args.save_preds, exist_ok=True)
     for ci, cloud in enumerate(sampler.clouds):
         sub_pred = pools[ci].argmax(axis=1)
         proj_path = os.path.join(args.randla_dir, cloud.name + "_proj.pkl")
-        if os.path.exists(proj_path):
+        proj_ok = os.path.exists(proj_path)
+        if proj_ok:
             with open(proj_path, "rb") as f:
                 proj_idx, full_labels = pickle.load(f)
+            proj_idx = np.asarray(proj_idx).reshape(-1)
+            full_labels = np.asarray(full_labels, np.int64).reshape(-1)
+            if len(proj_idx) != len(full_labels):
+                # the reference's Semantic3D prep pickles proj indices
+                # over the 0.01-grid points next to RAW-cloud labels
+                # (`data_prepare_semantic3d.py:56-59`) — unusable for
+                # scoring; fall back to sub-cloud labels (our prep
+                # writes matched pairs)
+                log.warning(
+                    "%s: proj/labels length mismatch (%d vs %d) — "
+                    "scoring at sub-cloud resolution",
+                    cloud.name, len(proj_idx), len(full_labels),
+                )
+                proj_ok = False
+        if proj_ok:
             full_pred = sub_pred[proj_idx]
-            np.add.at(cm, (np.asarray(full_labels, np.int64), full_pred), 1.0)
+            y, p = _reduced(full_labels, full_pred)
+            np.add.at(cm, (y, p), 1.0)
             if args.save_preds:
                 write_ply(
                     os.path.join(args.save_preds, cloud.name + ".ply"),
                     [full_pred.astype(np.int32)],
                     ["pred"],
                 )
-        else:  # fall back to sub-cloud labels
-            np.add.at(cm, (cloud.labels, sub_pred), 1.0)
+        else:  # fall back to sub-cloud labels (SemanticKITTI stores its
+            # proj indices per sequence for submission only — seq-08
+            # validation scores at sub resolution, like the fork's
+            # `evaluate:255-311`)
+            y, p = _reduced(cloud.labels, sub_pred)
+            np.add.at(cm, (y, p), 1.0)
         if args.visual:
             # per-cloud pred/gt label dumps + HTML at the sub-cloud
             # resolution (the block path's --visual, cloud level)
@@ -503,8 +544,8 @@ def _eval_randla(args, log):
             )
 
     m = metrics_from_confusion(jnp.array(cm))
-    for cls, iou in zip(S3DIS_CLASSES, np.asarray(m.class_iou)):
-        log.info("%12s: %.4f", cls, iou)
+    for cls, iou in zip(preset.class_names, np.asarray(m.class_iou)):
+        log.info("%18s: %.4f", cls, iou)
     log.info("RANDLA mIoU %.4f acc %.4f", float(m.miou), float(m.accuracy))
     return m
 

@@ -76,10 +76,16 @@ def prefetch(
                     return
             q.put((False, _SENTINEL))
         except BaseException as e:  # propagate to the consumer
-            try:
-                q.put((True, e), timeout=1.0)
-            except queue.Full:
-                pass
+            # same polled put as the item path: a one-shot timed put could
+            # drop the exception while the consumer sits in a >1s device
+            # step with the queue full, leaving it blocked forever on
+            # q.get() after draining the staged items
+            while not stop.is_set():
+                try:
+                    q.put((True, e), timeout=0.1)
+                    break
+                except queue.Full:
+                    continue
 
     t = threading.Thread(target=worker, daemon=True, name="psg-prefetch")
     t.start()

@@ -44,12 +44,19 @@ class ModelNetDataset:
         num_point: int = 1024,
         num_category: int = 40,
         use_normals: bool = True,
+        cache: bool = True,
     ):
         if split not in ("train", "test"):
             raise ValueError(f"split must be train|test, got {split!r}")
         self.root = root
         self.num_point = num_point
         self.use_normals = use_normals
+        # parsed-file cache: text parsing dominates the host cost of an
+        # epoch (np.loadtxt on a ~10k-row CSV per shape, per epoch) and
+        # the upstream loader caches for the same reason. Full ModelNet40
+        # raw arrays are ~2.4 GB; pass cache=False to trade the parse
+        # cost back for the memory.
+        self._cache: dict[int, np.ndarray] | None = {} if cache else None
         prefix = f"modelnet{num_category}"
         with open(os.path.join(root, f"{prefix}_shape_names.txt")) as f:
             self.class_names = [ln.strip() for ln in f if ln.strip()]
@@ -67,6 +74,17 @@ class ModelNetDataset:
     def __len__(self) -> int:
         return len(self.paths)
 
+    def _parse(self, i: int) -> np.ndarray:
+        """Raw file rows (cached; callers must not mutate the result)."""
+        if self._cache is not None and i in self._cache:
+            return self._cache[i]
+        pts = np.loadtxt(self.paths[i], delimiter=",", dtype=np.float32)
+        if pts.ndim == 1:  # single-row file
+            pts = pts[None, :]
+        if self._cache is not None:
+            self._cache[i] = pts
+        return pts
+
     def load(
         self, i: int, rng: np.random.Generator | None = None
     ) -> tuple[np.ndarray, int]:
@@ -74,9 +92,7 @@ class ModelNetDataset:
         the resampled file (the upstream default path), xyz unit-sphere
         normalized; with ``rng`` a random subset is drawn instead (used
         by the eval vote pool for non-degenerate extra votes)."""
-        pts = np.loadtxt(self.paths[i], delimiter=",", dtype=np.float32)
-        if pts.ndim == 1:  # single-row file
-            pts = pts[None, :]
+        pts = self._parse(i)
         if rng is not None and pts.shape[0] > self.num_point:
             pts = pts[rng.choice(pts.shape[0], self.num_point, replace=False)]
         else:

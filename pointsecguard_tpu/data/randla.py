@@ -279,3 +279,95 @@ class SpatiallyRegularSampler:
             xyz = np.stack(xs)
             feats = np.concatenate([xyz, np.stack(cs)], axis=-1)
             yield xyz, feats, np.stack(ls), np.stack(qs), np.array(cis)
+
+
+# ---------------------------------------------------------------------------
+# Dataset presets: the reference ships configs for all three RandLA datasets
+# (`helper_tool.py:18-100`) but a driver only for S3DIS. The presets let the
+# train/eval/attack CLIs drive any of them over the `cli.prepare` artifact
+# trees (--randla_dataset).
+
+# SemanticKITTI valid classes in learning-map order 1..19
+# (`RandLA-Net/utils/semantic-kitti.yaml` learning_map_inv / labels)
+SEMANTICKITTI_CLASSES = (
+    "car", "bicycle", "motorcycle", "truck", "other-vehicle", "person",
+    "bicyclist", "motorcyclist", "road", "parking", "sidewalk",
+    "other-ground", "building", "fence", "vegetation", "trunk", "terrain",
+    "pole", "traffic-sign",
+)
+
+# Semantic3D classes 1..8 (label 0 = unlabeled; semantic3d.net convention
+# the reference's `ConfigSemantic3D` targets, `helper_tool.py:69-100`)
+SEMANTIC3D_CLASSES = (
+    "man-made terrain", "natural terrain", "high vegetation",
+    "low vegetation", "buildings", "hard scape", "scanning artefacts",
+    "cars",
+)
+
+
+@dataclass(frozen=True)
+class RandlaDatasetPreset:
+    """Everything a driver needs to run RandLA on one of the three
+    reference datasets: the hard-coded config, the label space, and a
+    sampler factory over the prepared artifact tree."""
+
+    name: str
+    cfg: object
+    num_classes: int          # valid classes = the model's logit width
+    class_names: tuple
+    ignored_labels: tuple     # raw labels excluded from loss/metrics
+    weights_key: str          # data.class_weights.get_class_weights key
+    has_colors: bool          # False → features are xyz-only (no color
+                              # threat surface: attacks/AT must reject)
+    make_sampler: object      # (dir, split, num_points, rng, test_area)
+
+
+def randla_dataset_preset(dataset: str) -> RandlaDatasetPreset:
+    """→ preset for ``--randla_dataset {s3dis,semantickitti,semantic3d}``."""
+    from pointsecguard_tpu.configs import (
+        RandlaConfig,
+        RandlaSemantic3DConfig,
+        RandlaSemanticKITTIConfig,
+    )
+    from pointsecguard_tpu.data.s3dis import S3DIS_CLASSES
+
+    dataset = dataset or "s3dis"
+    if dataset == "semantickitti":
+        def make(d, split, n, rng, test_area=5):
+            return SpatiallyRegularSampler.load_semantickitti(
+                d, split=split, num_points=n, rng=rng
+            )
+        return RandlaDatasetPreset(
+            "semantickitti", RandlaSemanticKITTIConfig(), 19,
+            SEMANTICKITTI_CLASSES, (0,), "SemanticKITTI", False, make,
+        )
+    if dataset == "semantic3d":
+        def make(d, split, n, rng, test_area=5):
+            return SpatiallyRegularSampler.load_semantic3d(
+                d, split=split, num_points=n, rng=rng
+            )
+        return RandlaDatasetPreset(
+            "semantic3d", RandlaSemantic3DConfig(), 8,
+            SEMANTIC3D_CLASSES, (0,), "Semantic3D", True, make,
+        )
+    if dataset == "s3dis":
+        def make(d, split, n, rng, test_area=5):
+            return SpatiallyRegularSampler.load(
+                d, split=split, test_area=test_area, num_points=n, rng=rng
+            )
+        return RandlaDatasetPreset(
+            "s3dis", RandlaConfig(), NUM_CLASSES, S3DIS_CLASSES, (),
+            "S3DIS", True, make,
+        )
+    raise ValueError(f"unknown randla dataset {dataset!r}")
+
+
+def label_reduce_lut(num_classes: int, ignored: tuple) -> np.ndarray:
+    """Raw-label → valid-class-index lookup (`RandLANet.py:103-124`
+    reducing_list semantics): ignored labels map to 0 and must be masked
+    out separately; valid labels map to their contiguous index."""
+    total = num_classes + len(ignored)
+    lut = np.zeros(total, np.int64)
+    keep = [l for l in range(total) if l not in set(ignored)]
+    lut[keep] = np.arange(num_classes)
+    return lut

@@ -148,8 +148,15 @@ class _BlockIndex:
         self.xy = np.ascontiguousarray(xy)
         self.cell = cell
         self.origin = self.xy.min(axis=0)
-        # truncation == floor for the non-negative shifted coords
-        ij = ((self.xy - self.origin) * (1.0 / cell)).astype(np.int64)
+        # bin with the SAME f64 divide-then-floor the query uses: an f32
+        # reciprocal-multiply here can bin an exact-boundary point one
+        # cell below the query's floor-division, dropping it from the
+        # candidate set (IEEE divide + floor are monotone, so construct
+        # and query agree for any cell size, not just powers of two)
+        ij = np.floor(
+            (self.xy.astype(np.float64) - self.origin.astype(np.float64))
+            / cell
+        ).astype(np.int64)
         self.nx = int(ij[:, 0].max()) + 1
         self.ny = int(ij[:, 1].max()) + 1
         flat = ij[:, 0] * self.ny + ij[:, 1]
@@ -159,10 +166,14 @@ class _BlockIndex:
         self.starts = np.concatenate([[0], np.cumsum(counts)])
 
     def query(self, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
-        i0 = max(int((lo[0] - self.origin[0]) // self.cell), 0)
-        j0 = max(int((lo[1] - self.origin[1]) // self.cell), 0)
-        i1 = min(int((hi[0] - self.origin[0]) // self.cell), self.nx - 1)
-        j1 = min(int((hi[1] - self.origin[1]) // self.cell), self.ny - 1)
+        # f64 divide-then-floor, matching __init__'s binning (a float32
+        # subtraction here could disagree with the construction bins on
+        # exact-boundary points)
+        ox, oy, c = float(self.origin[0]), float(self.origin[1]), self.cell
+        i0 = max(int(np.floor((float(lo[0]) - ox) / c)), 0)
+        j0 = max(int(np.floor((float(lo[1]) - oy) / c)), 0)
+        i1 = min(int(np.floor((float(hi[0]) - ox) / c)), self.nx - 1)
+        j1 = min(int(np.floor((float(hi[1]) - oy) / c)), self.ny - 1)
         if i1 < i0 or j1 < j0:
             return np.empty(0, np.int64)
         # each i-row's j-range is one contiguous slice of the sorted order

@@ -58,12 +58,16 @@ class ShapeNetPartDataset:
         num_point: int = 2048,
         use_normals: bool = True,
         class_choice: list[str] | None = None,
+        cache: bool = True,
     ):
         if split not in ("train", "val", "test", "trainval"):
             raise ValueError(f"bad split {split!r}")
         self.root = root
         self.num_point = num_point
         self.use_normals = use_normals
+        # parsed-file cache (see ModelNetDataset): text parsing dominates
+        # host epoch cost; full ShapeNetPart normalized arrays ≈ 1.2 GB
+        self._cache: dict[int, np.ndarray] | None = {} if cache else None
         cat_of_synset: dict[str, str] = {}
         with open(os.path.join(root, "synsetoffset2category.txt")) as f:
             for ln in f:
@@ -94,19 +98,29 @@ class ShapeNetPartDataset:
     def __len__(self) -> int:
         return len(self.paths)
 
+    def _parse(self, i: int) -> np.ndarray:
+        """Parsed + unit-sphere-normalized full cloud (cached; callers
+        must not mutate the result). Normalization happens on the FULL
+        cloud before any sampling (upstream order): the centroid/scale
+        must not depend on which subset gets drawn — which also makes
+        the normalized array sample-independent and safe to cache."""
+        if self._cache is not None and i in self._cache:
+            return self._cache[i]
+        raw = np.loadtxt(self.paths[i], dtype=np.float32)
+        if raw.ndim == 1:
+            raw = raw[None, :]
+        raw[:, :3] = pc_normalize(raw[:, :3])
+        if self._cache is not None:
+            self._cache[i] = raw
+        return raw
+
     def load(
         self, i: int, rng: np.random.Generator | None = None
     ) -> tuple[np.ndarray, int, np.ndarray]:
         """→ (points [num_point, 6|3], category id, seg [num_point]).
         Resample-with-replacement to the static size (upstream rule);
         with ``rng=None`` takes a deterministic wrap-repeat instead."""
-        raw = np.loadtxt(self.paths[i], dtype=np.float32)
-        if raw.ndim == 1:
-            raw = raw[None, :]
-        # normalize the FULL cloud before sampling (upstream order): the
-        # centroid/scale must not depend on which subset gets drawn
-        raw = raw.copy()
-        raw[:, :3] = pc_normalize(raw[:, :3])
+        raw = self._parse(i)
         if rng is not None:
             choice = rng.integers(0, raw.shape[0], self.num_point)
         else:

@@ -23,7 +23,8 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 
-def _maybe_adv_fn(args, model, *, model_args=None, output_head=None):
+def _maybe_adv_fn(args, model, *, model_args=None, output_head=None,
+                  ignored_labels=(), num_classes=None):
     """``--adv_train nb`` → PGD adversarial-training hook
     (`trainer.make_adv_train_fn`); None when not requested."""
     kind = getattr(args, "adv_train", "none") or "none"
@@ -45,6 +46,9 @@ def _maybe_adv_fn(args, model, *, model_args=None, output_head=None):
         kwargs["model_args"] = model_args
     if output_head is not None:
         kwargs["output_head"] = output_head
+    if ignored_labels:
+        kwargs["ignored_labels"] = tuple(ignored_labels)
+        kwargs["num_classes"] = num_classes
     return make_adv_train_fn(model, cfg, **kwargs)
 
 
@@ -236,34 +240,18 @@ def train_randla(args):
     # dataset presets: the reference ships configs for all three RandLA
     # datasets (`helper_tool.py:18-100`) but a driver only for S3DIS;
     # kitti/sem3d are drivable here over the cli.prepare artifact trees
-    dataset = getattr(args, "randla_dataset", "s3dis") or "s3dis"
-    if dataset == "semantickitti":
-        from pointsecguard_tpu.configs import RandlaSemanticKITTIConfig
+    from pointsecguard_tpu.data.randla import randla_dataset_preset
 
-        cfg = RandlaSemanticKITTIConfig()
-        weights_key, ignored = "SemanticKITTI", (0,)
-        def _load(split, r, n):
-            return SpatiallyRegularSampler.load_semantickitti(
-                args.randla_dir, split=split, num_points=n, rng=r,
-            )
-    elif dataset == "semantic3d":
-        from pointsecguard_tpu.configs import RandlaSemantic3DConfig
+    preset = randla_dataset_preset(getattr(args, "randla_dataset", "s3dis"))
+    cfg, weights_key, ignored = preset.cfg, preset.weights_key, \
+        preset.ignored_labels
 
-        cfg = RandlaSemantic3DConfig()
-        weights_key, ignored = "Semantic3D", (0,)
-        def _load(split, r, n):
-            return SpatiallyRegularSampler.load_semantic3d(
-                args.randla_dir, split=split, num_points=n, rng=r,
-            )
-    else:
-        cfg = RandlaConfig()
-        weights_key, ignored = "S3DIS", ()
-        def _load(split, r, n):
-            return SpatiallyRegularSampler.load(
-                args.randla_dir, split=split, test_area=args.test_area,
-                num_points=n, rng=r,
-            )
-    num_classes = getattr(cfg, "num_classes", 13)
+    def _load(split, r, n):
+        return preset.make_sampler(
+            args.randla_dir, split, n, r, test_area=args.test_area
+        )
+
+    num_classes = preset.num_classes
     num_points = getattr(args, "randla_points", 0) or cfg.num_points
     train_steps = getattr(args, "steps_per_epoch", 0) or cfg.train_steps
     rng = np.random.default_rng(args.seed)
@@ -300,6 +288,16 @@ def train_randla(args):
     spc = max(getattr(args, "steps_per_call", 1) or 1, 1)
     depth = getattr(args, "prefetch", 2)
     _, f0, l0, _, _ = next(iter(train_sampler.batches(batch_size, 1)))
+    if (getattr(args, "adv_train", "none") or "none") != "none" \
+            and f0.shape[-1] < 6:
+        # the paper's threat model perturbs RGB channels 3:6; a colorless
+        # cloud (SemanticKITTI scans are xyz-only) would make the inner
+        # attack a silent no-op that still pays adv_iters fwd+bwd per step
+        raise SystemExit(
+            "--adv_train perturbs color channels, but this dataset's "
+            f"features are xyz-only (shape {f0.shape}); "
+            "adversarial training is not applicable"
+        )
     # tf.train.AdamOptimizer has no weight decay (`RandLANet.py:127`)
     state, tx = create_train_state(
         model, (jnp.array(f0), jnp.array(l0)), rng=jax.random.PRNGKey(args.seed),
@@ -314,7 +312,9 @@ def train_randla(args):
         num_classes=num_classes,
         output_head=lambda out: out,
         adv_fn=_maybe_adv_fn(args, model, model_args=model_args,
-                             output_head=lambda out: out),
+                             output_head=lambda out: out,
+                             ignored_labels=ignored,
+                             num_classes=num_classes),
     )
     from pointsecguard_tpu.train import make_eval_step
 
@@ -357,12 +357,9 @@ def train_randla(args):
         # raw label -> contiguous valid-class index; ignored labels
         # (KITTI/Sem3D class 0) are excluded from the confusion
         # (`RandLANet.py:103-124` reducing_list semantics)
-        keep = np.array(
-            [l for l in range(num_classes + len(ignored))
-             if l not in set(ignored)]
-        )
-        reduce_lut = np.zeros(num_classes + len(ignored), np.int64)
-        reduce_lut[keep] = np.arange(num_classes)
+        from pointsecguard_tpu.data.randla import label_reduce_lut
+
+        reduce_lut = label_reduce_lut(num_classes, ignored)
         for _, feats, labels, _, _ in val_sampler.batches(
             cfg.val_batch_size, val_steps
         ):

@@ -21,6 +21,7 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from flax import struct
 
@@ -221,6 +222,8 @@ def make_adv_train_fn(
     *,
     model_args: Callable[[jnp.ndarray], tuple] | None = None,
     output_head: Callable = lambda out: out[0] if isinstance(out, tuple) else out,
+    ignored_labels: tuple = (),
+    num_classes: int | None = None,
 ):
     """PGD adversarial training hook (beyond-reference; Madry et al.
     min-max recipe over the paper's color threat model).
@@ -232,8 +235,27 @@ def make_adv_train_fn(
     `torchattacks/attack.py:188`), then the optimizer step trains on
     the crafted batch. Attack iterations, the input gradient, and the
     training step all fuse into ONE XLA program per dispatch.
+
+    ``ignored_labels`` (with ``num_classes`` = valid classes) handles
+    datasets whose training loss runs in the REDUCED class space
+    (SemanticKITTI/Semantic3D label 0, `RandLANet.py:103-124`): raw
+    labels are remapped onto the valid-class logits before the attack
+    and ignored points are masked out of both the perturbation and the
+    attack loss — without this the inner maximization would index the
+    reduced logits with raw labels (off-by-one objective).
     """
     from pointsecguard_tpu.attacks.pgd import pgd_color_attack
+
+    if ignored_labels:
+        if num_classes is None:
+            raise ValueError("ignored_labels requires num_classes")
+        ign = set(int(l) for l in ignored_labels)
+        lut = np.zeros(num_classes + len(ign), np.int32)
+        lut[[l for l in range(num_classes + len(ign)) if l not in ign]] = (
+            np.arange(num_classes)
+        )
+        reduce_lut = jnp.array(lut)
+        ignored_arr = jnp.array(sorted(ign))
 
     def adv_fn(state: TrainState, points, labels, key):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
@@ -242,7 +264,13 @@ def make_adv_train_fn(
             args = model_args(p) if model_args else (p,)
             return output_head(model.apply(variables, *args))
 
-        res = pgd_color_attack(outputs_fn, points, labels, attack_cfg, key=key)
+        ys, mask = labels, None
+        if ignored_labels:
+            mask = ~jnp.isin(labels, ignored_arr)
+            ys = reduce_lut[jnp.clip(labels, 0, reduce_lut.shape[0] - 1)]
+        res = pgd_color_attack(
+            outputs_fn, points, ys, attack_cfg, key=key, mask=mask
+        )
         return jax.lax.stop_gradient(res.points_adv)
 
     return adv_fn

@@ -99,6 +99,61 @@ class TestAdvHook:
         assert delta.max() > 0
 
 
+class TestIgnoredLabelDatasets:
+    """`make_adv_train_fn(ignored_labels=..., num_classes=...)`: datasets
+    whose loss runs in the REDUCED class space (SemanticKITTI/Semantic3D
+    label 0, `RandLANet.py:103-124`) must remap raw labels onto the
+    valid-class logits and mask ignored points out of the attack."""
+
+    def test_ignored_points_not_perturbed(self, setup):
+        model, tx, state, pts, labels, aux = setup
+        rng = np.random.RandomState(1)
+        # raw space: 0 = ignored, 1..NUM_CLASSES = valid classes
+        raw = jnp.array(
+            np.where(rng.rand(B, N) < 0.3, 0, np.asarray(labels) + 1)
+        )
+        adv_fn = make_adv_train_fn(
+            model, PGDConfig(eps=0.1, alpha=0.05, iters=2),
+            ignored_labels=(0,), num_classes=NUM_CLASSES,
+        )
+        adv = adv_fn(state, pts, raw, jax.random.PRNGKey(0))
+        d = np.abs(np.asarray(adv[..., 3:6] - pts[..., 3:6])).max(axis=-1)
+        ign = np.asarray(raw) == 0
+        assert d[ign].max() == 0.0
+        assert d[~ign].max() > 0.0
+
+    def test_label_remap_matches_direct_reduced_attack(self, setup):
+        """With no ignored points present, the hook must reproduce the
+        engine called directly with REDUCED labels and an all-true mask
+        bit-exactly — proving the raw→valid lut is wired correctly."""
+        from pointsecguard_tpu.attacks.pgd import pgd_color_attack
+
+        model, tx, state, pts, labels, aux = setup
+        raw = labels + 1  # all valid
+        cfg = PGDConfig(eps=0.1, alpha=0.05, iters=2)
+        adv_fn = make_adv_train_fn(
+            model, cfg, ignored_labels=(0,), num_classes=NUM_CLASSES
+        )
+        adv = adv_fn(state, pts, raw, jax.random.PRNGKey(5))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        res = pgd_color_attack(
+            lambda p: model.apply(variables, p)[0], pts, labels, cfg,
+            key=jax.random.PRNGKey(5),
+            mask=jnp.ones_like(labels, bool),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(adv), np.asarray(res.points_adv)
+        )
+
+    def test_num_classes_required(self, setup):
+        model, *_ = setup
+        with pytest.raises(ValueError, match="num_classes"):
+            make_adv_train_fn(
+                model, PGDConfig(eps=0.1, alpha=0.05, iters=1),
+                ignored_labels=(0,),
+            )
+
+
 class TestAdvTrainCLI:
     def test_cli_end_to_end_and_robustness_gain(self, tmp_path):
         """Train a clean and an adversarially-trained twin on the synthetic

@@ -534,6 +534,23 @@ class TestRandlaOtherDatasets:
         ])
         assert os.path.isdir(os.path.join(log, "checkpoints"))
 
+    def test_adv_train_rejected_for_colorless_clouds(self, kitti_tree,
+                                                     tmp_path):
+        """KITTI scans are xyz-only; --adv_train perturbs color channels
+        3:6 and would be a silent no-op that still pays the attack's
+        fwd+bwd per step — must be rejected with a clear error."""
+        from pointsecguard_tpu.cli import train
+
+        with pytest.raises(SystemExit, match="xyz-only"):
+            train.main([
+                "--model", "randla", "--randla_dataset", "semantickitti",
+                "--randla_dir", kitti_tree,
+                "--log_dir", str(tmp_path / "log"),
+                "--epochs", "1", "--randla_points", "256",
+                "--steps_per_epoch", "1", "--batch_size", "2",
+                "--val_steps", "1", "--adv_train", "nb",
+            ])
+
     def test_semantic3d_loader(self, tmp_path):
         from pointsecguard_tpu.data import SpatiallyRegularSampler
         from pointsecguard_tpu.data.other_datasets import (
@@ -569,3 +586,100 @@ class TestRandlaOtherDatasets:
         _, feats, labels, _, _ = next(iter(tr.batches(1, 1)))
         assert feats.shape == (1, 64, 6)  # xyz + rgb
         assert 0 <= labels.min() and labels.max() <= 8
+
+
+class TestSemantic3DEndToEnd:
+    """`--randla_dataset semantic3d` on eval and attack: the model
+    predicts over the 8 VALID classes while raw label 0 is ignored
+    (`RandLANet.py:103-124` reducing_list semantics) — remapped labels,
+    ignored points masked out of the attack objective and every metric."""
+
+    @pytest.fixture(scope="class")
+    def trained(self, tmp_path_factory):
+        from pointsecguard_tpu.cli import train
+        from pointsecguard_tpu.data.other_datasets import (
+            prepare_semantic3d_root,
+        )
+
+        root = tmp_path_factory.mktemp("sem3d_e2e")
+        raw = root / "raw"
+        raw.mkdir()
+        rng = np.random.RandomState(7)
+        for name in ("bildstein_station3", "domfountain1"):
+            pc = np.concatenate(
+                [rng.rand(1500, 3) * 6, rng.rand(1500, 1),
+                 rng.randint(0, 255, (1500, 3))], 1,
+            )
+            np.savetxt(str(raw / (name + ".txt")), pc, fmt="%.4f")
+            np.savetxt(str(raw / (name + ".labels")),
+                       rng.randint(0, 9, 1500), fmt="%d")
+        out = root / "prepared"
+        prepare_semantic3d_root(str(raw), str(out), first_grid=0.3,
+                                final_grid=0.6)
+        inp = str(out / "input_0.600")
+        log = str(root / "log")
+        train.main([
+            "--model", "randla", "--randla_dataset", "semantic3d",
+            "--randla_dir", inp, "--log_dir", log,
+            "--epochs", "2", "--randla_points", "512",
+            "--steps_per_epoch", "2", "--batch_size", "2", "--seed", "0",
+            "--val_steps", "1",
+        ])
+        return inp, log
+
+    def test_eval_8class(self, trained):
+        from pointsecguard_tpu.cli import eval as eval_cli
+
+        inp, log = trained
+        m = eval_cli.main([
+            "--model", "randla", "--randla_dataset", "semantic3d",
+            "--randla_dir", inp, "--log_dir", log,
+            "--randla_points", "512", "--num_clouds", "2",
+        ])
+        assert np.asarray(m.class_iou).shape == (8,)
+        assert 0.0 <= float(m.accuracy) <= 1.0
+
+    def test_nb_attack_masks_ignored(self, trained):
+        from pointsecguard_tpu.cli import attack
+
+        inp, log = trained
+        cm, am = attack.main([
+            "--model", "randla", "--attack", "nb",
+            "--randla_dataset", "semantic3d", "--randla_dir", inp,
+            "--log_dir", log, "--randla_points", "512",
+            "--num_clouds", "1",
+        ])
+        # metrics live in the 8-valid-class space, never 13
+        assert np.asarray(cm.class_iou).shape == (8,)
+        assert float(am.accuracy) <= float(cm.accuracy)
+        rows = open(
+            os.path.join(log, "randla_nb_area5.tsv")
+        ).read().strip().splitlines()
+        assert len(rows) >= 2  # header + >=1 cloud
+
+    def test_targeted_ignored_origin_rejected(self, trained):
+        """--origin 0 is the ignored Semantic3D label — attacking it is
+        meaningless (no logit exists for it) and must fail clearly."""
+        from pointsecguard_tpu.cli import attack
+
+        inp, log = trained
+        with pytest.raises(SystemExit, match="valid raw"):
+            attack.main([
+                "--model", "randla", "--attack", "tar_nb",
+                "--randla_dataset", "semantic3d", "--randla_dir", inp,
+                "--log_dir", log, "--randla_points", "512",
+                "--num_clouds", "1", "--origin", "0", "--target", "3",
+            ])
+
+    def test_attack_rejects_colorless_kitti(self, trained, tmp_path):
+        """SemanticKITTI clouds are xyz-only: the color threat model
+        does not apply and the attack driver must say so up front."""
+        from pointsecguard_tpu.cli import attack
+
+        _, log = trained
+        with pytest.raises(SystemExit, match="xyz-only"):
+            attack.main([
+                "--model", "randla", "--attack", "nb",
+                "--randla_dataset", "semantickitti",
+                "--randla_dir", str(tmp_path), "--log_dir", log,
+            ])

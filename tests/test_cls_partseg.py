@@ -43,6 +43,50 @@ def shapenet_root(tmp_path_factory):
 
 
 class TestModelNetLoader:
+    def test_parse_cache(self, modelnet_root, monkeypatch):
+        """Text parsing dominates host epoch cost — each shape file must
+        be np.loadtxt'd once per dataset instance (cache=False opts out),
+        and repeated loads must be identical."""
+        import pointsecguard_tpu.data.modelnet as M
+
+        calls = []
+        orig = np.loadtxt
+
+        def counting(*a, **k):
+            calls.append(a[0] if a else k.get("fname"))
+            return orig(*a, **k)
+
+        monkeypatch.setattr(M.np, "loadtxt", counting)
+        ds = ModelNetDataset(modelnet_root, "test", num_point=64)
+        a1, _ = ds.load(0)
+        a2, _ = ds.load(0)
+        assert len(calls) == 1
+        np.testing.assert_array_equal(a1, a2)
+        # rng-path draws reuse the cached parse too
+        ds.load(0, np.random.default_rng(0))
+        assert len(calls) == 1
+        ds_nc = ModelNetDataset(modelnet_root, "test", num_point=64,
+                                cache=False)
+        ds_nc.load(0)
+        ds_nc.load(0)
+        assert len(calls) == 3
+
+    def test_shapenet_parse_cache(self, shapenet_root, monkeypatch):
+        import pointsecguard_tpu.data.shapenet_part as S
+
+        calls = []
+        orig = np.loadtxt
+        monkeypatch.setattr(
+            S.np, "loadtxt",
+            lambda *a, **k: (calls.append(1), orig(*a, **k))[1],
+        )
+        ds = ShapeNetPartDataset(shapenet_root, "test", num_point=64)
+        p1, c1, s1 = ds.load(0)
+        p2, c2, s2 = ds.load(0)
+        assert len(calls) == 1
+        np.testing.assert_array_equal(p1, p2)
+        np.testing.assert_array_equal(s1, s2)
+
     def test_splits_and_labels(self, modelnet_root):
         train = ModelNetDataset(modelnet_root, "train", num_point=64)
         test = ModelNetDataset(modelnet_root, "test", num_point=64)

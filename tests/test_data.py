@@ -114,6 +114,27 @@ class TestBlockSampler:
             far = np.array([99.0, 99.0])
             assert grid.query(far, far + 1).size == 0
 
+    def test_block_index_non_binary_cell(self):
+        """Cell sizes with inexact float representation (0.3, 0.45) must
+        still match brute force on boundary-heavy coordinates:
+        construction and query bin with the SAME f64 divide+floor (an
+        f32 reciprocal-multiply could bin an exact-boundary point one
+        cell below the query's floor division, dropping it)."""
+        from pointsecguard_tpu.data.s3dis import _BlockIndex
+
+        rng = np.random.default_rng(1)
+        xy = (rng.integers(0, 40, (8000, 2)) * 0.15).astype(np.float32)
+        for cell in (0.3, 0.45, 0.6):
+            grid = _BlockIndex(xy, cell)
+            for _ in range(60):
+                c = xy[rng.integers(len(xy))]
+                lo, hi = c - cell, c + cell
+                brute = np.where(
+                    (xy[:, 0] >= lo[0]) & (xy[:, 0] <= hi[0])
+                    & (xy[:, 1] >= lo[1]) & (xy[:, 1] <= hi[1])
+                )[0]
+                np.testing.assert_array_equal(brute, grid.query(lo, hi))
+
 
 class TestWholeScene:
     def test_blocks_cover_room(self, mini_s3dis):

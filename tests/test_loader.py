@@ -56,6 +56,24 @@ class TestPrefetch:
         with pytest.raises(RuntimeError, match="sampler broke"):
             list(it)
 
+    def test_exception_survives_slow_consumer(self):
+        """The worker's exception put must retry while the queue is full:
+        a one-shot timed put dropped the error when the consumer sat in
+        a >1 s device step, leaving it blocked forever on q.get()."""
+        def bad():
+            yield 0
+            yield 1
+            raise RuntimeError("sampler broke late")
+
+        it = prefetch(bad(), depth=1)
+        assert next(it) == 0
+        # with item 1 staged the queue is full while the worker fails;
+        # sleep past the old 1.0 s one-shot put timeout
+        time.sleep(1.4)
+        assert next(it) == 1
+        with pytest.raises(RuntimeError, match="sampler broke late"):
+            next(it)
+
     def test_transform_exception_propagates(self):
         def boom(x):
             raise ValueError("transform broke")

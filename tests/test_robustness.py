@@ -176,6 +176,16 @@ class TestJpegColorCompression:
     """Frequency-domain color quantization — the JPEG analog
     (`ares/defense/jpeg_compression.py` capability)."""
 
+    def test_quality_range_validated(self):
+        """q=0 divided by zero; q>100 silently disabled the quantization
+        (negative scale clamped to 1e-6) while reporting 'defended'."""
+        from pointsecguard_tpu.attacks import jpeg_color_compression
+
+        pts = jnp.zeros((1, 8, 6))
+        for q in (0, -5, 101):
+            with pytest.raises(ValueError, match="quality"):
+                jpeg_color_compression(pts, quality=q)
+
     def test_smooth_colors_survive_high_quality(self):
         from pointsecguard_tpu.attacks import jpeg_color_compression
 
