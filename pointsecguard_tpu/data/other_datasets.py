@@ -222,8 +222,15 @@ def prepare_semantic3d_root(
                 ["x", "y", "z", "red", "green", "blue", "class"],
             )
             # the projection maps the ORIGINAL-ply (0.01-grid) points,
-            # not the raw cloud (`data_prepare_semantic3d.py:56`)
-            query_xyz, proj_labels = pre_xyz, labels
+            # not the raw cloud (`data_prepare_semantic3d.py:56`). The
+            # reference pickles the RAW labels next to it (`:59`) — a
+            # length mismatch (proj over pre-reduced points, labels over
+            # raw points) that never bites there because labeled-cloud
+            # proj files are unused by its drivers. Ours scores labeled
+            # validation clouds through the projection, so we store the
+            # ORIGINAL-ply labels that actually pair with the projected
+            # points (deliberate fix, PARITY.md).
+            query_xyz, proj_labels = pre_xyz, pre_lab
         else:
             write_ply(
                 os.path.join(original_dir, name + ".ply"),

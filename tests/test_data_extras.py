@@ -337,7 +337,12 @@ class TestOtherDatasets:
         with open(str(out / "input_1.000" / "bildstein1_proj.pkl"), "rb") as f:
             proj, labels = pickle.load(f)
         assert proj.shape == (len(orig),)  # queries the 0.01-grid cloud
-        assert labels.shape == (400,)
+        # matched pair: the labels are the original-ply labels the proj
+        # points carry (PARITY.md deviation 9 — the reference pickles the
+        # RAW 400-point labels next to a len(orig) proj, unusable for
+        # scoring)
+        assert labels.shape == (len(orig),)
+        np.testing.assert_array_equal(labels, orig["class"])
         with open(str(out / "input_1.000" / "castle5_proj.pkl"), "rb") as f:
             proj, labels = pickle.load(f)
         assert proj.shape == (400,) and not labels.any()
