@@ -519,12 +519,13 @@ class TestRandlaOtherDatasets:
         np.testing.assert_array_equal(feats, xyz)
         assert labels.max() <= 3
 
-    def test_train_cli_semantickitti(self, kitti_tree, tmp_path):
+    @pytest.fixture(scope="class")
+    def kitti_log(self, kitti_tree, tmp_path_factory):
         """Sub-scale KITTI train: 19-class head (label 0 ignored),
         xyz-only features, 4-layer pyramid — full CLI path."""
         from pointsecguard_tpu.cli import train
 
-        log = str(tmp_path / "log")
+        log = str(tmp_path_factory.mktemp("kitti_log"))
         train.main([
             "--model", "randla", "--randla_dataset", "semantickitti",
             "--randla_dir", kitti_tree, "--log_dir", log,
@@ -532,7 +533,26 @@ class TestRandlaOtherDatasets:
             "--steps_per_epoch", "2", "--batch_size", "2", "--seed", "0",
             "--val_steps", "1",
         ])
-        assert os.path.isdir(os.path.join(log, "checkpoints"))
+        return log
+
+    def test_train_cli_semantickitti(self, kitti_log):
+        assert os.path.isdir(os.path.join(kitti_log, "checkpoints"))
+
+    def test_eval_cli_semantickitti(self, kitti_tree, kitti_log):
+        """KITTI eval scores held-out seq-08 scans at sub resolution
+        (its proj indices live per sequence for submission only, so the
+        flat `<name>_proj.pkl` lookup falls back, like the fork's
+        `evaluate:255-311`) in the 19-VALID-class space (raw label 0
+        ignored, `RandLANet.py:103-124`)."""
+        from pointsecguard_tpu.cli import eval as eval_cli
+
+        m = eval_cli.main([
+            "--model", "randla", "--randla_dataset", "semantickitti",
+            "--randla_dir", kitti_tree, "--log_dir", kitti_log,
+            "--randla_points", "256", "--num_clouds", "2",
+        ])
+        assert np.asarray(m.class_iou).shape == (19,)
+        assert 0.0 <= float(m.accuracy) <= 1.0
 
     def test_adv_train_rejected_for_colorless_clouds(self, kitti_tree,
                                                      tmp_path):
