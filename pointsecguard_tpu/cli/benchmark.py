@@ -6,10 +6,18 @@
   python -m pointsecguard_tpu.cli.benchmark --mode distortion ...
   python -m pointsecguard_tpu.cli.benchmark --mode iteration ...
 
-Loads a trained PointNet-family checkpoint, batches the Area-5 blocks,
-and runs one of the three harnesses from `attacks/benchmark.py`:
-registry-driven batched attack evaluation (ares' five result arrays),
-minimal-distortion binary search, or per-iteration accuracy curves.
+Loads a trained checkpoint, batches the test set, and runs one of the
+harnesses from `attacks/benchmark.py`: registry-driven batched attack
+evaluation (ares' five result arrays), minimal-distortion binary
+search, per-iteration accuracy curves, or clean-prediction export.
+
+Two tasks: ``--task semseg`` (default) benchmarks the PointNet-family
+semseg models over Area-5 blocks in the paper's color threat model;
+``--task cls`` benchmarks the ModelNet classification models
+(`--model pointnet2_cls[, _msg] / pointnet_cls`) in the coordinate
+domain — one prediction per shape, which is ares' own
+benchmarked-classifier shape (`benchmark/attack.py:52-115` scores
+image classifiers one label per example).
 """
 
 from __future__ import annotations
@@ -28,14 +36,27 @@ def main(argv=None):
                     help="attack-mode registry name (`benchmark/utils.py`)")
     ap.add_argument("--goal", default="ut", choices=["ut", "tm", "t"])
     ap.add_argument("--distance", default="l_2", choices=["l_2", "l_inf"])
+    ap.add_argument("--task", default="semseg", choices=["semseg", "cls"],
+                    help="semseg: Area-5 blocks, color threat model; "
+                         "cls: ModelNet shapes, coordinate domain (one "
+                         "prediction per shape — ares' classifier shape)")
     ap.add_argument("--model", default="pointnet2",
-                    choices=["pointnet2", "pointnet2_msg", "pointnet"])
+                    choices=["pointnet2", "pointnet2_msg", "pointnet",
+                             "pointnet2_cls", "pointnet2_cls_msg",
+                             "pointnet_cls"])
     ap.add_argument("--data_root", default="data/stanford_indoor3d")
     ap.add_argument("--log_dir", default="log/run")
     ap.add_argument("--test_area", type=int, default=5)
-    ap.add_argument("--num_point", type=int, default=4096)
+    ap.add_argument("--num_point", type=int, default=0,
+                    help="points per sample (0 = task default: 4096 "
+                         "semseg, 1024 cls)")
     ap.add_argument("--batch_size", type=int, default=4)
-    ap.add_argument("--max_blocks", type=int, default=16, help="0 = all")
+    ap.add_argument("--max_blocks", type=int, default=16,
+                    help="semseg blocks / cls shapes to benchmark; 0 = all")
+    ap.add_argument("--num_category", type=int, default=40,
+                    help="cls: ModelNet class count (10|40)")
+    ap.add_argument("--no_normals", action="store_true",
+                    help="cls: xyz-only inputs (match the trained model)")
     ap.add_argument("--origin", type=int, default=11)
     ap.add_argument("--target", type=int, default=7)
     ap.add_argument("--eps", type=float, default=0.1)
@@ -61,6 +82,7 @@ def main(argv=None):
     import numpy as np
 
     from pointsecguard_tpu.attacks import attack_preset
+    from pointsecguard_tpu.attacks.pgd import PGDConfig
     from pointsecguard_tpu.attacks.benchmark import (
         AttackBenchmark,
         distortion_binsearch,
@@ -80,21 +102,16 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(message)s", force=True)
     log = logging.getLogger("benchmark")
 
-    model = {
-        "pointnet2": PointNet2SemSegSSG,
-        "pointnet2_msg": PointNet2SemSegMSG,
-        "pointnet": PointNetSemSeg,
-    }[args.model](
-        dtype=jnp.bfloat16 if args.precision == "bfloat16" else None
-    )
-    dummy = jnp.zeros((args.batch_size, args.num_point, 9), jnp.float32)
-    state, _ = create_train_state(model, (dummy, None),
-                                  rng=jax.random.PRNGKey(0))
+    is_cls = "cls" in args.model
+    if is_cls != (args.task == "cls"):
+        raise SystemExit(
+            f"--model {args.model} is a "
+            f"{'classification' if is_cls else 'semseg'} model; pass "
+            f"--task {'cls' if is_cls else 'semseg'} (got {args.task})"
+        )
+    model_dtype = jnp.bfloat16 if args.precision == "bfloat16" else None
+    B = args.batch_size
     ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
-    restored = ckpt.restore_best(state) or ckpt.restore_latest(state)
-    if restored is None:
-        raise SystemExit(f"no checkpoint under {args.log_dir}/checkpoints")
-    state, _ = restored
 
     from pointsecguard_tpu.parallel import (
         data_parallel_mesh,
@@ -103,30 +120,100 @@ def main(argv=None):
     )
 
     mesh = data_parallel_mesh(args.devices)
-    put = make_batch_put(mesh, batch_size=args.batch_size)
-    state = replicate(mesh, state)
-    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    put = make_batch_put(mesh, batch_size=B)
 
-    if args.model in ("pointnet2", "pointnet2_msg"):
-        geo_fn = (build_geometry if args.model == "pointnet2"
-                  else build_geometry_msg)
+    if is_cls:
+        # ModelNet shapes in the coordinate domain: the attack perturbs
+        # xyz channels 0:3 unclipped (cli.attack_object's threat model);
+        # [B, K] log-probs wrap as [B, 1, K] "one-point clouds" so the
+        # per-point harness scores one prediction per shape — ares'
+        # benchmarked-classifier shape
+        from pointsecguard_tpu.data.modelnet import ModelNetDataset
+        from pointsecguard_tpu.train.loops import _cls_partseg_model
+
+        use_normals = not args.no_normals
+        npoint = args.num_point or 1024
+        dataset = ModelNetDataset(
+            args.data_root, "test", num_point=npoint,
+            num_category=args.num_category, use_normals=use_normals,
+        )
+        num_classes = dataset.num_classes
+        model, _ = _cls_partseg_model(
+            args.model, num_classes=num_classes, use_normals=use_normals,
+            dtype=model_dtype,
+        )
+        C = 6 if use_normals else 3
+        dummy = jnp.zeros((B, npoint, C), jnp.float32)
+        state, _ = create_train_state(model, (dummy, None),
+                                      rng=jax.random.PRNGKey(0))
+        restored = ckpt.restore_best(state) or ckpt.restore_latest(state)
+        if restored is None:
+            raise SystemExit(f"no checkpoint under {args.log_dir}/checkpoints")
+        state = replicate(mesh, restored[0])
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
 
         def outputs_fn(p):
-            return model.apply(variables, p, geometry=geo_fn(p[..., :3]))[0]
+            return model.apply(variables, p)[0][:, None, :]
+
+        n_shapes = len(dataset)
+        if args.max_blocks:
+            n_shapes = min(n_shapes, args.max_blocks)
+
+        def batches():
+            for s in range(0, n_shapes - B + 1, B):
+                pts = np.stack(
+                    [dataset.load(i)[0] for i in range(s, s + B)]
+                )
+                labs = dataset.labels[s:s + B].astype(np.int32)
+                yield put(pts), put(labs[:, None])
+
+        domain = {"channels": (0, 3), "clip": None, "box": (-1.0, 1.0),
+                  "num_classes": num_classes,
+                  "success_acc": 1.0 / num_classes}
     else:
-        def outputs_fn(p):
-            return model.apply(variables, p)[0]
+        num_classes = 13
+        npoint = args.num_point or 4096
+        model = {
+            "pointnet2": PointNet2SemSegSSG,
+            "pointnet2_msg": PointNet2SemSegMSG,
+            "pointnet": PointNetSemSeg,
+        }[args.model](dtype=model_dtype)
+        dummy = jnp.zeros((B, npoint, 9), jnp.float32)
+        state, _ = create_train_state(model, (dummy, None),
+                                      rng=jax.random.PRNGKey(0))
+        restored = ckpt.restore_best(state) or ckpt.restore_latest(state)
+        if restored is None:
+            raise SystemExit(f"no checkpoint under {args.log_dir}/checkpoints")
+        state = replicate(mesh, restored[0])
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
 
-    rooms = RoomSet.load(args.data_root, "test", args.test_area)
-    scene = WholeSceneBlocks(rooms, block_points=args.num_point)
-    feats, labs, _w, _i = scene.room_blocks(0, np.random.default_rng(args.seed))
-    if args.max_blocks:
-        feats, labs = feats[: args.max_blocks], labs[: args.max_blocks]
-    B = args.batch_size
+        if args.model in ("pointnet2", "pointnet2_msg"):
+            geo_fn = (build_geometry if args.model == "pointnet2"
+                      else build_geometry_msg)
 
-    def batches():
-        for s in range(0, len(feats) - B + 1, B):
-            yield put(feats[s:s + B]), put(labs[s:s + B])
+            def outputs_fn(p):
+                return model.apply(
+                    variables, p, geometry=geo_fn(p[..., :3])
+                )[0]
+        else:
+            def outputs_fn(p):
+                return model.apply(variables, p)[0]
+
+        rooms = RoomSet.load(args.data_root, "test", args.test_area)
+        scene = WholeSceneBlocks(rooms, block_points=npoint)
+        feats, labs, _w, _i = scene.room_blocks(
+            0, np.random.default_rng(args.seed)
+        )
+        if args.max_blocks:
+            feats, labs = feats[: args.max_blocks], labs[: args.max_blocks]
+
+        def batches():
+            for s in range(0, len(feats) - B + 1, B):
+                yield put(feats[s:s + B]), put(labs[s:s + B])
+
+        domain = {}  # engine defaults: color channels 3:6 clipped to [0,1]
 
     if args.mode == "prediction":
         # ares prediction_cli (`benchmark/prediction_cli.py:1-62`): run
@@ -157,7 +244,7 @@ def main(argv=None):
 
     if args.mode == "attack":
         kwargs = dict(eps=args.eps, alpha=args.alpha, iters=args.iters,
-                      steps=args.cw_steps)
+                      steps=args.cw_steps, **domain)
         if args.goal == "t":
             kwargs.update(origin=args.origin, target=args.target,
                           ce_reduction="mean")
@@ -179,11 +266,23 @@ def main(argv=None):
         return acc, acc_adv, total, succ, dist
 
     pts, ys = next(batches())
-    cfg = attack_preset("pointnet2", "nb",
-                        eps=args.eps, alpha=args.alpha, iters=args.iters)
+    if is_cls:
+        # NB budget shape in the coordinate domain (clip/box don't apply
+        # to PGDConfig — strip them and the CW-only keys)
+        import dataclasses as _dc
+
+        pgd_fields = {f.name for f in _dc.fields(PGDConfig)}
+        cfg = PGDConfig(
+            eps=args.eps, alpha=args.alpha, iters=args.iters,
+            **{k: v for k, v in domain.items() if k in pgd_fields},
+        )
+    else:
+        cfg = attack_preset("pointnet2", "nb",
+                            eps=args.eps, alpha=args.alpha, iters=args.iters)
     if args.mode == "distortion":
         eps, details = distortion_binsearch(
             jax.jit(outputs_fn), pts, ys, cfg,
+            success_acc=1.0 / num_classes,
             key=jax.random.PRNGKey(args.seed),
         )
         for probe in details["probes"]:
