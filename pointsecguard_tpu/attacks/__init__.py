@@ -22,6 +22,12 @@ from pointsecguard_tpu.attacks.benchmark import (
     iteration_curve,
     load_attack,
 )
+from pointsecguard_tpu.attacks.blackbox import (
+    NESConfig,
+    SPSAConfig,
+    nes_attack,
+    spsa_attack,
+)
 from pointsecguard_tpu.attacks.cw import CWConfig, cw_color_attack
 from pointsecguard_tpu.attacks.defenses import (
     apply_color_defense,
@@ -115,7 +121,9 @@ __all__ = [
     "AttackBenchmark",
     "AttackResult",
     "CWConfig",
+    "NESConfig",
     "PGDConfig",
+    "SPSAConfig",
     "apply_color_defense",
     "attack_preset",
     "bit_depth_reduction",
@@ -126,9 +134,11 @@ __all__ = [
     "iteration_curve",
     "load_attack",
     "make_target_labels",
+    "nes_attack",
     "pgd_color_attack",
     "point_accuracy",
     "random_color_jitter",
     "random_color_resample",
     "random_point_permutation",
+    "spsa_attack",
 ]

@@ -116,19 +116,36 @@ def iteration_curve(
 
 # --- ares-style attack registry + batched benchmark runner ----------------
 # (`benchmark/utils.py:8-38` ATTACKS/load_attack, `benchmark/attack.py:8-133`
-# AttackBenchmark). The image-only methods (deepfool/nes/spsa/nattack/
-# boundary/evolutionary) have no point-cloud reference path and are not
-# registered; the gradient attacks map onto the two unified engines.
+# AttackBenchmark). The reference registry NAMES eleven attacks but its
+# vendored ares exports only BIM + the NB/NU attacks (`ares/__init__.py`
+# — the import at `benchmark/utils.py:4` is dead code upstream). The
+# gradient attacks map onto the two unified engines; mim (momentum BIM)
+# and the input-agnostic score-based methods nes/spsa are implemented
+# beyond-reference (`attacks/blackbox.py`); the image-only geometry
+# methods (deepfool/nattack/boundary/evolutionary) have no point-cloud
+# reference path and stay unregistered.
+
+from pointsecguard_tpu.attacks.blackbox import (  # noqa: E402
+    NESConfig,
+    SPSAConfig,
+    nes_attack,
+    spsa_attack,
+)
 
 ATTACKS: dict[str, type] = {
     "fgsm": PGDConfig,  # single step, α = ε, no random init
     "bim": PGDConfig,  # iterative, no random init
     "pgd": PGDConfig,  # iterative with random init
+    "mim": PGDConfig,  # BIM + L1-normalized gradient momentum
     "cw": CWConfig,
+    "nes": NESConfig,  # score-based, Gaussian antithetic queries
+    "spsa": SPSAConfig,  # score-based, Rademacher antithetic queries
 }
 
 
-def load_attack(attack_name: str, init_kwargs: dict) -> PGDConfig | CWConfig:
+def load_attack(
+    attack_name: str, init_kwargs: dict
+) -> PGDConfig | CWConfig | NESConfig | SPSAConfig:
     """Build an attack config by registry name, keeping only the kwargs the
     config actually declares — the reference filters by the attack class's
     ``__init__`` signature the same way (`benchmark/utils.py:23-38`)."""
@@ -141,7 +158,11 @@ def load_attack(attack_name: str, init_kwargs: dict) -> PGDConfig | CWConfig:
             cfg, iters=1, alpha=cfg.eps, rand_init_eps=0.0
         )
     elif attack_name == "bim":
-        cfg = dataclasses.replace(cfg, rand_init_eps=0.0)
+        cfg = dataclasses.replace(cfg, rand_init_eps=0.0, momentum=0.0)
+    elif attack_name == "mim" and cfg.momentum == 0.0:
+        # MIM = BIM + gradient momentum (Dong et al. 2018; their and
+        # upstream ares' default decay factor is 1.0)
+        cfg = dataclasses.replace(cfg, rand_init_eps=0.0, momentum=1.0)
     elif attack_name == "pgd" and cfg.rand_init_eps == 0.0:
         # PGD = BIM + random start (ares `pgd.py` inherits BIM with a
         # uniform init in the ε-ball); without this the two registry
@@ -208,6 +229,14 @@ class AttackBenchmark:
         if isinstance(self.cfg, CWConfig):
             return cw_color_attack(
                 self.outputs_fn, points, labels, self.cfg, mask=mask
+            )
+        if isinstance(self.cfg, NESConfig):
+            return nes_attack(
+                self.outputs_fn, points, labels, self.cfg, mask=mask, key=key
+            )
+        if isinstance(self.cfg, SPSAConfig):
+            return spsa_attack(
+                self.outputs_fn, points, labels, self.cfg, mask=mask, key=key
             )
         return pgd_color_attack(
             self.outputs_fn, points, labels, self.cfg, mask=mask, key=key

@@ -50,6 +50,12 @@ class PGDConfig:
     num_classes: int = 13
     rand_init_eps: float = 0.0  # ares NBattack random start magnitude
     early_exit_sr: float = 0.0  # >0 ⇒ stop when targeted sr exceeds (TBIM `:508`)
+    # >0 ⇒ MIM (Dong et al. 2018; ares registry 'mim'): accumulate the
+    # L1-normalized gradient with this decay and step on the accumulator.
+    # The fork's vendored ares exports no MIM class (its benchmark
+    # registry imports one that is not there — dead code), so this is a
+    # beyond-reference completion of the canonical ares attack list.
+    momentum: float = 0.0
     # Perturbation domain. Defaults are the paper's color threat model
     # (RGB slice, [0,1] box); the object-task drivers attack coordinates
     # instead with channels=(0, 3) and clip=None (beyond-reference).
@@ -145,17 +151,33 @@ def pgd_color_attack(
             out = m * out + (1 - m) * color0
         return out
 
+    use_mom = cfg.momentum > 0.0
+
     def body(carry):
-        i, color, _, _ = carry
-        (_, outputs), g = grad_fn(color)
-        if cfg.step_norm == "linf":
-            step = cfg.alpha * jnp.sign(g)
+        if use_mom:
+            i, color, _, _, g_acc = carry
         else:
+            i, color, _, _ = carry
+        (_, outputs), g = grad_fn(color)
+        if use_mom:
+            # MIM accumulator (Dong et al. 2018 eq. 6): per-cloud
+            # L1-normalized gradient with decay μ
             flat = g.reshape(B, -1)
+            l1 = jnp.maximum(
+                jnp.sum(jnp.abs(flat), axis=1, keepdims=True), 1e-12
+            )
+            g_acc = cfg.momentum * g_acc + (flat / l1).reshape(g.shape)
+            g_eff = g_acc
+        else:
+            g_eff = g
+        if cfg.step_norm == "linf":
+            step = cfg.alpha * jnp.sign(g_eff)
+        else:
+            flat = g_eff.reshape(B, -1)
             unit = flat / jnp.maximum(
                 jnp.linalg.norm(flat, axis=1, keepdims=True), 1e-12
             )
-            step = cfg.alpha * unit.reshape(g.shape)
+            step = cfg.alpha * unit.reshape(g_eff.shape)
         color = project(color + direction * step)
         # an untargeted mask = the valid points (ignored-label datasets)
         acc = point_accuracy(
@@ -165,10 +187,12 @@ def pgd_color_attack(
             sr = point_accuracy(outputs, jnp.full_like(labels, cfg.target), mask)
         else:
             sr = jnp.zeros(())
+        if use_mom:
+            return i + 1, color, acc, sr, g_acc
         return i + 1, color, acc, sr
 
     def cond(carry):
-        i, _, _, sr = carry
+        i, sr = carry[0], carry[3]
         not_done = i < cfg.iters
         if cfg.early_exit_sr > 0:
             not_done = jnp.logical_and(
@@ -190,27 +214,24 @@ def pgd_color_attack(
             noise = (cfg.rand_init_eps * g).reshape(color0.shape)
         color_init = project(color0 + noise)
 
+    init = (jnp.zeros((), jnp.int32), color_init, jnp.ones(()), jnp.zeros(()))
+    if use_mom:
+        init = init + (jnp.zeros_like(color_init),)
     if trajectory:
         # fixed-length scan that also emits per-iteration (acc, sr, l2) —
         # the ares ``iteration_callback`` capability (`bim.py:216-237`
         # yields per-step metrics), but still one device program.
         def scan_body(carry, _):
-            new_carry = body((carry[0], carry[1], carry[2], carry[3]))
-            i2, c2, a2, s2 = new_carry
+            new_carry = body(carry)
+            c2, a2, s2 = new_carry[1], new_carry[2], new_carry[3]
             l2 = jnp.linalg.norm((c2 - color0).reshape(B, -1), axis=1)
             return new_carry, {"acc": a2, "sr": s2, "l2": l2}
 
-        init = (jnp.zeros((), jnp.int32), color_init, jnp.ones(()), jnp.zeros(()))
-        (steps, color_adv, acc, sr), traj = jax.lax.scan(
-            scan_body, init, None, length=cfg.iters
-        )
+        final, traj = jax.lax.scan(scan_body, init, None, length=cfg.iters)
     else:
         traj = None
-        steps, color_adv, acc, sr = jax.lax.while_loop(
-            cond,
-            body,
-            (jnp.zeros((), jnp.int32), color_init, jnp.ones(()), jnp.zeros(())),
-        )
+        final = jax.lax.while_loop(cond, body, init)
+    steps, color_adv, acc, sr = final[0], final[1], final[2], final[3]
     adv = points.at[..., ch].set(color_adv)
     # final metrics on the returned adversary (drivers reuse adv_pred
     # instead of paying another forward)

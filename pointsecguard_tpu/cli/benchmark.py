@@ -32,8 +32,20 @@ def main(argv=None):
                     choices=["attack", "distortion", "iteration",
                              "prediction"])
     ap.add_argument("--attack_name", default="pgd",
-                    choices=["fgsm", "bim", "pgd", "cw"],
-                    help="attack-mode registry name (`benchmark/utils.py`)")
+                    choices=["fgsm", "bim", "pgd", "mim", "cw", "nes",
+                             "spsa"],
+                    help="attack-mode registry name (`benchmark/utils.py`; "
+                         "mim/nes/spsa are beyond-reference — the vendored "
+                         "ares names them but ships no implementation)")
+    ap.add_argument("--samples", type=int, default=16,
+                    help="nes/spsa: antithetic query pairs per iteration")
+    ap.add_argument("--sigma", type=float, default=0.01,
+                    help="nes: Gaussian search radius")
+    ap.add_argument("--spsa_delta", type=float, default=0.01,
+                    help="spsa: finite-difference radius")
+    ap.add_argument("--momentum", type=float, default=0.0,
+                    help="mim: gradient-momentum decay (0 = the Dong et "
+                         "al. default 1.0)")
     ap.add_argument("--goal", default="ut", choices=["ut", "tm", "t"])
     ap.add_argument("--distance", default="l_2", choices=["l_2", "l_inf"])
     ap.add_argument("--task", default="semseg", choices=["semseg", "cls"],
@@ -244,7 +256,9 @@ def main(argv=None):
 
     if args.mode == "attack":
         kwargs = dict(eps=args.eps, alpha=args.alpha, iters=args.iters,
-                      steps=args.cw_steps, **domain)
+                      steps=args.cw_steps, samples=args.samples,
+                      sigma=args.sigma, delta=args.spsa_delta,
+                      momentum=args.momentum, **domain)
         if args.goal == "t":
             kwargs.update(origin=args.origin, target=args.target,
                           ce_reduction="mean")

@@ -387,3 +387,142 @@ class TestAttackBenchmark:
 
         with pytest.raises(ValueError, match="tm"):
             AttackBenchmark("bim", surrogate, goal="tm")
+
+
+class TestBlackbox:
+    """Score-based NES/SPSA + MIM momentum (beyond-reference: the
+    vendored ares registry names mim/nes/spsa at `benchmark/utils.py:4,
+    8-20` but ships no implementation — `ares/__init__.py` exports only
+    BIM and the NB/NU attacks)."""
+
+    def test_nes_succeeds_without_gradients(self, surrogate, batch):
+        """stop_gradient kills every autodiff path through the model: a
+        white-box attack would produce a zero perturbation, so success
+        here proves the attack only QUERIES loss values."""
+        from pointsecguard_tpu.attacks import NESConfig, nes_attack
+
+        opaque = lambda p: jax.lax.stop_gradient(surrogate(p))
+        pts, labels = batch
+        cfg = NESConfig(eps=0.3, alpha=0.05, iters=15, samples=32,
+                        sigma=0.05)
+        res = jax.jit(
+            lambda p, y, k: nes_attack(opaque, p, y, cfg, key=k)
+        )(pts, labels, jax.random.PRNGKey(0))
+        assert float(res.acc) < 0.6
+        assert float(jnp.abs(res.points_adv - pts).max()) > 0
+
+    def test_spsa_succeeds_without_gradients(self, surrogate, batch):
+        from pointsecguard_tpu.attacks import SPSAConfig, spsa_attack
+
+        opaque = lambda p: jax.lax.stop_gradient(surrogate(p))
+        pts, labels = batch
+        cfg = SPSAConfig(eps=0.3, alpha=0.05, iters=15, samples=32,
+                         delta=0.05)
+        res = jax.jit(
+            lambda p, y, k: spsa_attack(opaque, p, y, cfg, key=k)
+        )(pts, labels, jax.random.PRNGKey(1))
+        assert float(res.acc) < 0.6
+
+    def test_blackbox_invariants(self, surrogate, batch):
+        from pointsecguard_tpu.attacks import (
+            NESConfig,
+            SPSAConfig,
+            nes_attack,
+            spsa_attack,
+        )
+
+        pts, labels = batch
+        for fn, cfg in (
+            (nes_attack, NESConfig(eps=0.1, alpha=0.05, iters=5,
+                                   samples=8, sigma=0.05)),
+            (spsa_attack, SPSAConfig(eps=0.1, alpha=0.05, iters=5,
+                                     samples=8, delta=0.05)),
+        ):
+            res = fn(surrogate, pts, labels, cfg,
+                     key=jax.random.PRNGKey(2))
+            delta = np.asarray(res.points_adv[..., 3:6] - pts[..., 3:6])
+            assert np.abs(delta).max() <= 0.1 + 1e-6  # eps ball
+            color = np.asarray(res.points_adv[..., 3:6])
+            assert color.min() >= -1e-6 and color.max() <= 1 + 1e-6
+            np.testing.assert_array_equal(  # xyz untouched
+                np.asarray(res.points_adv[..., :3]),
+                np.asarray(pts[..., :3]),
+            )
+
+    def test_nes_targeted_mask(self, proto_surrogate, proto_batch):
+        """Targeted NES flips masked origin points toward the target and
+        leaves non-masked colors bit-identical."""
+        from pointsecguard_tpu.attacks import (
+            NESConfig,
+            make_target_labels,
+            nes_attack,
+        )
+
+        pts, labels = proto_batch
+        origin = int(np.asarray(labels).ravel()[0])
+        target = (origin + 1) % C
+        _, mask = make_target_labels(labels, origin, target)
+        cfg = NESConfig(eps=0.6, alpha=0.08, iters=25, samples=32,
+                        sigma=0.05, targeted=True, target=target,
+                        num_classes=C)
+        res = nes_attack(proto_surrogate, pts, labels, cfg, mask=mask,
+                         key=jax.random.PRNGKey(3))
+        assert float(res.success_rate) > 0.3  # well above the 1/13 prior
+        keep = ~np.asarray(mask)
+        np.testing.assert_array_equal(
+            np.asarray(res.points_adv)[keep], np.asarray(pts)[keep]
+        )
+
+    def test_mim_equals_bim_on_constant_gradient(self, surrogate, batch):
+        """The linear surrogate's color gradient is constant, so the MIM
+        accumulator's sign equals the raw gradient's sign — identical
+        trajectories prove the momentum wiring changes nothing it
+        shouldn't."""
+        from pointsecguard_tpu.attacks import pgd_color_attack
+
+        pts, labels = batch
+        bim = pgd_color_attack(
+            surrogate, pts, labels, PGDConfig(eps=0.3, alpha=0.05, iters=8)
+        )
+        mim = pgd_color_attack(
+            surrogate, pts, labels,
+            PGDConfig(eps=0.3, alpha=0.05, iters=8, momentum=1.0),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(bim.points_adv), np.asarray(mim.points_adv)
+        )
+
+    def test_registry_mim_nes_spsa(self):
+        from pointsecguard_tpu.attacks import (
+            NESConfig,
+            SPSAConfig,
+            load_attack,
+        )
+
+        mim = load_attack("mim", {"eps": 0.1, "alpha": 0.02, "iters": 5})
+        assert mim.momentum == 1.0 and mim.rand_init_eps == 0.0
+        bim = load_attack("bim", {"eps": 0.1, "alpha": 0.02, "iters": 5,
+                                  "momentum": 0.7})
+        assert bim.momentum == 0.0  # bim is momentum-free by definition
+        nes = load_attack("nes", {"eps": 0.1, "alpha": 0.02, "iters": 5,
+                                  "samples": 4, "sigma": 0.1,
+                                  "session": object()})
+        assert isinstance(nes, NESConfig) and nes.samples == 4
+        spsa = load_attack("spsa", {"eps": 0.1, "alpha": 0.02, "iters": 5,
+                                    "delta": 0.2})
+        assert isinstance(spsa, SPSAConfig) and spsa.delta == 0.2
+
+    def test_benchmark_runner_nes(self, surrogate, batch):
+        from pointsecguard_tpu.attacks import AttackBenchmark
+
+        pts, labels = batch
+        bench = AttackBenchmark(
+            "nes", surrogate, goal="ut", eps=0.3, alpha=0.05, iters=10,
+            samples=16, sigma=0.05,
+        )
+        acc, acc_adv, total, succ, dist = bench.run(
+            [(pts, labels)], key=jax.random.PRNGKey(4)
+        )
+        assert acc.all()
+        assert acc_adv.mean() < 1.0
+        np.testing.assert_array_equal(succ, total & ~acc_adv)
