@@ -18,16 +18,57 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from pointsecguard_tpu.attacks.blackbox import (
+    NESConfig,
+    SPSAConfig,
+    nes_attack,
+    spsa_attack,
+)
 from pointsecguard_tpu.attacks.common import make_target_labels
 from pointsecguard_tpu.attacks.cw import CWConfig, cw_color_attack
 from pointsecguard_tpu.attacks.pgd import PGDConfig, pgd_color_attack
+
+
+def run_registered_attack(
+    outputs_fn: Callable,
+    points: jnp.ndarray,
+    labels: jnp.ndarray,
+    cfg,
+    *,
+    mask: jnp.ndarray | None = None,
+    key: jax.Array | None = None,
+):
+    """Dispatch a registry config to its engine (shared by the three
+    harnesses — ares dispatches through the Attack base class,
+    `attack/base.py`)."""
+    if isinstance(cfg, CWConfig):
+        return cw_color_attack(outputs_fn, points, labels, cfg, mask=mask)
+    if isinstance(cfg, NESConfig):
+        return nes_attack(outputs_fn, points, labels, cfg, mask=mask,
+                          key=key if key is not None
+                          else jax.random.PRNGKey(0))
+    if isinstance(cfg, SPSAConfig):
+        return spsa_attack(outputs_fn, points, labels, cfg, mask=mask,
+                           key=key if key is not None
+                           else jax.random.PRNGKey(0))
+    return pgd_color_attack(outputs_fn, points, labels, cfg, mask=mask,
+                            key=key)
+
+
+def _replace_if_field(cfg, **updates):
+    """dataclasses.replace restricted to the fields cfg declares (the
+    registry configs differ — e.g. early_exit_sr is PGD-only)."""
+    fields = {f.name for f in dataclasses.fields(cfg)}
+    return dataclasses.replace(
+        cfg, **{k: v for k, v in updates.items() if k in fields}
+    )
 
 
 def distortion_binsearch(
     outputs_fn: Callable,
     points: jnp.ndarray,
     labels: jnp.ndarray,
-    base_cfg: PGDConfig,
+    base_cfg,
     *,
     success_acc: float = 1.0 / 13.0,
     init_lo: float = 0.0,
@@ -37,8 +78,11 @@ def distortion_binsearch(
     mask: jnp.ndarray | None = None,
     key: jax.Array | None = None,
 ) -> tuple[float, dict]:
-    """Minimal ε at which the (NB) attack succeeds, via exponential search
-    then bisection (`distortion.py` protocol).
+    """Minimal ε at which the attack succeeds, via exponential search
+    then bisection (`distortion.py` protocol). Any ε-bounded registry
+    config works (fgsm/bim/pgd/mim/nes/spsa); C&W has no ε knob and is
+    rejected, as in ares (its distortion benchmark drives the
+    magnitude-parameterized attacks).
 
     Success = adversarial accuracy < ``success_acc`` (untargeted) or
     success rate > 0.9 (targeted). Step size scales with ε (α = ε·α₀/ε₀,
@@ -46,6 +90,10 @@ def distortion_binsearch(
 
     Returns (epsilon, details) where details records every probe.
     """
+    if not hasattr(base_cfg, "eps"):
+        raise ValueError(
+            f"{type(base_cfg).__name__} has no ε magnitude to search over"
+        )
     alpha_ratio = base_cfg.alpha / base_cfg.eps
     details: dict = {"probes": []}
 
@@ -53,7 +101,7 @@ def distortion_binsearch(
         cfg = dataclasses.replace(
             base_cfg, eps=float(eps), alpha=float(eps) * alpha_ratio
         )
-        res = pgd_color_attack(
+        res = run_registered_attack(
             outputs_fn, points, labels, cfg, mask=mask, key=key
         )
         if base_cfg.targeted:
@@ -92,7 +140,7 @@ def iteration_curve(
     outputs_fn: Callable,
     points: jnp.ndarray,
     labels: jnp.ndarray,
-    cfg: PGDConfig,
+    cfg,
     *,
     mask: jnp.ndarray | None = None,
     key: jax.Array | None = None,
@@ -100,12 +148,20 @@ def iteration_curve(
 ) -> list[dict]:
     """Accuracy / success-rate after k iterations for k along the budget
     (`iteration.py` protocol — the reference re-runs the attack per probe,
-    as does this; each probe is one fused device program)."""
+    as does this; each probe is one fused device program). Any
+    iteration-bounded registry config works (C&W counts ``steps``, not
+    ``iters``, and is rejected)."""
+    if not hasattr(cfg, "iters"):
+        raise ValueError(
+            f"{type(cfg).__name__} has no iteration budget to sweep"
+        )
     probes = []
     step = max(cfg.iters // num_probes, 1)
     for iters in range(step, cfg.iters + 1, step):
-        sub = dataclasses.replace(cfg, iters=iters, early_exit_sr=0.0)
-        res = pgd_color_attack(outputs_fn, points, labels, sub, mask=mask, key=key)
+        sub = _replace_if_field(cfg, iters=iters, early_exit_sr=0.0)
+        res = run_registered_attack(
+            outputs_fn, points, labels, sub, mask=mask, key=key
+        )
         probes.append(
             {"iters": iters, "acc": float(res.acc),
              "sr": float(res.success_rate),
@@ -124,13 +180,6 @@ def iteration_curve(
 # beyond-reference (`attacks/blackbox.py`); the image-only geometry
 # methods (deepfool/nattack/boundary/evolutionary) have no point-cloud
 # reference path and stay unregistered.
-
-from pointsecguard_tpu.attacks.blackbox import (  # noqa: E402
-    NESConfig,
-    SPSAConfig,
-    nes_attack,
-    spsa_attack,
-)
 
 ATTACKS: dict[str, type] = {
     "fgsm": PGDConfig,  # single step, α = ε, no random init
@@ -226,19 +275,7 @@ class AttackBenchmark:
         self.cfg = dataclasses.replace(self.cfg, **kwargs)
 
     def _attack(self, points, labels, mask, key):
-        if isinstance(self.cfg, CWConfig):
-            return cw_color_attack(
-                self.outputs_fn, points, labels, self.cfg, mask=mask
-            )
-        if isinstance(self.cfg, NESConfig):
-            return nes_attack(
-                self.outputs_fn, points, labels, self.cfg, mask=mask, key=key
-            )
-        if isinstance(self.cfg, SPSAConfig):
-            return spsa_attack(
-                self.outputs_fn, points, labels, self.cfg, mask=mask, key=key
-            )
-        return pgd_color_attack(
+        return run_registered_attack(
             self.outputs_fn, points, labels, self.cfg, mask=mask, key=key
         )
 

@@ -93,8 +93,6 @@ def main(argv=None):
     import jax.numpy as jnp
     import numpy as np
 
-    from pointsecguard_tpu.attacks import attack_preset
-    from pointsecguard_tpu.attacks.pgd import PGDConfig
     from pointsecguard_tpu.attacks.benchmark import (
         AttackBenchmark,
         distortion_binsearch,
@@ -280,19 +278,22 @@ def main(argv=None):
         return acc, acc_adv, total, succ, dist
 
     pts, ys = next(batches())
-    if is_cls:
-        # NB budget shape in the coordinate domain (clip/box don't apply
-        # to PGDConfig — strip them and the CW-only keys)
-        import dataclasses as _dc
-
-        pgd_fields = {f.name for f in _dc.fields(PGDConfig)}
-        cfg = PGDConfig(
-            eps=args.eps, alpha=args.alpha, iters=args.iters,
-            **{k: v for k, v in domain.items() if k in pgd_fields},
+    if args.attack_name == "cw":
+        # ares sweeps magnitude-/iteration-parameterized attacks; C&W
+        # has neither knob (it counts optimizer steps against an L2
+        # objective)
+        raise SystemExit(
+            f"--mode {args.mode} needs an ε/iteration-bounded attack; "
+            "cw has neither (use --mode attack)"
         )
-    else:
-        cfg = attack_preset("pointnet2", "nb",
-                            eps=args.eps, alpha=args.alpha, iters=args.iters)
+    from pointsecguard_tpu.attacks import load_attack
+
+    cfg = load_attack(
+        args.attack_name,
+        dict(eps=args.eps, alpha=args.alpha, iters=args.iters,
+             samples=args.samples, sigma=args.sigma, delta=args.spsa_delta,
+             momentum=args.momentum, **domain),
+    )
     if args.mode == "distortion":
         eps, details = distortion_binsearch(
             jax.jit(outputs_fn), pts, ys, cfg,

@@ -291,6 +291,35 @@ class TestBenchmarkCLI:
         assert len(details["probes"]) >= 1
         assert eps > 0
 
+    def test_iteration_mode_score_based(self, trained):
+        """iteration/distortion sweep ANY ε/iteration-bounded registry
+        attack (ares' CLIs take the attack name) — here the gradient-free
+        NES through the iteration curve."""
+        from pointsecguard_tpu.cli import benchmark
+
+        data, log = trained
+        probes = benchmark.main([
+            "--mode", "iteration", "--attack_name", "nes",
+            "--model", "pointnet", "--data_root", data, "--log_dir", log,
+            "--num_point", "128", "--batch_size", "2", "--iters", "4",
+            "--samples", "4", "--sigma", "0.05",
+        ])
+        assert [p["iters"] for p in probes] == list(range(1, 5))
+        assert all(p["l2"] > 0 for p in probes)
+
+    def test_sweep_modes_reject_cw(self, trained):
+        from pointsecguard_tpu.cli import benchmark
+
+        data, log = trained
+        for mode in ("distortion", "iteration"):
+            with pytest.raises(SystemExit, match="bounded attack"):
+                benchmark.main([
+                    "--mode", mode, "--attack_name", "cw",
+                    "--model", "pointnet", "--data_root", data,
+                    "--log_dir", log, "--num_point", "128",
+                    "--batch_size", "2",
+                ])
+
     def test_attack_mode_matches_across_mesh_sizes(self, trained):
         """cli.benchmark --devices 4: identical per-block benchmark
         verdicts to the 1-device run (batch sharded over the mesh)."""
