@@ -36,6 +36,8 @@ from pointsecguard_tpu.attacks.defenses import (
     random_color_jitter,
     random_color_resample,
     random_point_permutation,
+    simple_random_subsample,
+    statistical_outlier_removal,
 )
 from pointsecguard_tpu.attacks.noise import equal_norm_color_noise
 from pointsecguard_tpu.attacks.pgd import PGDConfig, pgd_color_attack
@@ -140,5 +142,7 @@ __all__ = [
     "random_color_jitter",
     "random_color_resample",
     "random_point_permutation",
+    "simple_random_subsample",
     "spsa_attack",
+    "statistical_outlier_removal",
 ]

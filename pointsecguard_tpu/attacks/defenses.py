@@ -133,6 +133,71 @@ def random_color_resample(
     return set_color(points, resampled)
 
 
+def statistical_outlier_removal(
+    points: jnp.ndarray, k: int = 10, alpha: float = 1.1
+) -> jnp.ndarray:
+    """SOR — the classic coordinate-domain point-cloud defense (Zhou et
+    al. 2019 DUP-Net §3.1; beyond-reference: the vendored ares ships
+    only image defenses): a point is an outlier when its mean k-NN
+    distance exceeds μ + α·σ of the per-cloud distribution.
+
+    TPU-static formulation: dropping outliers would make the shape
+    dynamic, so each outlier is REPLACED by the full feature row of the
+    first INLIER in its neighbor list (itself, for inliers — the self
+    point leads every sorted neighbor list). Max-pooling point
+    architectures treat duplicated points exactly like removals, so
+    this matches drop-SOR semantics for the PointNet families while
+    keeping every shape static; only the geometry constructions
+    (FPS/ball query) see the duplicates — at cleaned positions.
+
+    The transform is a pure gather, so white-box attackers get the true
+    gradient (no straight-through surrogate needed); the masks are
+    built from distances, which carry no gradient requirement.
+    """
+    from pointsecguard_tpu import ops
+
+    xyz = points[..., :3]
+    B, N = xyz.shape[:2]
+    k_eff = min(k + 1, N)  # +1: the nearest neighbor of a self-query is self
+    d2, idx = ops.knn(xyz, xyz, k_eff)
+    d = jnp.sqrt(jnp.maximum(d2[..., 1:], 0.0))  # exclude self
+    mean_d = d.mean(axis=2)  # [B, N]
+    mu = mean_d.mean(axis=1, keepdims=True)
+    sd = mean_d.std(axis=1, keepdims=True)
+    inlier = mean_d <= mu + alpha * sd  # [B, N]
+    # each neighbor's inlier flag: [B, N, k_eff]
+    flags = jax.vmap(lambda f, i: f[i])(inlier, idx)
+    first = jnp.argmax(flags, axis=2)  # first inlier (argmax = first True)
+    any_inlier = jnp.any(flags, axis=2)
+    donor = jnp.take_along_axis(idx, first[..., None], axis=2)[..., 0]
+    donor = jnp.where(any_inlier, donor, jnp.arange(N)[None, :])
+    return jnp.take_along_axis(points, donor[..., None], axis=1)
+
+
+def simple_random_subsample(
+    points: jnp.ndarray, key: jax.Array, ratio: float = 0.875
+) -> jnp.ndarray:
+    """SRS — randomized coordinate-domain defense (simple random
+    sampling, the standard baseline next to SOR; beyond-reference):
+    keep a random ``ratio`` of the points. Static-shape formulation:
+    each dropped slot is refilled with a uniformly chosen KEPT point's
+    full row (duplicates ≡ removals for max-pooling architectures).
+    Randomized — compose with ``--eot`` so attack gradients integrate
+    over the subset draws."""
+    B, N = points.shape[:2]
+    n_keep = max(1, int(round(ratio * N)))
+
+    def donors(k):
+        k1, k2 = jax.random.split(k)
+        kept = jax.random.permutation(k1, N)[:n_keep]
+        fill = kept[jax.random.randint(k2, (N,), 0, n_keep)]
+        keep_mask = jnp.zeros(N, bool).at[kept].set(True)
+        return jnp.where(keep_mask, jnp.arange(N), fill)
+
+    donor = jax.vmap(donors)(jax.random.split(key, B))  # [B, N]
+    return jnp.take_along_axis(points, donor[..., None], axis=1)
+
+
 def random_point_permutation(
     points: jnp.ndarray, key: jax.Array
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

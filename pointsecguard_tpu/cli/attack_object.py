@@ -88,7 +88,73 @@ def _build_argparser() -> argparse.ArgumentParser:
                          "must divide N); 1 = no sharding")
     ap.add_argument("--precision", default="float32",
                     choices=["float32", "bfloat16"])
+    ap.add_argument("--defense", default="none",
+                    choices=["none", "sor", "srs"],
+                    help="coordinate-domain input defense on the attacked "
+                         "model (beyond-reference; the vendored ares ships "
+                         "only image defenses): sor = statistical outlier "
+                         "removal (DUP-Net §3.1, outliers replaced by "
+                         "their nearest inlier — duplication ≡ removal "
+                         "under max pooling), srs = random subsampling "
+                         "(dropped slots refilled with kept duplicates). "
+                         "part-seg: per-point rows replaced by the defense "
+                         "still score against their original labels")
+    ap.add_argument("--defense_knn", type=int, default=10,
+                    help="sor: neighbors per point for the mean-distance "
+                         "statistic")
+    ap.add_argument("--defense_alpha", type=float, default=1.1,
+                    help="sor: outlier threshold mu + alpha*sigma")
+    ap.add_argument("--defense_ratio", type=float, default=0.875,
+                    help="srs: fraction of points kept")
+    ap.add_argument("--eot", type=int, default=1,
+                    help="with the randomized srs defense: average the "
+                         "ATTACK gradient over this many subset draws "
+                         "(Athalye et al. 2018); metrics still use the "
+                         "deployed single-draw defense")
     return ap
+
+
+def _object_defense_wrapper(args, jax):
+    """--defense / --eot for the coordinate-domain object tasks. Same
+    ``(eval_wrap, attack_wrap)`` contract as `cli.attack._defense_wrapper`:
+    every reported metric uses the DEPLOYED defense (eval_wrap, single
+    fixed draw for srs); the attacker differentiates through attack_wrap
+    (EoT-averaged for --eot > 1)."""
+    if args.eot > 1 and args.defense != "srs":
+        raise SystemExit(
+            "--eot requires the randomized srs defense; sor is "
+            "deterministic (the attacker already sees it exactly)"
+        )
+    if args.defense == "none":
+        return None
+    from pointsecguard_tpu.attacks import (
+        simple_random_subsample,
+        statistical_outlier_removal,
+    )
+
+    if args.defense == "sor":
+        wrap = lambda f: (lambda p: f(statistical_outlier_removal(
+            p, args.defense_knn, args.defense_alpha
+        )))
+        return wrap, wrap
+    # srs (randomized; fixed key for deterministic protocol runs)
+    key0 = jax.random.PRNGKey(args.seed + 99)
+    transform = lambda p, k: simple_random_subsample(
+        p, k, args.defense_ratio
+    )
+    eval_wrap = lambda f: (lambda p: f(transform(p, key0)))
+    if args.eot > 1:
+        eot_keys = jax.random.split(key0, args.eot)
+
+        def attack_wrap(f):
+            def defended(p):
+                outs = jax.vmap(lambda k: f(transform(p, k)))(eot_keys)
+                return outs.mean(axis=0)
+
+            return defended
+
+        return eval_wrap, attack_wrap
+    return eval_wrap, eval_wrap
 
 
 def main(argv=None):
@@ -192,6 +258,15 @@ def main(argv=None):
         # cls: [B, K] log-probs wrapped as [B, 1, K] "one-point" clouds
         return lambda p: model.apply(variables, p, **kw)[0][:, None, :]
 
+    wraps = _object_defense_wrapper(args, jax)
+    if wraps is not None:
+        eval_wrap, attack_wrap = wraps
+        plain_make = make_outputs_fn
+        make_eval_fn = lambda pts, oh=None: eval_wrap(plain_make(pts, oh))
+        make_attack_fn = lambda pts, oh=None: attack_wrap(plain_make(pts, oh))
+    else:
+        make_eval_fn = make_attack_fn = make_outputs_fn
+
     targeted = args.attack.startswith("tar_")
     xyz = {"channels": (0, 3), "clip": None}
     if args.attack in ("nb", "tar_nb"):
@@ -248,15 +323,17 @@ def main(argv=None):
         n = min(n, args.max_shapes)
 
     if part:
-        _attack_partseg(args, log, dataset, n, B, make_outputs_fn,
-                        run_attack, tsv_path, put)
+        _attack_partseg(args, log, dataset, n, B,
+                        (make_eval_fn, make_attack_fn), run_attack,
+                        tsv_path, put)
     else:
-        _attack_cls(args, log, dataset, n, B, make_outputs_fn, run_attack,
+        _attack_cls(args, log, dataset, n, B,
+                    (make_eval_fn, make_attack_fn), run_attack,
                     tsv_path, put)
     return tsv_path
 
 
-def _attack_cls(args, log, dataset, n, B, make_outputs_fn, run_attack,
+def _attack_cls(args, log, dataset, n, B, make_fns, run_attack,
                 tsv_path, put):
     import jax
     import jax.numpy as jnp
@@ -264,16 +341,23 @@ def _attack_cls(args, log, dataset, n, B, make_outputs_fn, run_attack,
 
     from pointsecguard_tpu.train.object_eval import _padded_batches
 
+    make_eval_fn, make_attack_fn = make_fns
+
     @jax.jit
     def run(pts, labels, key):
-        f = make_outputs_fn(pts)
-        clean_pred = jnp.argmax(f(pts), axis=-1)[:, 0]
-        adv, adv_pred, l2, rand = run_attack(
-            f, pts, labels[:, None], None, key
+        # attacked closure vs deployed closure (identical when no
+        # defense is wired: XLA CSEs the duplicate forward)
+        f_eval = make_eval_fn(pts)
+        f_att = make_attack_fn(pts)
+        clean_pred = jnp.argmax(f_eval(pts), axis=-1)[:, 0]
+        adv, _, l2, rand = run_attack(
+            f_att, pts, labels[:, None], None, key
         )
-        rand_pred = (jnp.argmax(f(rand), axis=-1)[:, 0]
+        # score the adversary under the DEPLOYED defense
+        adv_pred = jnp.argmax(f_eval(adv), axis=-1)[:, 0]
+        rand_pred = (jnp.argmax(f_eval(rand), axis=-1)[:, 0]
                      if rand is not None else clean_pred)
-        return clean_pred, adv_pred[:, 0], l2, rand_pred
+        return clean_pred, adv_pred, l2, rand_pred
 
     labels_all = np.asarray(dataset.labels, np.int64)[:n]
     clean = np.zeros(n, np.int64)
@@ -317,7 +401,7 @@ def _attack_cls(args, log, dataset, n, B, make_outputs_fn, run_attack,
     log.info("per-shape TSV: %s", tsv_path)
 
 
-def _attack_partseg(args, log, dataset, n, B, make_outputs_fn, run_attack,
+def _attack_partseg(args, log, dataset, n, B, make_fns, run_attack,
                     tsv_path, put):
     import jax
     import jax.numpy as jnp
@@ -330,20 +414,22 @@ def _attack_partseg(args, log, dataset, n, B, make_outputs_fn, run_attack,
     )
 
     targeted = args.attack.startswith("tar_")
+    make_eval_fn, make_attack_fn = make_fns
 
     @jax.jit
     def run(pts, one_hot, seg, key):
-        f = make_outputs_fn(pts, one_hot)
-        clean_lp = f(pts)
+        f_eval = make_eval_fn(pts, one_hot)
+        f_att = make_attack_fn(pts, one_hot)
+        clean_lp = f_eval(pts)
         if targeted and args.origin >= 0:
             # move only origin-labeled points (`make_target_labels`,
             # transplanted from the semseg targeted protocol)
             _, mask = make_target_labels(seg, args.origin, args.target)
         else:
             mask = None
-        adv, adv_pred, l2, rand = run_attack(f, pts, seg, mask, key)
-        rand_lp = f(rand) if rand is not None else clean_lp
-        return clean_lp, f(adv), l2, rand_lp
+        adv, adv_pred, l2, rand = run_attack(f_att, pts, seg, mask, key)
+        rand_lp = f_eval(rand) if rand is not None else clean_lp
+        return clean_lp, f_eval(adv), l2, rand_lp
 
     miou_clean, miou_adv, miou_rand, l2s = [], [], [], []
     key = jax.random.PRNGKey(args.seed)

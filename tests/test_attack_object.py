@@ -232,3 +232,44 @@ class TestAttackObjectCLI:
         assert all(v > 0 for v in l2s)
         rand_mious = [float(r.split("\t")[5]) for r in rows[1:]]
         assert all(0.0 <= v <= 1.0 for v in rand_mious)
+
+    def test_cls_nb_with_sor_defense(self, modelnet_root, tmp_path):
+        """--defense sor: the attacked AND scored model is the defended
+        one (metrics through the deployed defense, like the semseg
+        --defense wiring)."""
+        from pointsecguard_tpu.cli import attack_object
+
+        log_dir = str(tmp_path / "log")
+        _seed_ckpt("pointnet2_cls", log_dir, 64, ncls=4)
+        tsv = attack_object.main([
+            "--model", "pointnet2_cls", "--data_root", modelnet_root,
+            "--log_dir", log_dir, "--attack", "nb", "--iters", "3",
+            "--num_point", "64", "--batch_size", "4", "--max_shapes", "4",
+            "--defense", "sor", "--defense_knn", "4",
+        ])
+        rows = open(tsv).read().strip().split("\n")
+        assert len(rows) == 1 + 4
+        assert all(float(r.split("\t")[4]) > 0 for r in rows[1:])
+
+    def test_cls_srs_defense_with_eot(self, modelnet_root, tmp_path):
+        from pointsecguard_tpu.cli import attack_object
+
+        log_dir = str(tmp_path / "log")
+        _seed_ckpt("pointnet2_cls", log_dir, 64, ncls=4)
+        tsv = attack_object.main([
+            "--model", "pointnet2_cls", "--data_root", modelnet_root,
+            "--log_dir", log_dir, "--attack", "nb", "--iters", "2",
+            "--num_point", "64", "--batch_size", "4", "--max_shapes", "4",
+            "--defense", "srs", "--defense_ratio", "0.75", "--eot", "2",
+        ])
+        assert len(open(tsv).read().strip().split("\n")) == 1 + 4
+
+    def test_eot_requires_randomized_defense(self, modelnet_root, tmp_path):
+        from pointsecguard_tpu.cli import attack_object
+
+        with pytest.raises(SystemExit, match="randomized"):
+            attack_object.main([
+                "--model", "pointnet2_cls", "--data_root", modelnet_root,
+                "--log_dir", str(tmp_path / "log"), "--attack", "nb",
+                "--defense", "sor", "--eot", "4",
+            ])

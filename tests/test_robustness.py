@@ -290,3 +290,104 @@ class TestJpegColorCompression:
         res = pgd_color_attack(defended, pts, labels, cfg)
         assert np.isfinite(np.asarray(res.points_adv)).all()
         assert float(res.l2_dist.min()) > 0
+
+
+class TestCoordinateDefenses:
+    """SOR / SRS — the classic coordinate-domain point-cloud defenses
+    (beyond-reference; the vendored ares ships only image defenses)."""
+
+    def test_sor_replaces_far_outlier_keeps_inliers(self):
+        from pointsecguard_tpu.attacks import statistical_outlier_removal
+
+        rng = np.random.RandomState(0)
+        pts = rng.rand(1, 64, 6).astype(np.float32)
+        pts[0, 0, :3] = 50.0  # one far outlier
+        out = np.asarray(statistical_outlier_removal(jnp.array(pts), k=8))
+        # the outlier's row became a duplicate of some INLIER row
+        assert (out[0, 0] == pts[0, 1:]).all(axis=1).any()
+        # every inlier row is bit-unchanged (self leads its own
+        # neighbor list)
+        np.testing.assert_array_equal(out[0, 1:], pts[0, 1:])
+
+    def test_sor_identity_on_uniform_cloud(self):
+        from pointsecguard_tpu.attacks import statistical_outlier_removal
+
+        rng = np.random.RandomState(1)
+        pts = jnp.array(rng.rand(2, 48, 9).astype(np.float32))
+        # alpha large enough that nothing crosses mu + alpha*sigma
+        out = statistical_outlier_removal(pts, k=8, alpha=10.0)
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(pts))
+
+    def test_sor_exact_gather_gradient(self):
+        from pointsecguard_tpu.attacks import statistical_outlier_removal
+
+        rng = np.random.RandomState(2)
+        pts = jnp.array(rng.rand(1, 32, 6).astype(np.float32))
+        g = jax.grad(
+            lambda p: jnp.sum(statistical_outlier_removal(p, k=4) ** 2)
+        )(pts)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).sum()) > 0
+
+    def test_srs_rows_are_kept_input_rows(self):
+        from pointsecguard_tpu.attacks import simple_random_subsample
+
+        rng = np.random.RandomState(3)
+        pts = rng.rand(2, 40, 6).astype(np.float32)
+        key = jax.random.PRNGKey(0)
+        out = np.asarray(
+            simple_random_subsample(jnp.array(pts), key, ratio=0.5)
+        )
+        for b in range(2):
+            # every output row is an input row of the SAME cloud...
+            rows = {tuple(r) for r in pts[b]}
+            assert all(tuple(r) in rows for r in out[b])
+            # ...and at most ceil(0.5*40) distinct rows survive
+            assert len({tuple(r) for r in out[b]}) <= 20
+        # deterministic under the same key
+        out2 = np.asarray(
+            simple_random_subsample(jnp.array(pts), key, ratio=0.5)
+        )
+        np.testing.assert_array_equal(out, out2)
+
+    def test_srs_kept_slots_unchanged(self):
+        from pointsecguard_tpu.attacks import simple_random_subsample
+
+        rng = np.random.RandomState(4)
+        pts = rng.rand(1, 24, 6).astype(np.float32)
+        out = np.asarray(simple_random_subsample(
+            jnp.array(pts), jax.random.PRNGKey(1), ratio=0.75
+        ))
+        same = (out[0] == pts[0]).all(axis=1)
+        assert same.sum() >= int(round(0.75 * 24))  # kept slots in place
+
+    def test_sor_cleans_adversarial_outliers(self):
+        """Max-pool classifier surrogate (the PointNet pooling shape —
+        the setting SOR's duplication ≡ removal equivalence targets):
+        two far-displaced points hijack the per-class max and flip the
+        GLOBAL prediction; SOR replaces them with inlier duplicates,
+        restoring the clean prediction exactly (the displaced slots
+        were redundant duplicates, so the clean max never lived there)."""
+        from pointsecguard_tpu.attacks import statistical_outlier_removal
+
+        Wc = jax.random.normal(jax.random.PRNGKey(7), (3, C))
+        coord_cls = lambda p: jnp.max(p[..., :3] @ Wc, axis=1,
+                                      keepdims=True)  # [B, 1, C]
+        rng = np.random.RandomState(5)
+        pts = jnp.array(rng.rand(4, 64, 6).astype(np.float32))
+        pts = pts.at[:, 0].set(pts[:, 2]).at[:, 1].set(pts[:, 3])
+        labels = jnp.argmax(coord_cls(pts), axis=-1)  # [4, 1]
+        wrong = (labels[:, 0] + 1) % C
+        dirn = Wc[:, wrong].T  # [4, 3]: ascent direction of a wrong class
+        dirn = dirn / jnp.linalg.norm(dirn, axis=1, keepdims=True)
+        adv = pts.at[:, 0, :3].add(15.0 * dirn)
+        adv = adv.at[:, 1, :3].add(15.0 * dirn + jnp.array([5.0, -5.0, 5.0]))
+
+        def acc(f, x):
+            return float((jnp.argmax(f(x), -1) == labels).mean())
+
+        defended = lambda p: coord_cls(
+            statistical_outlier_removal(p, k=8, alpha=1.1)
+        )
+        assert acc(coord_cls, adv) < 1.0  # outliers hijack the max pool
+        assert acc(defended, adv) == 1.0  # SOR removes their influence
