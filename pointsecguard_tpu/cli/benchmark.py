@@ -54,9 +54,23 @@ def main(argv=None):
                          "prediction per shape — ares' classifier shape)")
     ap.add_argument("--model", default="pointnet2",
                     choices=["pointnet2", "pointnet2_msg", "pointnet",
+                             "resgcn", "randla",
                              "pointnet2_cls", "pointnet2_cls_msg",
-                             "pointnet_cls"])
+                             "pointnet_cls"],
+                    help="resgcn uses the reference OptInit defaults; "
+                         "randla benchmarks whole sampled clouds over "
+                         "--randla_dir (where the vendored ares lives)")
     ap.add_argument("--data_root", default="data/stanford_indoor3d")
+    ap.add_argument("--randla_dir", default="data/randla_input_0.040",
+                    help="randla: prepared artifact tree")
+    # ResGCN OptInit model flags (shared semantics with train/eval/attack;
+    # 0/"" = reference config default)
+    ap.add_argument("--resgcn_blocks", type=int, default=0)
+    ap.add_argument("--resgcn_k", type=int, default=0)
+    ap.add_argument("--resgcn_filters", type=int, default=0)
+    ap.add_argument("--resgcn_block_type", default="")
+    ap.add_argument("--resgcn_conv", default="")
+    ap.add_argument("--resgcn_epsilon", type=float, default=0.0)
     ap.add_argument("--log_dir", default="log/run")
     ap.add_argument("--test_area", type=int, default=5)
     ap.add_argument("--num_point", type=int, default=0,
@@ -181,14 +195,69 @@ def main(argv=None):
         domain = {"channels": (0, 3), "clip": None, "box": (-1.0, 1.0),
                   "num_classes": num_classes,
                   "success_acc": 1.0 / num_classes}
+    elif args.model == "randla":
+        # RandLA whole-cloud benchmarking — where the vendored ares
+        # actually lived (the fork nests it under RandLA-Net); spatially
+        # regular sampled clouds, on-device pyramid inside the closure
+        from pointsecguard_tpu.data.randla import randla_dataset_preset
+        from pointsecguard_tpu.models import RandLANet, build_pyramid
+
+        num_classes = 13
+        preset = randla_dataset_preset("s3dis")
+        rcfg = preset.cfg
+        npoint = args.num_point or rcfg.num_points
+        sampler = preset.make_sampler(
+            args.randla_dir, "test", npoint,
+            np.random.default_rng(args.seed), test_area=args.test_area,
+        )
+        model = RandLANet(num_classes=num_classes, d_out=rcfg.d_out,
+                          dtype=model_dtype)
+        pyramid_fn = jax.jit(lambda xyz: build_pyramid(
+            xyz, num_layers=rcfg.num_layers, k=rcfg.k_n,
+            sub_ratios=rcfg.sub_sampling_ratio, knn_tile=4096,
+        ))
+        model_args = lambda f: (f, pyramid_fn(f[..., :3]))
+        dummy = jnp.zeros((B, npoint, 6), jnp.float32)
+        state, _ = create_train_state(
+            model, (dummy, None), rng=jax.random.PRNGKey(0),
+            model_args=model_args,
+        )
+        restored = ckpt.restore_best(state) or ckpt.restore_latest(state)
+        if restored is None:
+            raise SystemExit(f"no checkpoint under {args.log_dir}/checkpoints")
+        state = replicate(mesh, restored[0])
+        variables = {"params": state.params,
+                     "batch_stats": state.batch_stats}
+
+        def outputs_fn(f):
+            return model.apply(variables, f, pyramid_fn(f[..., :3]))
+
+        n_clouds = args.max_blocks or 16
+
+        def batches():
+            for _, feats, labels, _, _ in sampler.batches(
+                B, -(-n_clouds // B)
+            ):
+                yield put(feats), put(labels.astype(np.int32))
+
+        domain = {}
     else:
         num_classes = 13
         npoint = args.num_point or 4096
-        model = {
-            "pointnet2": PointNet2SemSegSSG,
-            "pointnet2_msg": PointNet2SemSegMSG,
-            "pointnet": PointNetSemSeg,
-        }[args.model](dtype=model_dtype)
+        if args.model == "resgcn":
+            from pointsecguard_tpu.configs import resgcn_overrides
+            from pointsecguard_tpu.models import DenseDeepGCN
+
+            # reference OptInit defaults (`ResGCN/sem_seg_dense/config.py`)
+            # unless overridden by the shared --resgcn_* flags
+            model = DenseDeepGCN(dtype=model_dtype,
+                                 **resgcn_overrides(args))
+        else:
+            model = {
+                "pointnet2": PointNet2SemSegSSG,
+                "pointnet2_msg": PointNet2SemSegMSG,
+                "pointnet": PointNetSemSeg,
+            }[args.model](dtype=model_dtype)
         dummy = jnp.zeros((B, npoint, 9), jnp.float32)
         state, _ = create_train_state(model, (dummy, None),
                                       rng=jax.random.PRNGKey(0))
@@ -207,6 +276,9 @@ def main(argv=None):
                 return model.apply(
                     variables, p, geometry=geo_fn(p[..., :3])
                 )[0]
+        elif args.model == "resgcn":
+            def outputs_fn(p):
+                return model.apply(variables, p)
         else:
             def outputs_fn(p):
                 return model.apply(variables, p)[0]

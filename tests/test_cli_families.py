@@ -85,6 +85,23 @@ class TestRandlaCLI:
         c = rows[1].split("\t")
         assert float(c[3]) > 0  # nonzero distortion
 
+    def test_benchmark_cli_randla(self, trained):
+        """cli.benchmark --model randla: the ares harness over whole
+        sampled clouds — where the vendored ares actually lives (the
+        fork nests it under RandLA-Net)."""
+        from pointsecguard_tpu.cli import benchmark
+
+        rd, _, log = trained
+        acc, acc_adv, total, succ, dist = benchmark.main([
+            "--mode", "attack", "--attack_name", "bim", "--goal", "ut",
+            "--model", "randla", "--randla_dir", rd, "--log_dir", log,
+            "--num_point", "512", "--batch_size", "2", "--max_blocks", "2",
+            "--eps", "17.0", "--alpha", "1.7", "--iters", "3",
+        ])
+        assert acc.shape == acc_adv.shape == succ.shape == (2 * 512,)
+        np.testing.assert_array_equal(succ, total & ~acc_adv)
+        assert (dist > 0).all()
+
     def test_random_noise_driver(self, trained):
         """`--attack random` runs the fixed-norm noise control as its own
         driver at the cloud level (the `sem_seg_dense/test.py:47-109`
@@ -352,6 +369,23 @@ class TestResgcnCLI:
         tsv = os.path.join(log, "resgcn_nb_area5.tsv")
         assert len(open(tsv).read().strip().splitlines()) >= 2
         assert float(adv_m.accuracy) <= float(clean_m.accuracy)
+
+    def test_benchmark_cli_resgcn(self, trained):
+        """cli.benchmark --model resgcn with the shared OptInit flags
+        (the checkpoint is a 3-block model)."""
+        from pointsecguard_tpu.cli import benchmark
+
+        data, log = trained
+        acc, acc_adv, total, succ, dist = benchmark.main([
+            "--mode", "attack", "--attack_name", "bim", "--goal", "ut",
+            "--model", "resgcn", "--data_root", data, "--log_dir", log,
+            "--num_point", "128", "--resgcn_blocks", "3",
+            "--batch_size", "2", "--max_blocks", "2",
+            "--eps", "0.3", "--alpha", "0.05", "--iters", "3",
+        ])
+        assert acc.shape == succ.shape == (2 * 128,)
+        np.testing.assert_array_equal(succ, total & ~acc_adv)
+        assert (dist > 0).all()
 
     def test_tar_nb_gates_and_protocol(self, trained):
         """Targeted run exercises the reference skip gates (count<=500 &
