@@ -270,6 +270,48 @@ def extra_cls_nb_iters_per_sec(batch=16, npoint=1024, scan=3):
     return batch * cfg.iters * scan / best
 
 
+def extra_spsa_queries_per_sec(iters=10, samples=8, scan=2):
+    """Score-based black-box SPSA (`attacks/blackbox.py`): PointNet++
+    4096-pt block, iters × samples antithetic pairs = iters·samples·2
+    model queries per attack, all in one fused while_loop. The fused
+    loop should sit at the FORWARD envelope (~1.8 ms/query measured,
+    docs/ROUND3_NOTES.md) — regression-tracked so the query loop never
+    silently regresses off it."""
+    from jax import lax
+
+    from pointsecguard_tpu.attacks import SPSAConfig, spsa_attack
+    from pointsecguard_tpu.models import PointNet2SemSegSSG
+
+    model = PointNet2SemSegSSG(num_classes=13)
+    rng = np.random.RandomState(0)
+    points = jnp.array(rng.rand(1, N_POINTS, 9).astype(np.float32))
+    labels = jnp.array(rng.randint(0, 13, (1, N_POINTS)))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), points)
+    outputs_fn = lambda p: model.apply(variables, p)[0]
+    cfg = SPSAConfig(eps=0.1, alpha=0.05, iters=iters, samples=samples,
+                     delta=0.01)
+
+    @jax.jit
+    def attack_scan(pts, labs, key):
+        def body(carry, i):
+            p, _ = carry
+            res = spsa_attack(outputs_fn, p, labs, cfg,
+                              key=jax.random.fold_in(key, i))
+            return (res.points_adv, res.l2_dist), res.l2_dist
+
+        (_, _), l2s = lax.scan(
+            body, (pts, jnp.zeros((1,))), jnp.arange(scan)
+        )
+        return l2s
+
+    key = jax.random.PRNGKey(1)
+    float(attack_scan(points, labels, key).sum())  # compile + warmup
+    best = _time_best(
+        lambda: float(attack_scan(points, labels, key).sum()), 3
+    )
+    return iters * samples * 2 * scan / best
+
+
 def extra_pointnet2_serving_blocks_per_sec(batch=8, reps=20):
     """Serving throughput through the AOT artifact (`utils/export.py`):
     eval forward exported to serialized StableHLO, reloaded with
@@ -598,6 +640,7 @@ EXTRAS = (
     ("pointnet2_serving_blocks_per_sec",
      extra_pointnet2_serving_blocks_per_sec, 1),
     ("pointnet2_cls_nb_iters_per_sec", extra_cls_nb_iters_per_sec, 1),
+    ("pointnet2_spsa_queries_per_sec", extra_spsa_queries_per_sec, 1),
     ("resgcn_nb_ms_per_iter", extra_resgcn_nb_ms_per_iter, 2),
     ("resgcn_nb_bf16_ms_per_iter",
      lambda: extra_resgcn_nb_ms_per_iter(jnp.bfloat16), 2),

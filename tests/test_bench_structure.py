@@ -31,6 +31,7 @@ def test_bench_surface():
         "pointnet2_nb_bs8_aggregate_iters_per_sec",
         "pointnet2_serving_blocks_per_sec",
         "pointnet2_cls_nb_iters_per_sec",
+        "pointnet2_spsa_queries_per_sec",
         "resgcn_nb_ms_per_iter",
         "pointnet2_train_pipeline_blocks_per_sec",
         "baseline_cpu_measured_nb_iters_per_sec",
