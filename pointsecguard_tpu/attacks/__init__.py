@@ -36,6 +36,7 @@ from pointsecguard_tpu.attacks.defenses import (
     random_color_jitter,
     random_color_resample,
     random_point_permutation,
+    randomized_defense_wraps,
     simple_random_subsample,
     statistical_outlier_removal,
 )
@@ -142,6 +143,7 @@ __all__ = [
     "random_color_jitter",
     "random_color_resample",
     "random_point_permutation",
+    "randomized_defense_wraps",
     "simple_random_subsample",
     "spsa_attack",
     "statistical_outlier_removal",

@@ -20,6 +20,37 @@ import jax.numpy as jnp
 from pointsecguard_tpu.attacks.common import get_color, set_color
 
 
+def randomized_defense_wraps(
+    transform: Callable[[jnp.ndarray, jax.Array], jnp.ndarray],
+    key: jax.Array,
+    eot: int = 1,
+) -> tuple[Callable, Callable]:
+    """``(eval_wrap, attack_wrap)`` for a randomized input-transform
+    defense — the one contract both attack CLIs share.
+
+    ``eval_wrap`` wraps a model closure with the DEPLOYED defense (one
+    fixed draw from ``key``, so protocol runs stay deterministic); every
+    reported metric must come from it. ``attack_wrap`` is what the
+    attacker differentiates: the same single draw when ``eot <= 1``, or
+    the mean output over ``eot`` independent draws (EoT, Athalye et al.
+    2018) so the attack gradient integrates over the defense's
+    randomness instead of seeing one transparent draw.
+    """
+    eval_wrap = lambda f: (lambda p: f(transform(p, key)))
+    if eot <= 1:
+        return eval_wrap, eval_wrap
+    eot_keys = jax.random.split(key, eot)
+
+    def attack_wrap(f):
+        def defended(p):
+            outs = jax.vmap(lambda k: f(transform(p, k)))(eot_keys)
+            return outs.mean(axis=0)
+
+        return defended
+
+    return eval_wrap, attack_wrap
+
+
 def bit_depth_reduction(points: jnp.ndarray, bits: int = 4) -> jnp.ndarray:
     """Quantize colors to 2^bits levels (`defense/bit_depth_reduction.py`
     semantics). Straight-through gradient (identity surrogate)."""

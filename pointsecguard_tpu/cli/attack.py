@@ -61,24 +61,14 @@ def _defense_wrapper(args, jax):
         )
         return wrap, wrap
     # randomized defenses (fixed key set: deterministic protocol runs)
+    from pointsecguard_tpu.attacks import randomized_defense_wraps
+
     if args.defense == "jitter":
         transform = lambda p, k: random_color_jitter(p, k, args.defense_sigma)
     else:  # resample
         transform = lambda p, k: random_color_resample(p, k, args.defense_knn)
     key0 = jax.random.PRNGKey(args.seed + 99)
-    eval_wrap = lambda f: apply_color_defense(f, transform, key0)
-    if args.eot > 1:
-        eot_keys = jax.random.split(key0, args.eot)
-
-        def attack_wrap(f):
-            def defended(p):
-                outs = jax.vmap(lambda k: f(transform(p, k)))(eot_keys)
-                return outs.mean(axis=0)
-
-            return defended
-
-        return eval_wrap, attack_wrap
-    return eval_wrap, eval_wrap
+    return randomized_defense_wraps(transform, key0, args.eot)
 
 
 def main(argv=None):
@@ -442,10 +432,13 @@ def main(argv=None):
                 clean_pred = np.asarray(clean_pred)
                 adv_pred = np.asarray(adv_pred)
                 steps = int(res.steps)
-                if targeted and valid < B:
-                    # the engine's success_rate averages over the padded
-                    # duplicate rows of a tail batch — recompute over the
-                    # real rows only for the protocol TSV
+                if targeted:
+                    # protocol sr from the DEPLOYED-defense predictions:
+                    # adv_pred comes from eval_wrap, while the engine's
+                    # success_rate tracked the ATTACKED closure (the
+                    # EoT-averaged model under --eot > 1) — and it also
+                    # averages over the padded duplicate rows of a tail
+                    # batch, so recompute over the real rows only
                     ap, mp = adv_pred[:valid], np.asarray(mask)[:valid]
                     sr = (
                         float((ap[mp] == args.target).mean())
@@ -887,7 +880,15 @@ def _attack_randla(args, log):
                              adv_np[b, :, 3:6])
                 write_label_cloud(base + "_pred.xyzrgb", xyz[b],
                                   adv_pred[b])
-                write_label_cloud(base + "_gt.xyzrgb", xyz[b], labels[b])
+                # gt in the same REDUCED class space as the predictions
+                # (Semantic3D raw labels are shifted by the ignored
+                # label 0); ignored points take the sentinel slot K
+                gt_disp = np.asarray(labels[b]).astype(int)
+                if ignored:
+                    ign_pts = np.isin(gt_disp, list(ignored))
+                    gt_disp = lut[np.clip(gt_disp, 0, len(lut) - 1)]
+                    gt_disp[ign_pts] = K
+                write_label_cloud(base + "_gt.xyzrgb", xyz[b], gt_disp)
                 export_html_viewer(
                     base + "_adv.html", xyz[b], colors=adv_np[b, :, 3:6],
                     title=f"cloud {int(cloud_idx[b])} {args.attack} "

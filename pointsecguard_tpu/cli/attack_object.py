@@ -138,23 +138,13 @@ def _object_defense_wrapper(args, jax):
         )))
         return wrap, wrap
     # srs (randomized; fixed key for deterministic protocol runs)
+    from pointsecguard_tpu.attacks import randomized_defense_wraps
+
     key0 = jax.random.PRNGKey(args.seed + 99)
     transform = lambda p, k: simple_random_subsample(
         p, k, args.defense_ratio
     )
-    eval_wrap = lambda f: (lambda p: f(transform(p, key0)))
-    if args.eot > 1:
-        eot_keys = jax.random.split(key0, args.eot)
-
-        def attack_wrap(f):
-            def defended(p):
-                outs = jax.vmap(lambda k: f(transform(p, k)))(eot_keys)
-                return outs.mean(axis=0)
-
-            return defended
-
-        return eval_wrap, attack_wrap
-    return eval_wrap, eval_wrap
+    return randomized_defense_wraps(transform, key0, args.eot)
 
 
 def main(argv=None):

@@ -26,6 +26,23 @@ import argparse
 import logging
 
 
+def _check_batch_coverage(log, n: int, batch_size: int, unit: str) -> None:
+    """The fixed-shape batch generators benchmark full batches only; fail
+    loudly when that means zero batches, and say so when a tail is
+    dropped (silent truncation would read as full coverage)."""
+    if n < batch_size:
+        raise SystemExit(
+            f"--batch_size {batch_size} exceeds the {n} available {unit} "
+            f"— lower --batch_size (or raise --max_blocks)"
+        )
+    if n % batch_size:
+        log.warning(
+            "benchmarking %d of %d %s (%d-%s tail is not a full batch "
+            "of %d and is skipped)",
+            n - n % batch_size, n, unit, n % batch_size, unit, batch_size,
+        )
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser("benchmark")
     ap.add_argument("--mode", default="attack",
@@ -183,6 +200,7 @@ def main(argv=None):
         n_shapes = len(dataset)
         if args.max_blocks:
             n_shapes = min(n_shapes, args.max_blocks)
+        _check_batch_coverage(log, n_shapes, B, "shapes")
 
         def batches():
             for s in range(0, n_shapes - B + 1, B):
@@ -290,6 +308,7 @@ def main(argv=None):
         )
         if args.max_blocks:
             feats, labs = feats[: args.max_blocks], labs[: args.max_blocks]
+        _check_batch_coverage(log, len(feats), B, "blocks")
 
         def batches():
             for s in range(0, len(feats) - B + 1, B):

@@ -536,8 +536,17 @@ def _eval_randla(args, log):
             vis_dir = os.path.join(args.log_dir, "visual")
             os.makedirs(vis_dir, exist_ok=True)
             base = os.path.join(vis_dir, cloud.name)
+            # gt must be colored in the same REDUCED class space as the
+            # predictions (raw labels are shifted by the ignored classes
+            # on SemanticKITTI/Semantic3D); ignored points take the
+            # sentinel palette slot K
+            gt_disp = np.asarray(cloud.labels).astype(int)
+            if ignored:
+                ign_pts = np.isin(gt_disp, list(ignored))
+                gt_disp = lut[np.clip(gt_disp, 0, len(lut) - 1)]
+                gt_disp[ign_pts] = K
             write_label_cloud(base + "_pred.xyzrgb", cloud.xyz, sub_pred)
-            write_label_cloud(base + "_gt.xyzrgb", cloud.xyz, cloud.labels)
+            write_label_cloud(base + "_gt.xyzrgb", cloud.xyz, gt_disp)
             export_html_viewer(
                 base + "_pred.html", cloud.xyz, labels=sub_pred,
                 title=f"{cloud.name} predictions",

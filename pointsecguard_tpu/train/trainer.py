@@ -260,8 +260,24 @@ def make_adv_train_fn(
     def adv_fn(state: TrainState, points, labels, key):
         variables = {"params": state.params, "batch_stats": state.batch_stats}
 
+        # the color attack never moves xyz, so geometry derived from the
+        # points (RandLA's kNN pyramid — the dominant per-forward cost)
+        # is loop-invariant: build it ONCE from the clean batch instead
+        # of inside every PGD iteration, exactly like the attack drivers
+        # hoist it (cli/attack.py `_attack_randla`). Contract: model_args
+        # returns (points, *geometry) with the points tensor first.
+        if model_args:
+            built = model_args(points)
+            if built[0] is not points:
+                raise ValueError(
+                    "make_adv_train_fn expects model_args to return "
+                    "(points, *static_geometry) with the points array "
+                    "passed through as the first element"
+                )
+            static_args = built[1:]
+
         def outputs_fn(p):
-            args = model_args(p) if model_args else (p,)
+            args = (p, *static_args) if model_args else (p,)
             return output_head(model.apply(variables, *args))
 
         ys, mask = labels, None

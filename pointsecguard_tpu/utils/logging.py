@@ -60,9 +60,31 @@ def write_xyzrgb(path: str, xyz: np.ndarray, rgb: np.ndarray) -> None:
     )
 
 
+def label_palette(num_classes: int) -> np.ndarray:
+    """Class → RGB palette covering ``num_classes`` entries.
+
+    The first 13 rows are the reference's S3DIS colors
+    (`indoor3d_util.py:29`); datasets with more classes (SemanticKITTI's
+    19, plus the ignored-label sentinel slot) extend deterministically
+    with a golden-ratio hue walk so every class stays distinct.
+    """
+    n = max(int(num_classes), len(LABEL2COLOR))
+    if n == len(LABEL2COLOR):
+        return LABEL2COLOR
+    import colorsys
+
+    extra = []
+    for i in range(len(LABEL2COLOR), n):
+        hue = (i * 0.61803398875) % 1.0
+        r, g, b = colorsys.hsv_to_rgb(hue, 0.75, 0.95)
+        extra.append([round(r * 255), round(g * 255), round(b * 255)])
+    return np.concatenate([LABEL2COLOR, np.array(extra, np.uint8)], axis=0)
+
+
 def write_label_cloud(path: str, xyz: np.ndarray, labels: np.ndarray) -> None:
     """Dump a cloud colored by class label (pred/GT visualisations)."""
-    write_xyzrgb(path, xyz, LABEL2COLOR[np.asarray(labels).astype(int)])
+    labels = np.asarray(labels).astype(int)
+    write_xyzrgb(path, xyz, label_palette(labels.max() + 1)[labels])
 
 
 class SummaryLogger:

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pointsecguard_tpu.utils.logging import LABEL2COLOR
+from pointsecguard_tpu.utils.logging import label_palette
 
 
 def render_cloud(
@@ -42,7 +42,8 @@ def render_cloud(
         colors = None if colors is None else np.asarray(colors)[sel]
         labels = None if labels is None else np.asarray(labels)[sel]
     if colors is None and labels is not None:
-        colors = LABEL2COLOR[np.asarray(labels).astype(int)] / 255.0
+        labels = np.asarray(labels).astype(int)
+        colors = label_palette(labels.max() + 1)[labels] / 255.0
     elif colors is not None:
         colors = np.asarray(colors, np.float64)
         if colors.max() > 1.0:
@@ -142,7 +143,8 @@ def export_html_viewer(
         colors = None if colors is None else np.asarray(colors)[sel]
         labels = None if labels is None else np.asarray(labels)[sel]
     if colors is None and labels is not None:
-        colors = LABEL2COLOR[np.asarray(labels).astype(int)] / 255.0
+        labels = np.asarray(labels).astype(int)
+        colors = label_palette(labels.max() + 1)[labels] / 255.0
     elif colors is None:
         colors = np.full_like(xyz, 0.8)
     else:

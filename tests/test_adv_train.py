@@ -154,6 +154,73 @@ class TestIgnoredLabelDatasets:
             )
 
 
+class TestModelArgsHoisting:
+    """`make_adv_train_fn(model_args=...)` builds geometry ONCE from the
+    clean batch (color attacks never move xyz) instead of inside every
+    PGD iteration — the result must be bit-identical to a direct engine
+    call that recomputes geometry per iteration."""
+
+    @pytest.fixture(scope="class")
+    def geom_setup(self):
+        import flax.linen as nn
+
+        class GeomModel(nn.Module):
+            """Takes (points, geometry) like RandLANet(points, pyramid)."""
+
+            num_classes: int = NUM_CLASSES
+
+            @nn.compact
+            def __call__(self, pts, geom):
+                w = self.param(
+                    "w", nn.initializers.normal(0.1, jnp.float32),
+                    (9, self.num_classes),
+                )
+                return jnp.einsum("bnc,ck->bnk", pts, w) + geom
+
+        rng = np.random.RandomState(3)
+        pts = jnp.array(rng.rand(B, N, 9).astype(np.float32))
+        labels = jnp.array(rng.randint(0, NUM_CLASSES, (B, N)))
+        # "geometry": a function of xyz only, like the kNN pyramid
+        geom_fn = lambda p: jnp.cumsum(p[..., :3].sum(-1, keepdims=True), 1)
+        model = GeomModel()
+        model_args = lambda p: (p, geom_fn(p))
+        state, _ = create_train_state(
+            model, (pts, labels), rng=jax.random.PRNGKey(0),
+            model_args=model_args,
+        )
+        return model, state, pts, labels, geom_fn, model_args
+
+    def test_matches_per_iteration_geometry_recompute(self, geom_setup):
+        from pointsecguard_tpu.attacks.pgd import pgd_color_attack
+
+        model, state, pts, labels, geom_fn, model_args = geom_setup
+        cfg = PGDConfig(eps=0.1, alpha=0.05, iters=3)
+        adv_fn = make_adv_train_fn(model, cfg, model_args=model_args)
+        adv = adv_fn(state, pts, labels, jax.random.PRNGKey(9))
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        res = pgd_color_attack(
+            lambda p: model.apply(variables, p, geom_fn(p)),  # per-iter
+            pts, labels, cfg, key=jax.random.PRNGKey(9),
+        )
+        np.testing.assert_array_equal(
+            np.asarray(adv), np.asarray(res.points_adv)
+        )
+        # xyz untouched, color inside the eps ball
+        np.testing.assert_array_equal(
+            np.asarray(adv[..., :3]), np.asarray(pts[..., :3])
+        )
+        assert float(jnp.abs(adv[..., 3:6] - pts[..., 3:6]).max()) <= 0.1 + 1e-6
+
+    def test_points_must_pass_through_first(self, geom_setup):
+        model, state, pts, labels, geom_fn, _ = geom_setup
+        adv_fn = make_adv_train_fn(
+            model, PGDConfig(eps=0.1, alpha=0.05, iters=1),
+            model_args=lambda p: (p + 0.0, geom_fn(p)),  # copies points
+        )
+        with pytest.raises(ValueError, match="first element"):
+            adv_fn(state, pts, labels, jax.random.PRNGKey(0))
+
+
 class TestAdvTrainCLI:
     def test_cli_end_to_end_and_robustness_gain(self, tmp_path):
         """Train a clean and an adversarially-trained twin on the synthetic

@@ -266,6 +266,44 @@ class TestBenchmarkCLI:
         np.testing.assert_array_equal(succ, total & ~acc_adv)
         assert acc_adv.mean() <= acc.mean()
 
+    def test_batch_size_exceeding_data_fails_loudly(self, trained):
+        """An oversized --batch_size used to make the generator yield
+        NOTHING (bare StopIteration crash in distortion/iteration mode,
+        empty-concatenate in attack mode) — now a clear SystemExit."""
+        import pytest
+
+        from pointsecguard_tpu.cli import benchmark
+
+        data, log = trained
+        with pytest.raises(SystemExit, match="batch_size"):
+            benchmark.main([
+                "--mode", "iteration", "--model", "pointnet",
+                "--data_root", data, "--log_dir", log,
+                "--num_point", "128", "--batch_size", "64",
+                "--max_blocks", "2", "--iters", "2",
+            ])
+
+    def test_dropped_tail_is_warned(self, caplog):
+        """Full-batch truncation must be loud, not silent coverage loss.
+        (Unit-level: the CLI's basicConfig(force=True) would strip
+        caplog's handler in a full main() run; the SystemExit test above
+        proves the call-site wiring.)"""
+        import logging as pylogging
+
+        from pointsecguard_tpu.cli.benchmark import _check_batch_coverage
+
+        logger = pylogging.getLogger("benchmark-tail-test")
+        with caplog.at_level(pylogging.WARNING,
+                             logger="benchmark-tail-test"):
+            _check_batch_coverage(logger, 5, 2, "shapes")
+        assert any("tail" in r.message for r in caplog.records)
+        # exact batch fit stays quiet
+        caplog.clear()
+        with caplog.at_level(pylogging.WARNING,
+                             logger="benchmark-tail-test"):
+            _check_batch_coverage(logger, 4, 2, "shapes")
+        assert not caplog.records
+
     def test_iteration_mode(self, trained):
         from pointsecguard_tpu.cli import benchmark
 

@@ -584,9 +584,18 @@ class TestRandlaOtherDatasets:
             "--model", "randla", "--randla_dataset", "semantickitti",
             "--randla_dir", kitti_tree, "--log_dir", kitti_log,
             "--randla_points", "256", "--num_clouds", "2",
+            "--visual",
         ])
         assert np.asarray(m.class_iou).shape == (19,)
         assert 0.0 <= float(m.accuracy) <= 1.0
+        # --visual on a 19-class dataset: the palette must extend past
+        # the 13 S3DIS colors, and gt dumps must live in the same
+        # REDUCED class space as the predictions (regression: this
+        # used to IndexError on the first cloud)
+        vis = os.path.join(kitti_log, "visual")
+        dumps = sorted(os.listdir(vis))
+        assert any(f.endswith("_pred.xyzrgb") for f in dumps)
+        assert any(f.endswith("_gt.xyzrgb") for f in dumps)
 
     def test_adv_train_rejected_for_colorless_clouds(self, kitti_tree,
                                                      tmp_path):

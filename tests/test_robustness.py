@@ -159,6 +159,41 @@ class TestDefenseWiring:
         )
         assert float(jnp.abs(a[..., 3:6] - pts[..., 3:6]).max()) > 0
 
+    def test_randomized_defense_wraps_contract(self):
+        """The shared (eval_wrap, attack_wrap) helper both attack CLIs
+        use: eval = ONE fixed draw; attack = mean over eot draws."""
+        import jax
+
+        from pointsecguard_tpu.attacks import (
+            random_color_jitter,
+            randomized_defense_wraps,
+        )
+
+        rng = np.random.RandomState(1)
+        pts = jnp.array(rng.rand(2, 16, 9).astype(np.float32))
+        transform = lambda p, k: random_color_jitter(p, k, 0.05)
+        f = lambda p: p[..., 3:6] * 2.0  # stand-in model closure
+        key = jax.random.PRNGKey(3)
+
+        ev1, atk1 = randomized_defense_wraps(transform, key, eot=1)
+        assert ev1 is atk1  # no EoT → one deployed view
+        np.testing.assert_array_equal(
+            np.asarray(ev1(f)(pts)), np.asarray(f(transform(pts, key)))
+        )
+
+        ev, atk = randomized_defense_wraps(transform, key, eot=4)
+        # eval_wrap unchanged by eot (the DEPLOYED defense)
+        np.testing.assert_array_equal(
+            np.asarray(ev(f)(pts)), np.asarray(ev1(f)(pts))
+        )
+        keys = jax.random.split(key, 4)
+        expected = jnp.stack(
+            [f(transform(pts, k)) for k in keys]
+        ).mean(axis=0)
+        np.testing.assert_allclose(
+            np.asarray(atk(f)(pts)), np.asarray(expected), rtol=1e-6
+        )
+
     def test_setup_jax_cpu_smoke(self, tmp_path, monkeypatch):
         """setup_jax honors a single-value JAX_PLATFORMS and sets the
         compile cache without touching the (possibly absent) TPU."""

@@ -122,6 +122,24 @@ class TestVisualDumps:
         rows = np.loadtxt(p)
         assert rows.shape == (5, 6)
 
+    def test_label_cloud_beyond_13_classes(self, tmp_path, rng):
+        """SemanticKITTI predictions span 19 classes (+ the ignored-label
+        sentinel slot); the palette must extend instead of IndexError."""
+        from pointsecguard_tpu.utils.logging import label_palette
+
+        labels = np.array([0, 5, 12, 13, 18, 19])
+        p = str(tmp_path / "k.xyzrgb")
+        write_label_cloud(p, rng.rand(6, 3), labels)
+        rows = np.loadtxt(p)
+        assert rows.shape == (6, 6)
+
+        pal20 = label_palette(20)
+        # reference S3DIS colors preserved (`indoor3d_util.py:29`)
+        np.testing.assert_array_equal(pal20[:13], label_palette(13))
+        # deterministic + all distinct
+        np.testing.assert_array_equal(pal20, label_palette(20))
+        assert len({tuple(c) for c in pal20}) == 20
+
 
 class TestStepTimer:
     def test_window_average(self):
