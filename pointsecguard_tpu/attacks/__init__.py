@@ -23,12 +23,21 @@ from pointsecguard_tpu.attacks.benchmark import (
     load_attack,
 )
 from pointsecguard_tpu.attacks.blackbox import (
+    NAttackConfig,
     NESConfig,
     SPSAConfig,
+    nattack,
     nes_attack,
     spsa_attack,
 )
 from pointsecguard_tpu.attacks.cw import CWConfig, cw_color_attack
+from pointsecguard_tpu.attacks.decision import (
+    BoundaryConfig,
+    EvolutionaryConfig,
+    boundary_attack,
+    evolutionary_attack,
+)
+from pointsecguard_tpu.attacks.deepfool import DeepFoolConfig, deepfool_attack
 from pointsecguard_tpu.attacks.defenses import (
     apply_color_defense,
     bit_depth_reduction,

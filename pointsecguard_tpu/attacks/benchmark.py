@@ -19,13 +19,22 @@ import jax.numpy as jnp
 import numpy as np
 
 from pointsecguard_tpu.attacks.blackbox import (
+    NAttackConfig,
     NESConfig,
     SPSAConfig,
+    nattack,
     nes_attack,
     spsa_attack,
 )
 from pointsecguard_tpu.attacks.common import make_target_labels
 from pointsecguard_tpu.attacks.cw import CWConfig, cw_color_attack
+from pointsecguard_tpu.attacks.decision import (
+    BoundaryConfig,
+    EvolutionaryConfig,
+    boundary_attack,
+    evolutionary_attack,
+)
+from pointsecguard_tpu.attacks.deepfool import DeepFoolConfig, deepfool_attack
 from pointsecguard_tpu.attacks.pgd import PGDConfig, pgd_color_attack
 
 
@@ -43,14 +52,18 @@ def run_registered_attack(
     `attack/base.py`)."""
     if isinstance(cfg, CWConfig):
         return cw_color_attack(outputs_fn, points, labels, cfg, mask=mask)
-    if isinstance(cfg, NESConfig):
-        return nes_attack(outputs_fn, points, labels, cfg, mask=mask,
-                          key=key if key is not None
-                          else jax.random.PRNGKey(0))
-    if isinstance(cfg, SPSAConfig):
-        return spsa_attack(outputs_fn, points, labels, cfg, mask=mask,
-                           key=key if key is not None
-                           else jax.random.PRNGKey(0))
+    if isinstance(cfg, DeepFoolConfig):
+        return deepfool_attack(outputs_fn, points, labels, cfg, mask=mask)
+    keyed = {
+        NESConfig: nes_attack,
+        SPSAConfig: spsa_attack,
+        NAttackConfig: nattack,
+        BoundaryConfig: boundary_attack,
+        EvolutionaryConfig: evolutionary_attack,
+    }.get(type(cfg))
+    if keyed is not None:
+        return keyed(outputs_fn, points, labels, cfg, mask=mask,
+                     key=key if key is not None else jax.random.PRNGKey(0))
     return pgd_color_attack(outputs_fn, points, labels, cfg, mask=mask,
                             key=key)
 
@@ -79,10 +92,13 @@ def distortion_binsearch(
     key: jax.Array | None = None,
 ) -> tuple[float, dict]:
     """Minimal ε at which the attack succeeds, via exponential search
-    then bisection (`distortion.py` protocol). Any ε-bounded registry
-    config works (fgsm/bim/pgd/mim/nes/spsa); C&W has no ε knob and is
-    rejected, as in ares (its distortion benchmark drives the
-    magnitude-parameterized attacks).
+    then bisection (`distortion.py` protocol) for the ε-bounded registry
+    configs (fgsm/bim/pgd/mim/nes/spsa/nattack). Configs with no ε knob
+    (cw/deepfool/boundary/evolutionary) MINIMIZE distortion themselves:
+    as in ares (`distortion.py:68,276-288`), they run once and report
+    the achieved per-sample distortion where successful —
+    ``details["optimized"]`` is set and the returned scalar is the mean
+    successful distortion (inf if none succeeded).
 
     Success = adversarial accuracy < ``success_acc`` (untargeted) or
     success rate > 0.9 (targeted). Step size scales with ε (α = ε·α₀/ε₀,
@@ -91,9 +107,26 @@ def distortion_binsearch(
     Returns (epsilon, details) where details records every probe.
     """
     if not hasattr(base_cfg, "eps"):
-        raise ValueError(
-            f"{type(base_cfg).__name__} has no ε magnitude to search over"
+        if getattr(base_cfg, "targeted", False):
+            raise ValueError(
+                "targeted minimization attacks have no per-sample success "
+                "signal here; use AttackBenchmark (--mode attack)"
+            )
+        res = run_registered_attack(
+            outputs_fn, points, labels, base_cfg, mask=mask, key=key
         )
+        pred = np.asarray(res.adv_pred)
+        lab = np.asarray(labels)
+        per_acc = (pred == lab).mean(axis=tuple(range(1, pred.ndim)))
+        succ = per_acc < success_acc
+        dists = np.asarray(res.l2_dist)
+        details = {
+            "optimized": True,
+            "dist": dists.tolist(),
+            "success": succ.tolist(),
+        }
+        eps = float(dists[succ].mean()) if succ.any() else float("inf")
+        return eps, details
     alpha_ratio = base_cfg.alpha / base_cfg.eps
     details: dict = {"probes": []}
 
@@ -175,11 +208,12 @@ def iteration_curve(
 # AttackBenchmark). The reference registry NAMES eleven attacks but its
 # vendored ares exports only BIM + the NB/NU attacks (`ares/__init__.py`
 # — the import at `benchmark/utils.py:4` is dead code upstream). The
-# gradient attacks map onto the two unified engines; mim (momentum BIM)
-# and the input-agnostic score-based methods nes/spsa are implemented
-# beyond-reference (`attacks/blackbox.py`); the image-only geometry
-# methods (deepfool/nattack/boundary/evolutionary) have no point-cloud
-# reference path and stay unregistered.
+# gradient attacks map onto the two unified engines; the other seven —
+# mim (momentum BIM), the score-based nes/spsa/nattack, the white-box
+# minimal-perturbation deepfool, and the decision-based
+# boundary/evolutionary — are implemented beyond-reference
+# (`attacks/blackbox.py`, `deepfool.py`, `decision.py`), completing all
+# eleven registry names.
 
 ATTACKS: dict[str, type] = {
     "fgsm": PGDConfig,  # single step, α = ε, no random init
@@ -187,14 +221,21 @@ ATTACKS: dict[str, type] = {
     "pgd": PGDConfig,  # iterative with random init
     "mim": PGDConfig,  # BIM + L1-normalized gradient momentum
     "cw": CWConfig,
+    "deepfool": DeepFoolConfig,  # white-box nearest-boundary crossing
     "nes": NESConfig,  # score-based, Gaussian antithetic queries
     "spsa": SPSAConfig,  # score-based, Rademacher antithetic queries
+    "nattack": NAttackConfig,  # score-based distribution learning
+    "boundary": BoundaryConfig,  # decision-based boundary walk
+    "evolutionary": EvolutionaryConfig,  # decision-based (1+1)-ES
 }
 
+# Attacks that cross the NEAREST boundary (deepfool) or minimize
+# distance subject to staying misclassified (boundary/evolutionary)
+# have no targeted drive; AttackBenchmark rejects goals 't'/'tm'.
+UNTARGETED_ONLY = frozenset({"deepfool", "boundary", "evolutionary"})
 
-def load_attack(
-    attack_name: str, init_kwargs: dict
-) -> PGDConfig | CWConfig | NESConfig | SPSAConfig:
+
+def load_attack(attack_name: str, init_kwargs: dict):
     """Build an attack config by registry name, keeping only the kwargs the
     config actually declares — the reference filters by the attack class's
     ``__init__`` signature the same way (`benchmark/utils.py:23-38`)."""
@@ -251,6 +292,11 @@ class AttackBenchmark:
     ):
         if goal not in ("ut", "tm", "t"):
             raise ValueError(f"unknown goal {goal!r}")
+        if goal != "ut" and attack_name in UNTARGETED_ONLY:
+            raise ValueError(
+                f"{attack_name} is untargeted by construction; only goal "
+                f"'ut' is supported (got {goal!r})"
+            )
         if distance_metric not in ("l_2", "l_inf"):
             raise ValueError(f"unknown distance metric {distance_metric!r}")
         if goal == "t" and (origin is None or target is None):

@@ -83,23 +83,11 @@ class SPSAConfig:
     adam_eps: float = 1e-8
 
 
-def _score_attack(
-    outputs_fn: Callable[[jnp.ndarray], jnp.ndarray],
-    points: jnp.ndarray,
-    labels: jnp.ndarray,
-    cfg,
-    *,
-    sample_noise: Callable[[jax.Array, tuple], jnp.ndarray],
-    fd_radius: float,
-    make_step,
-    mask: jnp.ndarray | None,
-    key: jax.Array,
-) -> AttackResult:
-    """Shared NES/SPSA skeleton: antithetic per-cloud loss queries →
-    gradient estimate → optimizer step → projection, fused."""
+def _query_setup(points, labels, cfg, mask, outputs_fn):
+    """Shared perturbation-domain plumbing for the score-based attacks:
+    (color0, adv_of, per_cloud_loss, ys, direction, masked-mix m)."""
     ch = slice(*cfg.channels)
     color0 = points[..., ch]
-    B = points.shape[0]
     m = None if mask is None else mask.astype(points.dtype)[..., None]
 
     if cfg.targeted:
@@ -130,6 +118,28 @@ def _score_attack(
                 outputs, ys, cfg.num_classes, point_mask=point_mask
             )
         raise ValueError(cfg.loss)
+
+    return color0, m, adv_of, per_cloud_loss, ys, direction
+
+
+def _score_attack(
+    outputs_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    points: jnp.ndarray,
+    labels: jnp.ndarray,
+    cfg,
+    *,
+    sample_noise: Callable[[jax.Array, tuple], jnp.ndarray],
+    fd_radius: float,
+    make_step,
+    mask: jnp.ndarray | None,
+    key: jax.Array,
+) -> AttackResult:
+    """Shared NES/SPSA skeleton: antithetic per-cloud loss queries →
+    gradient estimate → optimizer step → projection, fused."""
+    B = points.shape[0]
+    color0, m, adv_of, per_cloud_loss, ys, direction = _query_setup(
+        points, labels, cfg, mask, outputs_fn
+    )
 
     def grad_estimate(color, key):
         def pair(acc, k):
@@ -243,3 +253,121 @@ def spsa_attack(
         sample_noise=rademacher, fd_radius=cfg.delta,
         make_step=make_step, mask=mask, key=key,
     )
+
+
+@dataclasses.dataclass(frozen=True)
+class NAttackConfig:
+    """NAttack (Li et al. 2019): learn a Gaussian N(μ, σ²I) over a
+    latent perturbation space; per iteration, sample a population,
+    score each projected candidate with a loss QUERY, z-score the
+    losses, and take an NES step on μ. Distinctives vs plain NES:
+    the distribution lives in an unconstrained latent space mapped
+    through tanh into the clip box (paper eq. 2 g(z) = (tanh(z)+1)/2),
+    and the loss weights are z-scored across the population (paper
+    alg. 1 line 8) rather than raw antithetic differences."""
+
+    eps: float
+    alpha: float = 0.008  # μ learning rate (paper's η)
+    iters: int = 100
+    samples: int = 16  # population size per iteration (paper's b)
+    sigma: float = 0.1  # sampling std (paper's σ)
+    loss: str = "hinge"  # the paper drives the C&W margin loss
+    targeted: bool = False
+    target: int = -1
+    num_classes: int = 13
+    channels: tuple[int, int] = (3, 6)
+    clip: tuple[float, float] | None = (0.0, 1.0)
+
+
+def nattack(
+    outputs_fn: Callable[[jnp.ndarray], jnp.ndarray],
+    points: jnp.ndarray,
+    labels: jnp.ndarray,
+    cfg: NAttackConfig,
+    *,
+    mask: jnp.ndarray | None = None,
+    key: jax.Array | None = None,
+) -> AttackResult:
+    """Fused NAttack: the full distribution-learning loop is one
+    ``lax.while_loop``; each iteration's population queries run as a
+    ``lax.scan``, so the compiled program holds a single model forward
+    regardless of the population size.
+
+    Latent map: with a clip box, candidates are
+    proj_ε(lo + (hi-lo)·(tanh(z)+1)/2) (the paper's g for images);
+    with ``clip=None`` (the coordinate domain) the latent is the
+    perturbation itself, candidates are color0 + proj_ε(z).
+    """
+    if key is None:
+        raise ValueError("nattack requires a PRNG key")
+    B = points.shape[0]
+    color0, m, adv_of, per_cloud_loss, ys, direction = _query_setup(
+        points, labels, cfg, mask, outputs_fn
+    )
+
+    lo, hi = cfg.clip if cfg.clip is not None else (None, None)
+
+    def g(z):
+        """Latent → candidate color inside the ε-ball (and clip box)."""
+        if cfg.clip is not None:
+            x = lo + (hi - lo) * 0.5 * (jnp.tanh(z) + 1.0)
+            eta = jnp.clip(x - color0, -cfg.eps, cfg.eps)
+            return jnp.clip(color0 + eta, lo, hi)
+        return color0 + jnp.clip(z, -cfg.eps, cfg.eps)
+
+    if cfg.clip is not None:
+        # start the latent at the clean input's preimage: tanh-inverse of
+        # the box-normalized color, so g(μ₀) ≈ color0
+        unit = jnp.clip((color0 - lo) / (hi - lo), 1e-6, 1 - 1e-6)
+        mu0 = jnp.arctanh(2.0 * unit - 1.0)
+    else:
+        mu0 = jnp.zeros_like(color0)
+
+    def body(carry):
+        i, mu, key = carry
+        key, kz = jax.random.split(key)
+        # population: draw all sample noises from one scan, collecting
+        # per-sample losses; z-score; then a second scan replays the
+        # SAME noise (same keys) to form Σ f̂ᵢ·εᵢ without storing the
+        # [samples, ...] noise tensor
+        keys = jax.random.split(kz, cfg.samples)
+
+        def query(_, k):
+            e = jax.random.normal(k, mu.shape)
+            f = per_cloud_loss(g(mu + cfg.sigma * e))  # [B]
+            return None, f
+
+        _, fs = jax.lax.scan(query, None, keys)  # [samples, B]
+        f_mean = jnp.mean(fs, axis=0)
+        f_std = jnp.std(fs, axis=0) + 1e-7
+        f_hat = (fs - f_mean) / f_std  # z-scored (paper alg. 1)
+
+        def accumulate(acc, xs):
+            k, fh = xs
+            e = jax.random.normal(k, mu.shape)  # same draw as query
+            return acc + fh[:, None, None] * e, None
+
+        grad_mu, _ = jax.lax.scan(
+            accumulate, jnp.zeros_like(mu), (keys, f_hat)
+        )
+        mu = mu + direction * (cfg.alpha / (cfg.samples * cfg.sigma)) * grad_mu
+        return i + 1, mu, key
+
+    def cond(carry):
+        return carry[0] < cfg.iters
+
+    steps, mu, _ = jax.lax.while_loop(
+        cond, body, (jnp.zeros((), jnp.int32), mu0, key)
+    )
+    color_adv = g(mu)
+    adv = adv_of(color_adv)
+    outputs = outputs_fn(adv)
+    adv_pred = jnp.argmax(outputs, axis=-1)
+    acc = point_accuracy(outputs, labels, None if cfg.targeted else mask)
+    if cfg.targeted and mask is not None:
+        sr = point_accuracy(outputs, jnp.full_like(labels, cfg.target), mask)
+    else:
+        sr = jnp.zeros(())
+    adv_color_mixed = adv[..., slice(*cfg.channels)]
+    l2 = jnp.linalg.norm((adv_color_mixed - color0).reshape(B, -1), axis=1)
+    return AttackResult(adv, steps, acc, sr, l2, adv_pred)

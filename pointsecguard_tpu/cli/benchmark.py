@@ -49,15 +49,33 @@ def main(argv=None):
                     choices=["attack", "distortion", "iteration",
                              "prediction"])
     ap.add_argument("--attack_name", default="pgd",
-                    choices=["fgsm", "bim", "pgd", "mim", "cw", "nes",
-                             "spsa"],
-                    help="attack-mode registry name (`benchmark/utils.py`; "
-                         "mim/nes/spsa are beyond-reference — the vendored "
-                         "ares names them but ships no implementation)")
+                    choices=["fgsm", "bim", "pgd", "mim", "cw", "deepfool",
+                             "nes", "spsa", "nattack", "boundary",
+                             "evolutionary"],
+                    help="attack-mode registry name — all eleven of "
+                         "`benchmark/utils.py:8-20` (the seven beyond "
+                         "fgsm/bim/pgd/cw are beyond-reference: the "
+                         "vendored ares names them but ships no "
+                         "implementation). deepfool/boundary/evolutionary "
+                         "need one decision per shape (--task cls) and "
+                         "are untargeted-only")
     ap.add_argument("--samples", type=int, default=16,
-                    help="nes/spsa: antithetic query pairs per iteration")
-    ap.add_argument("--sigma", type=float, default=0.01,
-                    help="nes: Gaussian search radius")
+                    help="nes/spsa: antithetic query pairs per iteration; "
+                         "nattack: population size")
+    ap.add_argument("--sigma", type=float, default=None,
+                    help="sampling scale: nes search radius (default "
+                         "0.01), nattack sampling std (0.1), evolutionary "
+                         "mutation norm (0.3); unset keeps each attack's "
+                         "default")
+    ap.add_argument("--overshoot", type=float, default=0.02,
+                    help="deepfool: boundary-crossing overshoot")
+    ap.add_argument("--init_tries", type=int, default=20,
+                    help="boundary/evolutionary: random-search draws for "
+                         "the starting adversarial point")
+    ap.add_argument("--spherical_step", type=float, default=0.1,
+                    help="boundary: initial orthogonal step size")
+    ap.add_argument("--source_step", type=float, default=0.1,
+                    help="boundary: initial contraction step size")
     ap.add_argument("--spsa_delta", type=float, default=0.01,
                     help="spsa: finite-difference radius")
     ap.add_argument("--momentum", type=float, default=0.0,
@@ -343,11 +361,14 @@ def main(argv=None):
         log.info("saved %s", out_path)
         return ys, ys_target, preds
 
+    extra = {} if args.sigma is None else {"sigma": args.sigma}
     if args.mode == "attack":
         kwargs = dict(eps=args.eps, alpha=args.alpha, iters=args.iters,
                       steps=args.cw_steps, samples=args.samples,
-                      sigma=args.sigma, delta=args.spsa_delta,
-                      momentum=args.momentum, **domain)
+                      delta=args.spsa_delta, momentum=args.momentum,
+                      overshoot=args.overshoot, init_tries=args.init_tries,
+                      spherical_step=args.spherical_step,
+                      source_step=args.source_step, **extra, **domain)
         if args.goal == "t":
             kwargs.update(origin=args.origin, target=args.target,
                           ce_reduction="mean")
@@ -369,21 +390,25 @@ def main(argv=None):
         return acc, acc_adv, total, succ, dist
 
     pts, ys = next(batches())
-    if args.attack_name == "cw":
-        # ares sweeps magnitude-/iteration-parameterized attacks; C&W
-        # has neither knob (it counts optimizer steps against an L2
-        # objective)
+    if args.attack_name == "cw" and args.mode == "iteration":
+        # the iteration curve sweeps an iteration budget; C&W counts
+        # optimizer steps against an L2 objective instead (distortion
+        # mode DOES take it — the minimization attacks report their own
+        # achieved distortion, `distortion.py:68,276-288`)
         raise SystemExit(
-            f"--mode {args.mode} needs an ε/iteration-bounded attack; "
-            "cw has neither (use --mode attack)"
+            "--mode iteration needs an iteration-bounded attack; cw "
+            "counts optimizer steps (use --mode attack or distortion)"
         )
     from pointsecguard_tpu.attacks import load_attack
 
     cfg = load_attack(
         args.attack_name,
         dict(eps=args.eps, alpha=args.alpha, iters=args.iters,
-             samples=args.samples, sigma=args.sigma, delta=args.spsa_delta,
-             momentum=args.momentum, **domain),
+             samples=args.samples, delta=args.spsa_delta,
+             momentum=args.momentum, overshoot=args.overshoot,
+             init_tries=args.init_tries,
+             spherical_step=args.spherical_step,
+             source_step=args.source_step, **extra, **domain),
     )
     if args.mode == "distortion":
         eps, details = distortion_binsearch(
@@ -391,11 +416,17 @@ def main(argv=None):
             success_acc=1.0 / num_classes,
             key=jax.random.PRNGKey(args.seed),
         )
-        for probe in details["probes"]:
-            log.info("eps=%.5f acc=%.4f sr=%.4f success=%s",
-                     probe["eps"], probe["acc"], probe["sr"],
-                     probe["success"])
-        log.info("MINIMAL EPSILON %.5f", eps)
+        if details.get("optimized"):
+            # minimization attack: achieved per-sample distortion
+            for d, s in zip(details["dist"], details["success"]):
+                log.info("dist=%.5f success=%s", d, s)
+            log.info("MEAN SUCCESSFUL DISTORTION %.5f", eps)
+        else:
+            for probe in details["probes"]:
+                log.info("eps=%.5f acc=%.4f sr=%.4f success=%s",
+                         probe["eps"], probe["acc"], probe["sr"],
+                         probe["success"])
+            log.info("MINIMAL EPSILON %.5f", eps)
         return eps, details
 
     probes = iteration_curve(

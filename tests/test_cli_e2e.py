@@ -345,18 +345,39 @@ class TestBenchmarkCLI:
         assert [p["iters"] for p in probes] == list(range(1, 5))
         assert all(p["l2"] > 0 for p in probes)
 
-    def test_sweep_modes_reject_cw(self, trained):
+    def test_iteration_mode_rejects_cw(self, trained):
         from pointsecguard_tpu.cli import benchmark
 
         data, log = trained
-        for mode in ("distortion", "iteration"):
-            with pytest.raises(SystemExit, match="bounded attack"):
-                benchmark.main([
-                    "--mode", mode, "--attack_name", "cw",
-                    "--model", "pointnet", "--data_root", data,
-                    "--log_dir", log, "--num_point", "128",
-                    "--batch_size", "2",
-                ])
+        with pytest.raises(SystemExit, match="bounded attack"):
+            benchmark.main([
+                "--mode", "iteration", "--attack_name", "cw",
+                "--model", "pointnet", "--data_root", data,
+                "--log_dir", log, "--num_point", "128",
+                "--batch_size", "2",
+            ])
+
+    def test_distortion_mode_cw_reports_achieved(self, trained):
+        """Minimization attacks run once and report their own achieved
+        per-sample distortion (`distortion.py:68,276-288`) instead of
+        the ε binsearch."""
+        from pointsecguard_tpu.cli import benchmark
+
+        data, log = trained
+        eps, details = benchmark.main([
+            "--mode", "distortion", "--attack_name", "cw",
+            "--model", "pointnet", "--data_root", data,
+            "--log_dir", log, "--num_point", "128",
+            "--batch_size", "2", "--cw_steps", "20",
+        ])
+        assert details["optimized"]
+        assert len(details["dist"]) == 2
+        succ_d = [d for d, s in zip(details["dist"], details["success"])
+                  if s]
+        if succ_d:
+            assert eps == pytest.approx(np.mean(succ_d))
+        else:
+            assert eps == float("inf")
 
     def test_attack_mode_matches_across_mesh_sizes(self, trained):
         """cli.benchmark --devices 4: identical per-block benchmark

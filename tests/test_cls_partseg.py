@@ -293,6 +293,35 @@ class TestClsCLI:
         assert (dist > 0).all()  # coordinate perturbation actually moved
         assert dist.max() <= 0.05 * np.sqrt(64 * 3) + 1e-5  # inside ε-ball
 
+    def test_benchmark_cls_deepfool_and_boundary(self, trained):
+        """The registry-completion attacks drive end-to-end through the
+        cls benchmark: deepfool (white-box minimal perturbation) and
+        boundary (decision-based) both need the one-decision-per-shape
+        task this harness provides."""
+        from pointsecguard_tpu.cli import benchmark
+
+        data, log = trained
+        base = [
+            "--task", "cls", "--model", "pointnet2_cls", "--mode",
+            "attack", "--goal", "ut", "--data_root", data, "--log_dir",
+            log, "--num_point", "64", "--batch_size", "8",
+            "--max_blocks", "8",
+        ]
+        acc, acc_adv, total, succ, dist = benchmark.main(
+            base + ["--attack_name", "deepfool", "--iters", "5"]
+        )
+        assert acc.shape == (8,)
+        np.testing.assert_array_equal(succ, total & ~acc_adv)
+        # deepfool crosses the nearest boundary: every clean-correct
+        # shape it finishes on must be misclassified (iters=5 may leave
+        # stragglers; require at least one crossing on this fixture)
+        assert succ.sum() >= 1
+        acc, acc_adv, total, succ, dist = benchmark.main(
+            base + ["--attack_name", "boundary", "--iters", "20",
+                    "--init_tries", "10"]
+        )
+        np.testing.assert_array_equal(succ, total & ~acc_adv)
+
     def test_benchmark_cls_prediction_mode(self, trained, tmp_path):
         from pointsecguard_tpu.cli import benchmark
 
