@@ -54,16 +54,16 @@ def run_registered_attack(
         return cw_color_attack(outputs_fn, points, labels, cfg, mask=mask)
     if isinstance(cfg, DeepFoolConfig):
         return deepfool_attack(outputs_fn, points, labels, cfg, mask=mask)
-    keyed = {
-        NESConfig: nes_attack,
-        SPSAConfig: spsa_attack,
-        NAttackConfig: nattack,
-        BoundaryConfig: boundary_attack,
-        EvolutionaryConfig: evolutionary_attack,
-    }.get(type(cfg))
-    if keyed is not None:
-        return keyed(outputs_fn, points, labels, cfg, mask=mask,
-                     key=key if key is not None else jax.random.PRNGKey(0))
+    for cls, fn in (
+        (NESConfig, nes_attack),
+        (SPSAConfig, spsa_attack),
+        (NAttackConfig, nattack),
+        (BoundaryConfig, boundary_attack),
+        (EvolutionaryConfig, evolutionary_attack),
+    ):
+        if isinstance(cfg, cls):
+            return fn(outputs_fn, points, labels, cfg, mask=mask,
+                      key=key if key is not None else jax.random.PRNGKey(0))
     return pgd_color_attack(outputs_fn, points, labels, cfg, mask=mask,
                             key=key)
 
@@ -115,15 +115,21 @@ def distortion_binsearch(
         res = run_registered_attack(
             outputs_fn, points, labels, base_cfg, mask=mask, key=key
         )
-        pred = np.asarray(res.adv_pred)
         lab = np.asarray(labels)
-        per_acc = (pred == lab).mean(axis=tuple(range(1, pred.ndim)))
-        succ = per_acc < success_acc
+        clean_pred = np.asarray(jnp.argmax(outputs_fn(points), axis=-1))
+        batch_axes = tuple(range(1, lab.ndim))
+        # only clean-correct samples count — a clean-misclassified
+        # sample "succeeds" at zero distortion and would deflate the
+        # mean (same gating as AttackBenchmark's `total`)
+        eligible = (clean_pred == lab).mean(axis=batch_axes) >= success_acc
+        per_acc = (np.asarray(res.adv_pred) == lab).mean(axis=batch_axes)
+        succ = eligible & (per_acc < success_acc)
         dists = np.asarray(res.l2_dist)
         details = {
             "optimized": True,
             "dist": dists.tolist(),
             "success": succ.tolist(),
+            "eligible": eligible.tolist(),
         }
         eps = float(dists[succ].mean()) if succ.any() else float("inf")
         return eps, details

@@ -35,9 +35,9 @@ import jax.numpy as jnp
 
 from pointsecguard_tpu.attacks.common import (
     AttackResult,
+    finish_attack_result,
     hinge_logit_loss,
     per_point_ce,
-    point_accuracy,
 )
 
 
@@ -136,7 +136,6 @@ def _score_attack(
 ) -> AttackResult:
     """Shared NES/SPSA skeleton: antithetic per-cloud loss queries →
     gradient estimate → optimizer step → projection, fused."""
-    B = points.shape[0]
     color0, m, adv_of, per_cloud_loss, ys, direction = _query_setup(
         points, labels, cfg, mask, outputs_fn
     )
@@ -179,16 +178,11 @@ def _score_attack(
     steps, color_adv, _, _ = jax.lax.while_loop(
         cond, body, (jnp.zeros((), jnp.int32), color0, key, opt_init)
     )
-    adv = adv_of(color_adv)
-    outputs = outputs_fn(adv)
-    adv_pred = jnp.argmax(outputs, axis=-1)
-    acc = point_accuracy(outputs, labels, None if cfg.targeted else mask)
-    if cfg.targeted and mask is not None:
-        sr = point_accuracy(outputs, jnp.full_like(labels, cfg.target), mask)
-    else:
-        sr = jnp.zeros(())
-    l2 = jnp.linalg.norm((color_adv - color0).reshape(B, -1), axis=1)
-    return AttackResult(adv, steps, acc, sr, l2, adv_pred)
+    return finish_attack_result(
+        outputs_fn, adv_of(color_adv), points, labels, steps,
+        channels=cfg.channels, targeted=cfg.targeted, target=cfg.target,
+        mask=mask,
+    )
 
 
 def nes_attack(
@@ -271,7 +265,13 @@ class NAttackConfig:
     iters: int = 100
     samples: int = 16  # population size per iteration (paper's b)
     sigma: float = 0.1  # sampling std (paper's σ)
-    loss: str = "hinge"  # the paper drives the C&W margin loss
+    # "ce" default: the ares colperloss hinge (max(0, other − real)) is
+    # FLAT everywhere the model is confidently correct, so a population
+    # whose draws never cross a boundary z-scores to zero and μ never
+    # moves — CE gives signal everywhere (the paper's margin loss is
+    # clamped on the adversarial side instead, which maximization
+    # reaches only after crossing)
+    loss: str = "ce"
     targeted: bool = False
     target: int = -1
     num_classes: int = 13
@@ -300,7 +300,6 @@ def nattack(
     """
     if key is None:
         raise ValueError("nattack requires a PRNG key")
-    B = points.shape[0]
     color0, m, adv_of, per_cloud_loss, ys, direction = _query_setup(
         points, labels, cfg, mask, outputs_fn
     )
@@ -359,15 +358,8 @@ def nattack(
     steps, mu, _ = jax.lax.while_loop(
         cond, body, (jnp.zeros((), jnp.int32), mu0, key)
     )
-    color_adv = g(mu)
-    adv = adv_of(color_adv)
-    outputs = outputs_fn(adv)
-    adv_pred = jnp.argmax(outputs, axis=-1)
-    acc = point_accuracy(outputs, labels, None if cfg.targeted else mask)
-    if cfg.targeted and mask is not None:
-        sr = point_accuracy(outputs, jnp.full_like(labels, cfg.target), mask)
-    else:
-        sr = jnp.zeros(())
-    adv_color_mixed = adv[..., slice(*cfg.channels)]
-    l2 = jnp.linalg.norm((adv_color_mixed - color0).reshape(B, -1), axis=1)
-    return AttackResult(adv, steps, acc, sr, l2, adv_pred)
+    return finish_attack_result(
+        outputs_fn, adv_of(g(mu)), points, labels, steps,
+        channels=cfg.channels, targeted=cfg.targeted, target=cfg.target,
+        mask=mask,
+    )

@@ -182,6 +182,33 @@ def point_accuracy(
     return jnp.sum(correct * m) / jnp.maximum(jnp.sum(m), 1.0)
 
 
+def finish_attack_result(
+    outputs_fn,
+    adv: jnp.ndarray,
+    points: jnp.ndarray,
+    labels: jnp.ndarray,
+    steps: jnp.ndarray,
+    *,
+    channels: tuple[int, int],
+    targeted: bool = False,
+    target: int = -1,
+    mask: jnp.ndarray | None = None,
+) -> "AttackResult":
+    """Shared attack epilogue: final forward, accuracy / targeted
+    success rate, per-cloud L2 over the perturbed channel slice."""
+    ch = slice(*channels)
+    outputs = outputs_fn(adv)
+    adv_pred = jnp.argmax(outputs, axis=-1)
+    acc = point_accuracy(outputs, labels, None if targeted else mask)
+    if targeted and mask is not None:
+        sr = point_accuracy(outputs, jnp.full_like(labels, target), mask)
+    else:
+        sr = jnp.zeros(())
+    diff = (adv[..., ch] - points[..., ch]).reshape(points.shape[0], -1)
+    l2 = jnp.linalg.norm(diff, axis=1)
+    return AttackResult(adv, steps, acc, sr, l2, adv_pred)
+
+
 def make_target_labels(
     labels: jnp.ndarray, origin: int, target: int
 ) -> tuple[jnp.ndarray, jnp.ndarray]:

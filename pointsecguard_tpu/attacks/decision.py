@@ -24,9 +24,14 @@ TPU-first design:
 
 Like DeepFool, decision attacks need a per-shape decision, so they
 apply to the classification task (outputs ``[B, 1, K]``); they are
-untargeted here (the reference benchmark seeds targeted runs with
-dataset examples of the target class, `benchmark/utils.py:41-86` —
-we use in-box uniform random search instead, documented deviation).
+untargeted here. The fused random-search initialization IS the
+reference behavior for untargeted goals: ares' ``gen_starting_points``
+draws uniform random inputs until one misclassifies
+(`benchmark/utils.py:60-71`; its dataset-seeded path exists only for
+targeted goals, which these attacks do not support here). Unlike the
+reference's unbounded ``while True``, the search is bounded by
+``init_tries``; samples that never find an adversarial region keep
+their clean input and are excluded from every update.
 """
 
 from __future__ import annotations
@@ -37,7 +42,10 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from pointsecguard_tpu.attacks.common import AttackResult
+from pointsecguard_tpu.attacks.common import (
+    AttackResult,
+    finish_attack_result,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -53,7 +61,6 @@ class BoundaryConfig:
     spherical_step: float = 0.1
     source_step: float = 0.1
     adapt_rate: float = 0.1  # κ in step *= exp(κ·(accept − target))
-    num_classes: int = 40
     channels: tuple[int, int] = (0, 3)
     clip: tuple[float, float] | None = None
     init_scale: float = 1.0  # unclipped domains: init ~ x0 + U(−s, s)
@@ -71,7 +78,6 @@ class EvolutionaryConfig:
     adapt_rate: float = 0.1  # κ in (μ, σ) *= exp(κ·(p_succ − 1/5))
     cov_rate: float = 0.05  # c_c: diagonal-covariance adaptation rate
     succ_ema: float = 0.1  # c_p: success-probability EMA rate
-    num_classes: int = 40
     channels: tuple[int, int] = (0, 3)
     clip: tuple[float, float] | None = None
     init_scale: float = 1.0
@@ -84,7 +90,7 @@ def _decision_setup(outputs_fn, points, labels, cfg, mask):
         raise ValueError(
             f"{type(cfg).__name__} is untargeted; mask is not supported"
         )
-    if points.ndim != 3 or labels.shape[1] != 1:
+    if points.ndim != 3 or labels.ndim != 2 or labels.shape[1] != 1:
         raise ValueError(
             "decision-based attacks need one decision per shape (outputs "
             "[B,1,K], labels [B,1]); per-point semseg outputs have no "
@@ -133,16 +139,6 @@ def _decision_setup(outputs_fn, points, labels, cfg, mask):
         return found, start
 
     return color0, y, adv_of, is_adv, clip_box, init_search
-
-
-def _finish(outputs_fn, adv_of, color_adv, color0, labels, iters):
-    B = len(color0)
-    adv = adv_of(color_adv)
-    outputs = outputs_fn(adv)
-    adv_pred = jnp.argmax(outputs, axis=-1)
-    acc = jnp.mean((adv_pred == labels).astype(jnp.float32))
-    l2 = jnp.linalg.norm((color_adv - color0).reshape(B, -1), axis=1)
-    return AttackResult(adv, iters, acc, jnp.zeros(()), l2, adv_pred)
 
 
 def boundary_attack(
@@ -204,7 +200,10 @@ def boundary_attack(
          jnp.full((B,), cfg.spherical_step),
          jnp.full((B,), cfg.source_step), key),
     )
-    return _finish(outputs_fn, adv_of, color_adv, color0, labels, steps)
+    return finish_attack_result(
+        outputs_fn, adv_of(color_adv), points, labels, steps,
+        channels=cfg.channels,
+    )
 
 
 def evolutionary_attack(
@@ -269,4 +268,7 @@ def evolutionary_attack(
          jnp.full((B,), cfg.mu), jnp.full((B,), cfg.sigma),
          jnp.full((B,), 0.2), key),
     )
-    return _finish(outputs_fn, adv_of, color_adv, color0, labels, steps)
+    return finish_attack_result(
+        outputs_fn, adv_of(color_adv), points, labels, steps,
+        channels=cfg.channels,
+    )

@@ -29,7 +29,10 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from pointsecguard_tpu.attacks.common import AttackResult
+from pointsecguard_tpu.attacks.common import (
+    AttackResult,
+    finish_attack_result,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -40,7 +43,6 @@ class DeepFoolConfig:
     iters: int = 50
     overshoot: float = 0.02
     distance: str = "l_2"  # "l_2" | "l_inf"
-    num_classes: int = 40
     channels: tuple[int, int] = (0, 3)
     clip: tuple[float, float] | None = None
 
@@ -65,7 +67,7 @@ def deepfool_attack(
         raise ValueError("deepfool is untargeted; mask is not supported")
     if cfg.distance not in ("l_2", "l_inf"):
         raise ValueError(f"unknown distance {cfg.distance!r}")
-    if points.ndim != 3 or labels.shape[1] != 1:
+    if points.ndim != 3 or labels.ndim != 2 or labels.shape[1] != 1:
         raise ValueError(
             "deepfool linearizes a classifier decision boundary and needs "
             "one prediction per shape (outputs [B,1,K], labels [B,1]); "
@@ -140,12 +142,8 @@ def deepfool_attack(
         (jnp.zeros((), jnp.int32), jnp.zeros_like(color0),
          jnp.zeros((B,), bool)),
     )
-    color_adv = color0 + (1.0 + cfg.overshoot) * r_tot
-    if cfg.clip is not None:
-        color_adv = jnp.clip(color_adv, cfg.clip[0], cfg.clip[1])
-    adv = adv_of(color_adv)
-    outputs = outputs_fn(adv)
-    adv_pred = jnp.argmax(outputs, axis=-1)  # [B, 1]
-    acc = jnp.mean((adv_pred == labels).astype(jnp.float32))
-    l2 = jnp.linalg.norm((color_adv - color0).reshape(B, -1), axis=1)
-    return AttackResult(adv, steps, acc, jnp.zeros(()), l2, adv_pred)
+    color_adv = project(color0 + (1.0 + cfg.overshoot) * r_tot)
+    return finish_attack_result(
+        outputs_fn, adv_of(color_adv), points, labels, steps,
+        channels=cfg.channels,
+    )

@@ -121,8 +121,14 @@ def main(argv=None):
     ap.add_argument("--origin", type=int, default=11)
     ap.add_argument("--target", type=int, default=7)
     ap.add_argument("--eps", type=float, default=0.1)
-    ap.add_argument("--alpha", type=float, default=0.05)
-    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--alpha", type=float, default=None,
+                    help="step size (default 0.05; attacks with their own "
+                         "documented default — nattack's 0.008 — keep it "
+                         "when unset)")
+    ap.add_argument("--iters", type=int, default=None,
+                    help="iteration budget (default 10; deepfool/nattack/"
+                         "boundary/evolutionary keep their own defaults — "
+                         "50/100/200/200 — when unset)")
     ap.add_argument("--cw_steps", type=int, default=200)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--devices", "-d", type=int, default=1,
@@ -361,9 +367,21 @@ def main(argv=None):
         log.info("saved %s", out_path)
         return ys, ys_target, preds
 
+    # flags that fall back to each attack's own config default when unset
+    # (the legacy 0.05/10 fill-ins only apply to attacks without one)
+    own_defaults = args.attack_name in ("deepfool", "nattack", "boundary",
+                                        "evolutionary")
     extra = {} if args.sigma is None else {"sigma": args.sigma}
+    if args.alpha is not None:
+        extra["alpha"] = args.alpha
+    elif args.attack_name != "nattack":
+        extra["alpha"] = 0.05
+    if args.iters is not None:
+        extra["iters"] = args.iters
+    elif not own_defaults:
+        extra["iters"] = 10
     if args.mode == "attack":
-        kwargs = dict(eps=args.eps, alpha=args.alpha, iters=args.iters,
+        kwargs = dict(eps=args.eps,
                       steps=args.cw_steps, samples=args.samples,
                       delta=args.spsa_delta, momentum=args.momentum,
                       overshoot=args.overshoot, init_tries=args.init_tries,
@@ -403,7 +421,7 @@ def main(argv=None):
 
     cfg = load_attack(
         args.attack_name,
-        dict(eps=args.eps, alpha=args.alpha, iters=args.iters,
+        dict(eps=args.eps,
              samples=args.samples, delta=args.spsa_delta,
              momentum=args.momentum, overshoot=args.overshoot,
              init_tries=args.init_tries,

@@ -566,7 +566,7 @@ class TestRegistryCompletion:
 
         outputs_fn, W = cls_surrogate
         pts, labels = cls_batch
-        cfg = DeepFoolConfig(iters=10, overshoot=0.02, num_classes=C)
+        cfg = DeepFoolConfig(iters=10, overshoot=0.02)
         res = jax.jit(
             lambda p, y: deepfool_attack(outputs_fn, p, y, cfg)
         )(pts, labels)
@@ -592,7 +592,7 @@ class TestRegistryCompletion:
         from pointsecguard_tpu.attacks import DeepFoolConfig, deepfool_attack
 
         pts, labels = batch  # [B, N] labels — semseg shaped
-        cfg = DeepFoolConfig(num_classes=C)
+        cfg = DeepFoolConfig()
         with pytest.raises(ValueError, match="classifier"):
             deepfool_attack(surrogate, pts, labels, cfg)
         with pytest.raises(ValueError, match="mask"):
@@ -662,10 +662,8 @@ class TestRegistryCompletion:
 
         oracle = self._decision_oracle(cls_surrogate)
         pts, labels = cls_batch
-        cfg = BoundaryConfig(iters=150, init_tries=30, init_scale=4.0,
-                             num_classes=C)
-        few = BoundaryConfig(iters=1, init_tries=30, init_scale=4.0,
-                             num_classes=C)
+        cfg = BoundaryConfig(iters=150, init_tries=30, init_scale=4.0)
+        few = BoundaryConfig(iters=1, init_tries=30, init_scale=4.0)
         run = jax.jit(lambda p, y, k, c: boundary_attack(
             oracle, p, y, c, key=k
         ), static_argnums=3)
@@ -686,10 +684,8 @@ class TestRegistryCompletion:
 
         oracle = self._decision_oracle(cls_surrogate)
         pts, labels = cls_batch
-        cfg = EvolutionaryConfig(iters=150, init_tries=30, init_scale=4.0,
-                                 num_classes=C)
-        few = EvolutionaryConfig(iters=1, init_tries=30, init_scale=4.0,
-                                 num_classes=C)
+        cfg = EvolutionaryConfig(iters=150, init_tries=30, init_scale=4.0)
+        few = EvolutionaryConfig(iters=1, init_tries=30, init_scale=4.0)
         run = jax.jit(lambda p, y, k, c: evolutionary_attack(
             oracle, p, y, c, key=k
         ), static_argnums=3)
@@ -746,7 +742,7 @@ class TestRegistryCompletion:
         pts, labels = cls_batch
         bench = AttackBenchmark(
             "deepfool", outputs_fn, goal="ut", iters=10,
-            channels=(0, 3), clip=None, num_classes=C,
+            channels=(0, 3), clip=None,
         )
         acc, acc_adv, total, succ, dist = bench.run([(pts, labels)])
         assert acc.all() and not acc_adv.any()
@@ -764,7 +760,7 @@ class TestRegistryCompletion:
 
         outputs_fn, _ = cls_surrogate
         pts, labels = cls_batch
-        cfg = DeepFoolConfig(iters=10, num_classes=C)
+        cfg = DeepFoolConfig(iters=10)
         eps, details = distortion_binsearch(
             outputs_fn, pts, labels, cfg, success_acc=1.0 / C
         )
@@ -772,3 +768,24 @@ class TestRegistryCompletion:
         assert all(details["success"])  # deepfool crossed every shape
         assert eps == pytest.approx(np.mean(details["dist"]))
         assert eps > 0
+
+    def test_nattack_default_loss_has_signal_when_confident(self):
+        """Regression: with the ares hinge (max(0, other − real)) a
+        confidently-classified sample gives zero query signal — every
+        population draw scores 0, the z-score is 0, and μ never moves.
+        The CE default must still perturb and degrade a CONFIDENT
+        classifier (logits scaled ×50)."""
+        from pointsecguard_tpu.attacks import NAttackConfig, nattack
+
+        W = jax.random.normal(jax.random.PRNGKey(42), (3, C))
+        confident = lambda p: jax.lax.stop_gradient(50.0 * (p[..., 3:6] @ W))
+        rng = np.random.RandomState(1)
+        pts = jnp.array(rng.rand(B, N, 9).astype(np.float32))
+        labels = jnp.argmax(confident(pts), axis=-1)
+        cfg = NAttackConfig(eps=0.3, alpha=0.1, iters=30, samples=16,
+                            sigma=0.1, num_classes=C)
+        assert cfg.loss == "ce"  # the documented default
+        res = nattack(confident, pts, labels, cfg,
+                      key=jax.random.PRNGKey(0))
+        assert float(jnp.abs(res.points_adv - pts).max()) > 0  # moved
+        assert float(res.acc) < 0.9
