@@ -46,20 +46,32 @@ def run_registered_attack(
     *,
     mask: jnp.ndarray | None = None,
     key: jax.Array | None = None,
+    start: jnp.ndarray | None = None,
 ):
     """Dispatch a registry config to its engine (shared by the three
     harnesses — ares dispatches through the Attack base class,
-    `attack/base.py`)."""
+    `attack/base.py`). ``start`` seeds decision-attack starting points
+    and is rejected for every other engine."""
+    if start is not None and not isinstance(
+        cfg, (BoundaryConfig, EvolutionaryConfig)
+    ):
+        raise ValueError(
+            f"start= is a decision-attack seed; {type(cfg).__name__} "
+            "does not take one"
+        )
     if isinstance(cfg, CWConfig):
         return cw_color_attack(outputs_fn, points, labels, cfg, mask=mask)
     if isinstance(cfg, DeepFoolConfig):
         return deepfool_attack(outputs_fn, points, labels, cfg, mask=mask)
+    if isinstance(cfg, (BoundaryConfig, EvolutionaryConfig)):
+        fn = (boundary_attack if isinstance(cfg, BoundaryConfig)
+              else evolutionary_attack)
+        return fn(outputs_fn, points, labels, cfg, mask=mask, start=start,
+                  key=key if key is not None else jax.random.PRNGKey(0))
     for cls, fn in (
         (NESConfig, nes_attack),
         (SPSAConfig, spsa_attack),
         (NAttackConfig, nattack),
-        (BoundaryConfig, boundary_attack),
-        (EvolutionaryConfig, evolutionary_attack),
     ):
         if isinstance(cfg, cls):
             return fn(outputs_fn, points, labels, cfg, mask=mask,
@@ -235,10 +247,13 @@ ATTACKS: dict[str, type] = {
     "evolutionary": EvolutionaryConfig,  # decision-based (1+1)-ES
 }
 
-# Attacks that cross the NEAREST boundary (deepfool) or minimize
-# distance subject to staying misclassified (boundary/evolutionary)
-# have no targeted drive; AttackBenchmark rejects goals 't'/'tm'.
-UNTARGETED_ONLY = frozenset({"deepfool", "boundary", "evolutionary"})
+# deepfool crosses the NEAREST boundary — it has no targeted drive;
+# AttackBenchmark rejects goals 't'/'tm' for it. boundary/evolutionary
+# take goals 'ut' and 't' (targeted decision = pred == target, seeded
+# ares-style); 'tm' (targeted drive, untargeted scoring) is meaningless
+# for a decision predicate and is rejected.
+UNTARGETED_ONLY = frozenset({"deepfool"})
+DECISION_ATTACKS = frozenset({"boundary", "evolutionary"})
 
 
 def load_attack(attack_name: str, init_kwargs: dict):
@@ -303,9 +318,20 @@ class AttackBenchmark:
                 f"{attack_name} is untargeted by construction; only goal "
                 f"'ut' is supported (got {goal!r})"
             )
+        if goal == "tm" and attack_name in DECISION_ATTACKS:
+            raise ValueError(
+                f"{attack_name} queries a decision predicate — a targeted "
+                "drive scored untargeted ('tm') is meaningless; use goal "
+                "'ut' or 't'"
+            )
         if distance_metric not in ("l_2", "l_inf"):
             raise ValueError(f"unknown distance metric {distance_metric!r}")
-        if goal == "t" and (origin is None or target is None):
+        if goal == "t" and target is None:
+            raise ValueError("targeted goal needs target=")
+        if (goal == "t" and origin is None
+                and attack_name not in DECISION_ATTACKS):
+            # decision attacks drive the whole shape toward the target —
+            # no origin mask exists for them
             raise ValueError("targeted goal needs origin= and target=")
         if goal == "tm" and target is None:
             raise ValueError("goal 'tm' needs target=")
@@ -321,14 +347,35 @@ class AttackBenchmark:
         self.goal = goal
         self.distance_metric = distance_metric
         self.origin, self.target = origin, target
+        # targeted decision attacks: one cached target-predicted example
+        # seeds every sample's starting point (`gen_starting_points`'s
+        # per-label cache, `benchmark/utils.py:72-84` — ares harvests the
+        # dataset; this harvests the benchmarked batches)
+        self._start_example: np.ndarray | None = None
 
     def config(self, **kwargs):
         """(Re)configure the attack (`attack.py:45-50`)."""
         self.cfg = dataclasses.replace(self.cfg, **kwargs)
 
-    def _attack(self, points, labels, mask, key):
+    def _attack(self, points, labels, mask, key, start=None):
         return run_registered_attack(
-            self.outputs_fn, points, labels, self.cfg, mask=mask, key=key
+            self.outputs_fn, points, labels, self.cfg, mask=mask, key=key,
+            start=start,
+        )
+
+    def _harvest_start(self, points, clean_pred):
+        """Remember one example the model already predicts as the target;
+        broadcast it as the batch's starting points."""
+        hits = np.asarray(clean_pred == self.target).ravel()
+        if self._start_example is None and hits.any():
+            self._start_example = np.asarray(
+                points[int(np.argmax(hits))]
+            )
+        if self._start_example is None:
+            return None
+        return jnp.asarray(
+            np.broadcast_to(self._start_example,
+                            (len(points), *self._start_example.shape))
         )
 
     def run(self, batches, logger=None, *, key: jax.Array | None = None):
@@ -341,10 +388,18 @@ class AttackBenchmark:
             points = jnp.asarray(points)
             labels = jnp.asarray(labels)
             key, sub = jax.random.split(key)
+            clean_pred = jnp.argmax(self.outputs_fn(points), axis=-1)
+            start = None
             if self.goal == "t":
-                ys_attack, mask = make_target_labels(
-                    labels, self.origin, self.target
-                )
+                if self.attack_name in DECISION_ATTACKS:
+                    # the targeted decision predicate lives in the config;
+                    # seed starting points ares-style instead of masking
+                    ys_attack, mask = labels, None
+                    start = self._harvest_start(points, clean_pred)
+                else:
+                    ys_attack, mask = make_target_labels(
+                        labels, self.origin, self.target
+                    )
             elif self.goal == "tm":
                 # full target vector, no origin mask (`bim.py:144` uses
                 # ys_target verbatim); scored untargeted below
@@ -352,8 +407,7 @@ class AttackBenchmark:
                 mask = None
             else:
                 ys_attack, mask = labels, None
-            clean_pred = jnp.argmax(self.outputs_fn(points), axis=-1)
-            res = self._attack(points, ys_attack, mask, sub)
+            res = self._attack(points, ys_attack, mask, sub, start)
             accs = np.asarray(clean_pred == labels).ravel()
             accs_adv = np.asarray(res.adv_pred == labels).ravel()
             if self.goal == "t":

@@ -23,13 +23,16 @@ TPU-first design:
   are skipped by every update).
 
 Like DeepFool, decision attacks need a per-shape decision, so they
-apply to the classification task (outputs ``[B, 1, K]``); they are
-untargeted here. The fused random-search initialization IS the
-reference behavior for untargeted goals: ares' ``gen_starting_points``
+apply to the classification task (outputs ``[B, 1, K]``). Both goals
+are supported: untargeted (decision = prediction differs from the
+label) and targeted (decision = prediction equals ``cfg.target``).
+Starting points follow ares' ``gen_starting_points``: untargeted
 draws uniform random inputs until one misclassifies
-(`benchmark/utils.py:60-71`; its dataset-seeded path exists only for
-targeted goals, which these attacks do not support here). Unlike the
-reference's unbounded ``while True``, the search is bounded by
+(`benchmark/utils.py:60-71`), targeted seeds from examples the model
+already predicts as the target (`utils.py:72-84` — pass them via
+``start=``; ``AttackBenchmark`` harvests and caches them from the
+benchmarked batches the way ares harvests the dataset). Unlike the
+reference's unbounded ``while True``, the random search is bounded by
 ``init_tries``; samples that never find an adversarial region keep
 their clean input and are excluded from every update.
 """
@@ -61,6 +64,8 @@ class BoundaryConfig:
     spherical_step: float = 0.1
     source_step: float = 0.1
     adapt_rate: float = 0.1  # κ in step *= exp(κ·(accept − target))
+    targeted: bool = False  # decision = (pred == target) instead of != y
+    target: int = -1
     channels: tuple[int, int] = (0, 3)
     clip: tuple[float, float] | None = None
     init_scale: float = 1.0  # unclipped domains: init ~ x0 + U(−s, s)
@@ -78,17 +83,22 @@ class EvolutionaryConfig:
     adapt_rate: float = 0.1  # κ in (μ, σ) *= exp(κ·(p_succ − 1/5))
     cov_rate: float = 0.05  # c_c: diagonal-covariance adaptation rate
     succ_ema: float = 0.1  # c_p: success-probability EMA rate
+    targeted: bool = False
+    target: int = -1
     channels: tuple[int, int] = (0, 3)
     clip: tuple[float, float] | None = None
     init_scale: float = 1.0
 
 
-def _decision_setup(outputs_fn, points, labels, cfg, mask):
+def _decision_setup(outputs_fn, points, labels, cfg, mask, start):
     """Common decision-attack plumbing: shape checks, the argmax-only
-    oracle, and the fused random-search initialization."""
+    oracle, and the fused starting-point initialization (provided
+    seeds where adversarial, bounded uniform random search for the
+    rest — `benchmark/utils.py:60-84` semantics)."""
     if mask is not None:
         raise ValueError(
-            f"{type(cfg).__name__} is untargeted; mask is not supported"
+            f"{type(cfg).__name__} drives the full shape; mask is not "
+            "supported (use targeted=/target= for the targeted goal)"
         )
     if points.ndim != 3 or labels.ndim != 2 or labels.shape[1] != 1:
         raise ValueError(
@@ -106,6 +116,8 @@ def _decision_setup(outputs_fn, points, labels, cfg, mask):
     def is_adv(color):
         """[B] bool — the ONLY thing the adversary observes."""
         pred = jnp.argmax(outputs_fn(adv_of(color))[:, 0, :], axis=-1)
+        if cfg.targeted:
+            return pred == cfg.target
         return pred != y
 
     def clip_box(color):
@@ -114,11 +126,19 @@ def _decision_setup(outputs_fn, points, labels, cfg, mask):
         return color
 
     def init_search(key):
-        """First adversarial draw among init_tries uniform samples (per
-        sample in the batch); found=False keeps the clean input."""
+        """Starting points: a provided seed is used where it is already
+        adversarial; the rest get the first adversarial draw among
+        init_tries uniform samples; found=False keeps the clean input."""
+        if start is not None:
+            seed = start[..., ch] if start.shape == points.shape else start
+            found0 = is_adv(seed)
+            start0 = jnp.where(found0[:, None, None], seed, color0)
+        else:
+            found0 = jnp.zeros((len(color0),), bool)
+            start0 = color0
 
         def try_one(carry, k):
-            found, start = carry
+            found, cur = carry
             if cfg.clip is not None:
                 draw = jax.random.uniform(
                     k, color0.shape, minval=cfg.clip[0], maxval=cfg.clip[1]
@@ -129,14 +149,14 @@ def _decision_setup(outputs_fn, points, labels, cfg, mask):
                     minval=-cfg.init_scale, maxval=cfg.init_scale,
                 )
             ok = is_adv(draw) & ~found
-            start = jnp.where(ok[:, None, None], draw, start)
-            return (found | ok, start), None
+            cur = jnp.where(ok[:, None, None], draw, cur)
+            return (found | ok, cur), None
 
-        (found, start), _ = jax.lax.scan(
-            try_one, (jnp.zeros((len(color0),), bool), color0),
+        (found, start_c), _ = jax.lax.scan(
+            try_one, (found0, start0),
             jax.random.split(key, cfg.init_tries),
         )
-        return found, start
+        return found, start_c
 
     return color0, y, adv_of, is_adv, clip_box, init_search
 
@@ -149,15 +169,18 @@ def boundary_attack(
     *,
     mask: jnp.ndarray | None = None,
     key: jax.Array | None = None,
+    start: jnp.ndarray | None = None,
 ) -> AttackResult:
     """Walk along the decision boundary toward the original input:
     orthogonal step on the sphere around the original, then a
     contraction toward it; accept only candidates that stay
-    adversarial (one decision query per iteration)."""
+    adversarial (one decision query per iteration). ``start`` seeds
+    already-adversarial starting points (full [B,N,C] inputs or the
+    channel slice) — the targeted goal usually needs them."""
     if key is None:
         raise ValueError("boundary_attack requires a PRNG key")
     color0, y, adv_of, is_adv, clip_box, init_search = _decision_setup(
-        outputs_fn, points, labels, cfg, mask
+        outputs_fn, points, labels, cfg, mask, start
     )
     key, ki = jax.random.split(key)
     found, start = init_search(ki)
@@ -202,7 +225,8 @@ def boundary_attack(
     )
     return finish_attack_result(
         outputs_fn, adv_of(color_adv), points, labels, steps,
-        channels=cfg.channels,
+        channels=cfg.channels, targeted=cfg.targeted, target=cfg.target,
+        mask=jnp.ones_like(labels, bool) if cfg.targeted else None,
     )
 
 
@@ -214,15 +238,17 @@ def evolutionary_attack(
     *,
     mask: jnp.ndarray | None = None,
     key: jax.Array | None = None,
+    start: jnp.ndarray | None = None,
 ) -> AttackResult:
     """(1+1)-ES on the perturbation: Gaussian mutation with a learned
     diagonal covariance plus a bias toward the original; accept only
     closer-and-still-adversarial candidates; σ-bias follows the
-    1/5-success rule (one decision query per iteration)."""
+    1/5-success rule (one decision query per iteration). ``start``
+    seeds already-adversarial starting points."""
     if key is None:
         raise ValueError("evolutionary_attack requires a PRNG key")
     color0, y, adv_of, is_adv, clip_box, init_search = _decision_setup(
-        outputs_fn, points, labels, cfg, mask
+        outputs_fn, points, labels, cfg, mask, start
     )
     key, ki = jax.random.split(key)
     found, start = init_search(ki)
@@ -270,5 +296,6 @@ def evolutionary_attack(
     )
     return finish_attack_result(
         outputs_fn, adv_of(color_adv), points, labels, steps,
-        channels=cfg.channels,
+        channels=cfg.channels, targeted=cfg.targeted, target=cfg.target,
+        mask=jnp.ones_like(labels, bool) if cfg.targeted else None,
     )

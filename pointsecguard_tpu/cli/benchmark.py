@@ -57,8 +57,9 @@ def main(argv=None):
                          "fgsm/bim/pgd/cw are beyond-reference: the "
                          "vendored ares names them but ships no "
                          "implementation). deepfool/boundary/evolutionary "
-                         "need one decision per shape (--task cls) and "
-                         "are untargeted-only")
+                         "need one decision per shape (--task cls); "
+                         "deepfool is untargeted-only, boundary/"
+                         "evolutionary also take --goal t")
     ap.add_argument("--samples", type=int, default=16,
                     help="nes/spsa: antithetic query pairs per iteration; "
                          "nattack: population size")

@@ -726,14 +726,95 @@ class TestRegistryCompletion:
             })
             assert type(cfg) is ATTACKS[name]
 
-    def test_benchmark_rejects_targeted_untargeted_only(self, cls_surrogate):
+    def test_benchmark_goal_gates(self, cls_surrogate):
         from pointsecguard_tpu.attacks import AttackBenchmark
 
         outputs_fn, _ = cls_surrogate
-        for name in ("deepfool", "boundary", "evolutionary"):
-            with pytest.raises(ValueError, match="untargeted"):
-                AttackBenchmark(name, outputs_fn, goal="t", origin=1,
-                                target=2)
+        # deepfool crosses the NEAREST boundary — no targeted drive
+        with pytest.raises(ValueError, match="untargeted"):
+            AttackBenchmark("deepfool", outputs_fn, goal="t", origin=1,
+                            target=2)
+        # decision attacks take 't' (no origin needed — no mask exists)
+        for name in ("boundary", "evolutionary"):
+            bench = AttackBenchmark(name, outputs_fn, goal="t", target=2,
+                                    channels=(0, 3), clip=None)
+            assert bench.cfg.targeted and bench.cfg.target == 2
+            # ...but 'tm' (targeted drive, untargeted scoring) is
+            # meaningless for a decision predicate
+            with pytest.raises(ValueError, match="decision"):
+                AttackBenchmark(name, outputs_fn, goal="tm", target=2)
+
+    def test_targeted_decision_attacks_with_seed(self, cls_surrogate,
+                                                 cls_batch):
+        """Targeted boundary/evolutionary: seeded with an example the
+        model predicts as the target (ares gen_starting_points,
+        `utils.py:72-84`), every shape must END predicted as the target
+        while its distortion shrinks below the seed's."""
+        from pointsecguard_tpu.attacks import (
+            BoundaryConfig,
+            EvolutionaryConfig,
+            boundary_attack,
+            evolutionary_attack,
+        )
+
+        outputs_fn, W = cls_surrogate
+        oracle = self._decision_oracle(cls_surrogate)
+        pts, labels = cls_batch
+        # a shape the classifier confidently calls `target`: all points
+        # along the target column of W
+        target = int((np.asarray(labels).ravel()[0] + 3) % C)
+        u = np.asarray(W)[:, target]
+        seed_pts = jnp.broadcast_to(
+            jnp.asarray(5.0 * u / np.linalg.norm(u), jnp.float32),
+            pts.shape,
+        )
+        assert int(jnp.argmax(outputs_fn(seed_pts), axis=-1)[0, 0]) == target
+        seed_l2 = np.linalg.norm(
+            np.asarray(seed_pts - pts).reshape(len(pts), -1), axis=1
+        )
+        for fn, cfg in (
+            (boundary_attack,
+             BoundaryConfig(iters=150, init_tries=0, targeted=True,
+                            target=target)),
+            (evolutionary_attack,
+             EvolutionaryConfig(iters=150, init_tries=0, targeted=True,
+                                target=target)),
+        ):
+            res = fn(oracle, pts, labels, cfg, key=jax.random.PRNGKey(7),
+                     start=seed_pts)
+            assert (np.asarray(res.adv_pred).ravel() == target).all()
+            assert float(res.success_rate) == 1.0
+            assert (np.asarray(res.l2_dist) < seed_l2).all()
+
+    def test_benchmark_targeted_decision_harvests_start(self,
+                                                        cls_surrogate):
+        """goal 't' boundary through the harness: the batch's own
+        target-predicted example seeds the other samples' starts (the
+        gen_starting_points cache), and succ follows ares' targeted
+        accounting."""
+        from pointsecguard_tpu.attacks import AttackBenchmark
+
+        outputs_fn, _ = cls_surrogate
+        oracle_logits = lambda p: jax.lax.stop_gradient(outputs_fn(p))
+        rng = np.random.RandomState(9)
+        pts = jnp.array(rng.randn(4, 16, 3).astype(np.float32))
+        labels = jnp.argmax(oracle_logits(pts), axis=-1)
+        target = int(np.asarray(labels).ravel()[0])
+        assert (np.asarray(labels).ravel() != target).any()
+        bench = AttackBenchmark(
+            "boundary", oracle_logits, goal="t", target=target,
+            iters=150, init_tries=0, channels=(0, 3), clip=None,
+        )
+        acc, acc_adv, total, succ, dist = bench.run(
+            [(pts, labels)], key=jax.random.PRNGKey(8)
+        )
+        assert bench._start_example is not None  # harvested from batch
+        totals = np.asarray(
+            jnp.argmax(oracle_logits(pts), axis=-1) != target
+        ).ravel()
+        np.testing.assert_array_equal(total, totals)
+        # every eligible shape was driven to the target
+        np.testing.assert_array_equal(succ, totals)
 
     def test_benchmark_runner_deepfool(self, cls_surrogate, cls_batch):
         from pointsecguard_tpu.attacks import AttackBenchmark
