@@ -132,20 +132,28 @@ __all__ = [
     "ATTACKS",
     "AttackBenchmark",
     "AttackResult",
+    "BoundaryConfig",
     "CWConfig",
+    "DeepFoolConfig",
+    "EvolutionaryConfig",
+    "NAttackConfig",
     "NESConfig",
     "PGDConfig",
     "SPSAConfig",
     "apply_color_defense",
     "attack_preset",
     "bit_depth_reduction",
+    "boundary_attack",
     "jpeg_color_compression",
     "cw_color_attack",
+    "deepfool_attack",
     "distortion_binsearch",
     "equal_norm_color_noise",
+    "evolutionary_attack",
     "iteration_curve",
     "load_attack",
     "make_target_labels",
+    "nattack",
     "nes_attack",
     "pgd_color_attack",
     "point_accuracy",

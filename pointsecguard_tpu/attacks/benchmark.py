@@ -102,6 +102,7 @@ def distortion_binsearch(
     binsearch_steps: int = 10,
     mask: jnp.ndarray | None = None,
     key: jax.Array | None = None,
+    success_criterion: str = "auto",
 ) -> tuple[float, dict]:
     """Minimal ε at which the attack succeeds, via exponential search
     then bisection (`distortion.py` protocol) for the ε-bounded registry
@@ -113,16 +114,23 @@ def distortion_binsearch(
     successful distortion (inf if none succeeded).
 
     Success = adversarial accuracy < ``success_acc`` (untargeted) or
-    success rate > 0.9 (targeted). Step size scales with ε (α = ε·α₀/ε₀,
-    preserving the reference budget's α/ε ratio).
+    success rate > 0.9 (targeted); ``success_criterion="acc"`` forces
+    the accuracy test for a TARGETED drive scored untargeted (ares'
+    'tm' goal). Step size scales with ε (α = ε·α₀/ε₀, preserving the
+    reference budget's α/ε ratio).
 
     Returns (epsilon, details) where details records every probe.
     """
+    if success_criterion not in ("auto", "acc", "sr"):
+        raise ValueError(f"unknown success_criterion {success_criterion!r}")
     if not hasattr(base_cfg, "eps"):
-        if getattr(base_cfg, "targeted", False):
+        targeted = getattr(base_cfg, "targeted", False)
+        if targeted and not isinstance(
+            base_cfg, (BoundaryConfig, EvolutionaryConfig)
+        ):
             raise ValueError(
-                "targeted minimization attacks have no per-sample success "
-                "signal here; use AttackBenchmark (--mode attack)"
+                "targeted C&W has no per-sample success signal here; use "
+                "AttackBenchmark (--mode attack)"
             )
         res = run_registered_attack(
             outputs_fn, points, labels, base_cfg, mask=mask, key=key
@@ -130,18 +138,30 @@ def distortion_binsearch(
         lab = np.asarray(labels)
         clean_pred = np.asarray(jnp.argmax(outputs_fn(points), axis=-1))
         batch_axes = tuple(range(1, lab.ndim))
-        # only clean-correct samples count — a clean-misclassified
-        # sample "succeeds" at zero distortion and would deflate the
-        # mean (same gating as AttackBenchmark's `total`)
-        eligible = (clean_pred == lab).mean(axis=batch_axes) >= success_acc
-        per_acc = (np.asarray(res.adv_pred) == lab).mean(axis=batch_axes)
-        succ = eligible & (per_acc < success_acc)
+        adv_pred = np.asarray(res.adv_pred)
+        clean_acc = (clean_pred == lab).mean(axis=batch_axes)
+        if targeted:
+            tgt = base_cfg.target
+            eligible = (clean_pred != tgt).all(axis=batch_axes)
+            succ = eligible & (adv_pred == tgt).all(axis=batch_axes)
+        else:
+            # exclude samples the clean model already "succeeds" on —
+            # they would count at ~zero distortion and deflate the mean.
+            # For the cls task (one prediction per sample) this is
+            # exactly clean-correctness; for semseg it excludes clouds
+            # whose clean accuracy is already below the success
+            # threshold (details carries clean_acc so consumers can
+            # gate harder)
+            eligible = clean_acc >= success_acc
+            per_acc = (adv_pred == lab).mean(axis=batch_axes)
+            succ = eligible & (per_acc < success_acc)
         dists = np.asarray(res.l2_dist)
         details = {
             "optimized": True,
             "dist": dists.tolist(),
             "success": succ.tolist(),
             "eligible": eligible.tolist(),
+            "clean_acc": clean_acc.tolist(),
         }
         eps = float(dists[succ].mean()) if succ.any() else float("inf")
         return eps, details
@@ -155,7 +175,9 @@ def distortion_binsearch(
         res = run_registered_attack(
             outputs_fn, points, labels, cfg, mask=mask, key=key
         )
-        if base_cfg.targeted:
+        use_sr = (success_criterion == "sr"
+                  or (success_criterion == "auto" and base_cfg.targeted))
+        if use_sr:
             ok = float(res.success_rate) > 0.9
         else:
             ok = float(res.acc) < success_acc
@@ -384,6 +406,21 @@ class AttackBenchmark:
         (acc, acc_adv, total, succ, dist)."""
         acc, acc_adv, total, succ, dist = [], [], [], [], []
         key = jax.random.PRNGKey(0) if key is None else key
+        if (self.goal == "t" and self.attack_name in DECISION_ATTACKS
+                and self._start_example is None):
+            # harvest the starting-point example up front, like ares
+            # scans the dataset before attacking (`utils.py:72-84`) —
+            # otherwise batches before the first target-predicted
+            # example would run unseeded and the results would depend
+            # on batch order
+            batches = list(batches)
+            for points, _ in batches:
+                points = jnp.asarray(points)
+                self._harvest_start(
+                    points, jnp.argmax(self.outputs_fn(points), axis=-1)
+                )
+                if self._start_example is not None:
+                    break
         for points, labels in batches:
             points = jnp.asarray(points)
             labels = jnp.asarray(labels)

@@ -188,6 +188,15 @@ def main(argv=None):
     mesh = data_parallel_mesh(args.devices)
     put = make_batch_put(mesh, batch_size=B)
 
+    def _restore_variables(state):
+        restored = ckpt.restore_best(state) or ckpt.restore_latest(state)
+        if restored is None:
+            raise SystemExit(
+                f"no checkpoint under {args.log_dir}/checkpoints"
+            )
+        state = replicate(mesh, restored[0])
+        return {"params": state.params, "batch_stats": state.batch_stats}
+
     if is_cls:
         # ModelNet shapes in the coordinate domain: the attack perturbs
         # xyz channels 0:3 unclipped (cli.attack_object's threat model);
@@ -212,12 +221,7 @@ def main(argv=None):
         dummy = jnp.zeros((B, npoint, C), jnp.float32)
         state, _ = create_train_state(model, (dummy, None),
                                       rng=jax.random.PRNGKey(0))
-        restored = ckpt.restore_best(state) or ckpt.restore_latest(state)
-        if restored is None:
-            raise SystemExit(f"no checkpoint under {args.log_dir}/checkpoints")
-        state = replicate(mesh, restored[0])
-        variables = {"params": state.params,
-                     "batch_stats": state.batch_stats}
+        variables = _restore_variables(state)
 
         def outputs_fn(p):
             return model.apply(variables, p)[0][:, None, :]
@@ -265,12 +269,7 @@ def main(argv=None):
             model, (dummy, None), rng=jax.random.PRNGKey(0),
             model_args=model_args,
         )
-        restored = ckpt.restore_best(state) or ckpt.restore_latest(state)
-        if restored is None:
-            raise SystemExit(f"no checkpoint under {args.log_dir}/checkpoints")
-        state = replicate(mesh, restored[0])
-        variables = {"params": state.params,
-                     "batch_stats": state.batch_stats}
+        variables = _restore_variables(state)
 
         def outputs_fn(f):
             return model.apply(variables, f, pyramid_fn(f[..., :3]))
@@ -304,12 +303,7 @@ def main(argv=None):
         dummy = jnp.zeros((B, npoint, 9), jnp.float32)
         state, _ = create_train_state(model, (dummy, None),
                                       rng=jax.random.PRNGKey(0))
-        restored = ckpt.restore_best(state) or ckpt.restore_latest(state)
-        if restored is None:
-            raise SystemExit(f"no checkpoint under {args.log_dir}/checkpoints")
-        state = replicate(mesh, restored[0])
-        variables = {"params": state.params,
-                     "batch_stats": state.batch_stats}
+        variables = _restore_variables(state)
 
         if args.model in ("pointnet2", "pointnet2_msg"):
             geo_fn = (build_geometry if args.model == "pointnet2"
@@ -381,10 +375,15 @@ def main(argv=None):
         extra["iters"] = args.iters
     elif not own_defaults:
         extra["iters"] = 10
+    if args.attack_name == "mim":
+        # --momentum is a mim knob; forwarding it to pgd/bim would
+        # silently turn them into momentum variants (bim zeroes it in
+        # load_attack, pgd would keep it)
+        extra["momentum"] = args.momentum
     if args.mode == "attack":
         kwargs = dict(eps=args.eps,
                       steps=args.cw_steps, samples=args.samples,
-                      delta=args.spsa_delta, momentum=args.momentum,
+                      delta=args.spsa_delta,
                       overshoot=args.overshoot, init_tries=args.init_tries,
                       spherical_step=args.spherical_step,
                       source_step=args.source_step, **extra, **domain)
@@ -418,13 +417,38 @@ def main(argv=None):
             "--mode iteration needs an iteration-bounded attack; cw "
             "counts optimizer steps (use --mode attack or distortion)"
         )
-    from pointsecguard_tpu.attacks import load_attack
+    from pointsecguard_tpu.attacks import load_attack, make_target_labels
+    from pointsecguard_tpu.attacks.benchmark import (
+        DECISION_ATTACKS,
+        UNTARGETED_ONLY,
+    )
 
+    # sweep modes take the same goals as attack mode (ares' CLIs share
+    # one goal flag across all four benchmarks). True labels always ride
+    # as `labels` — every engine builds the targeted objective from
+    # cfg.target internally and scores res.acc against the passed labels
+    mask = None
+    if args.goal != "ut":
+        if args.attack_name in UNTARGETED_ONLY:
+            raise SystemExit(
+                f"{args.attack_name} is untargeted by construction; "
+                f"--goal {args.goal} is not supported"
+            )
+        if args.goal == "tm" and args.attack_name in DECISION_ATTACKS:
+            raise SystemExit(
+                f"{args.attack_name} queries a decision predicate; "
+                "--goal tm (targeted drive, untargeted scoring) is "
+                "meaningless — use ut or t"
+            )
+        extra.update(targeted=True, target=args.target,
+                     ce_reduction="mean")
+        if args.goal == "t" and args.attack_name not in DECISION_ATTACKS:
+            _, mask = make_target_labels(ys, args.origin, args.target)
     cfg = load_attack(
         args.attack_name,
         dict(eps=args.eps,
              samples=args.samples, delta=args.spsa_delta,
-             momentum=args.momentum, overshoot=args.overshoot,
+             overshoot=args.overshoot,
              init_tries=args.init_tries,
              spherical_step=args.spherical_step,
              source_step=args.source_step, **extra, **domain),
@@ -432,7 +456,8 @@ def main(argv=None):
     if args.mode == "distortion":
         eps, details = distortion_binsearch(
             jax.jit(outputs_fn), pts, ys, cfg,
-            success_acc=1.0 / num_classes,
+            success_acc=1.0 / num_classes, mask=mask,
+            success_criterion="acc" if args.goal == "tm" else "auto",
             key=jax.random.PRNGKey(args.seed),
         )
         if details.get("optimized"):
@@ -449,7 +474,8 @@ def main(argv=None):
         return eps, details
 
     probes = iteration_curve(
-        jax.jit(outputs_fn), pts, ys, cfg, key=jax.random.PRNGKey(args.seed)
+        jax.jit(outputs_fn), pts, ys, cfg, mask=mask,
+        key=jax.random.PRNGKey(args.seed),
     )
     for p in probes:
         log.info("iters=%d acc=%.4f sr=%.4f l2=%.4f",

@@ -35,7 +35,14 @@ def main(argv=None):
     ap.add_argument("--randla_points", type=int, default=0)
     ap.add_argument("--batch_size", type=int, default=1,
                     help="batch dimension baked into the exported program")
+    # ResGCN OptInit model flags (shared semantics with train/eval/attack;
+    # 0/"" = reference config default)
     ap.add_argument("--resgcn_blocks", type=int, default=0)
+    ap.add_argument("--resgcn_k", type=int, default=0)
+    ap.add_argument("--resgcn_filters", type=int, default=0)
+    ap.add_argument("--resgcn_block_type", default="")
+    ap.add_argument("--resgcn_conv", default="")
+    ap.add_argument("--resgcn_epsilon", type=float, default=0.0)
     ap.add_argument("--num_category", type=int, default=40,
                     help="cls: number of object classes")
     ap.add_argument("--no_normals", action="store_true",
@@ -88,13 +95,13 @@ def main(argv=None):
         apply_fn = lambda v, f: model.apply(v, f, pyramid_fn(f[..., :3]))
         model_args = lambda f: (f, pyramid_fn(f[..., :3]))
     elif args.model == "resgcn":
-        from pointsecguard_tpu.configs import ResgcnConfig
+        from pointsecguard_tpu.configs import resgcn_overrides
         from pointsecguard_tpu.models import DenseDeepGCN
 
-        cfg = ResgcnConfig()
-        model = DenseDeepGCN(
-            n_blocks=args.resgcn_blocks or cfg.n_blocks, dtype=dt
-        )
+        # the full OptInit flag set, like cli.{train,eval,attack} — a
+        # checkpoint trained/imported with non-default conv/k/filters
+        # must export with the same architecture or restore fails
+        model = DenseDeepGCN(dtype=dt, **resgcn_overrides(args))
         example = jnp.zeros((B, args.num_point or 4096, 9), jnp.float32)
         apply_fn = lambda v, p: model.apply(v, p)
         model_args = None

@@ -249,12 +249,10 @@ def make_adv_train_fn(
     if ignored_labels:
         if num_classes is None:
             raise ValueError("ignored_labels requires num_classes")
+        from pointsecguard_tpu.data.randla import label_reduce_lut
+
         ign = set(int(l) for l in ignored_labels)
-        lut = np.zeros(num_classes + len(ign), np.int32)
-        lut[[l for l in range(num_classes + len(ign)) if l not in ign]] = (
-            np.arange(num_classes)
-        )
-        reduce_lut = jnp.array(lut)
+        reduce_lut = jnp.array(label_reduce_lut(num_classes, tuple(ign)))
         ignored_arr = jnp.array(sorted(ign))
 
     def adv_fn(state: TrainState, points, labels, key):

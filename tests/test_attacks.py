@@ -870,3 +870,78 @@ class TestRegistryCompletion:
                       key=jax.random.PRNGKey(0))
         assert float(jnp.abs(res.points_adv - pts).max()) > 0  # moved
         assert float(res.acc) < 0.9
+
+    def test_iteration_curve_targeted(self, proto_surrogate, proto_batch):
+        """Sweep harnesses take targeted configs: the per-probe sr must
+        rise as the budget grows (this was silently untargeted through
+        the CLI before the goal wiring fix)."""
+        from pointsecguard_tpu.attacks import (
+            PGDConfig,
+            iteration_curve,
+            make_target_labels,
+        )
+
+        pts, labels = proto_batch
+        origin = int(np.asarray(labels)[0, 0])
+        target = (origin + 3) % C
+        _, mask = make_target_labels(labels, origin, target)
+        cfg = PGDConfig(eps=1.0, alpha=0.1, iters=20, targeted=True,
+                        target=target, early_exit_sr=0.0)
+        probes = iteration_curve(proto_surrogate, pts, labels, cfg,
+                                 mask=mask, num_probes=4)
+        srs = [p["sr"] for p in probes]
+        assert srs[-1] > 0.5 and srs[-1] >= srs[0]
+
+    def test_distortion_success_criterion(self, proto_surrogate,
+                                          proto_batch):
+        """success_criterion='acc' scores a targeted drive untargeted
+        (the 'tm' goal); 'auto' keeps the sr>0.9 test for targeted."""
+        from pointsecguard_tpu.attacks import (
+            PGDConfig,
+            distortion_binsearch,
+        )
+
+        pts, labels = proto_batch
+        target = int(np.asarray(labels)[0, 0])
+        cfg = PGDConfig(eps=0.5, alpha=0.1, iters=10, targeted=True,
+                        target=target)
+        # no mask → engines report sr=0 → 'auto' (sr) can never succeed
+        eps_sr, _ = distortion_binsearch(
+            proto_surrogate, pts, labels, cfg, search_steps=1,
+            binsearch_steps=1,
+        )
+        assert eps_sr == float("inf")
+        # 'acc': driving every point toward one class tanks accuracy
+        eps_acc, details = distortion_binsearch(
+            proto_surrogate, pts, labels, cfg, success_acc=0.5,
+            success_criterion="acc", search_steps=3, binsearch_steps=3,
+        )
+        assert np.isfinite(eps_acc)
+        with pytest.raises(ValueError, match="success_criterion"):
+            distortion_binsearch(proto_surrogate, pts, labels, cfg,
+                                 success_criterion="nope")
+
+    def test_distortion_optimized_targeted_decision(self, cls_surrogate,
+                                                    cls_batch):
+        """Targeted boundary through the distortion benchmark: runs once
+        and reports per-sample achieved distortion with targeted
+        accounting (eligible = clean pred != target)."""
+        from pointsecguard_tpu.attacks import (
+            BoundaryConfig,
+            distortion_binsearch,
+        )
+
+        outputs_fn, _ = cls_surrogate
+        pts, labels = cls_batch
+        target = int((np.asarray(labels).ravel()[0] + 3) % C)
+        # binsearch has no start= plumbing — rely on random init via a
+        # generous init_tries instead
+        cfg = BoundaryConfig(iters=100, init_tries=50, init_scale=4.0,
+                             targeted=True, target=target)
+        eps, details = distortion_binsearch(
+            outputs_fn, pts, labels, cfg, key=jax.random.PRNGKey(1)
+        )
+        assert details["optimized"]
+        assert details["eligible"] == [True, True]
+        if any(details["success"]):
+            assert np.isfinite(eps)

@@ -345,6 +345,35 @@ class TestBenchmarkCLI:
         assert [p["iters"] for p in probes] == list(range(1, 5))
         assert all(p["l2"] > 0 for p in probes)
 
+    def test_iteration_mode_targeted_goal_wired(self, trained):
+        """--goal t must reach the sweep config (it was silently dropped
+        to an untargeted run before the goal wiring fix): the targeted
+        drive perturbs ONLY the origin-masked points, so at the same ε
+        budget its distortion must stay strictly below the untargeted
+        run that moves every point."""
+        import glob
+
+        from pointsecguard_tpu.cli import benchmark
+
+        data, log = trained
+        room = np.load(sorted(glob.glob(f"{data}/*.npy"))[0])
+        labels, counts = np.unique(room[:, 6].astype(int),
+                                   return_counts=True)
+        origin = int(labels[np.argmax(counts)])  # present, not dominant
+        target = int(labels[np.argmin(counts)])
+        base = ["--mode", "iteration", "--model", "pointnet",
+                "--data_root", data, "--log_dir", log, "--num_point",
+                "128", "--batch_size", "2", "--iters", "4",
+                "--eps", "0.5", "--alpha", "0.25"]
+        targeted = benchmark.main(
+            base + ["--goal", "t", "--origin", str(origin),
+                    "--target", str(target)]
+        )
+        untargeted = benchmark.main(base)
+        assert len(targeted) == len(untargeted) == 4
+        for t_probe, u_probe in zip(targeted, untargeted):
+            assert 0.0 < t_probe["l2"] < u_probe["l2"]
+
     def test_iteration_mode_rejects_cw(self, trained):
         from pointsecguard_tpu.cli import benchmark
 

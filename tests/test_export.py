@@ -185,3 +185,31 @@ class TestExportCLI:
         assert meta["platforms"] == ["cpu"]
         forward, _ = load_artifact(out)
         assert forward(_points(b=1)).shape == (1, 128, 13)
+
+    def test_resgcn_export_honors_optinit_flags(self, tmp_path):
+        """A checkpoint trained with non-default OptInit model flags
+        (here conv='mr', k=4) must export with the same architecture —
+        the CLI previously built the default EdgeConv model and the
+        restore failed on the tree mismatch."""
+        from pointsecguard_tpu.cli import export as export_cli
+        from pointsecguard_tpu.models import DenseDeepGCN
+        from pointsecguard_tpu.train import create_train_state
+        from pointsecguard_tpu.utils.checkpoint import CheckpointManager
+
+        log_dir = str(tmp_path / "log")
+        pts = jnp.zeros((1, 64, 9), jnp.float32)
+        model = DenseDeepGCN(n_blocks=2, k=4, n_filters=8, conv="mr")
+        state, _ = create_train_state(
+            model, (pts, None), rng=jax.random.PRNGKey(0)
+        )
+        CheckpointManager(f"{log_dir}/checkpoints").save(1, state)
+
+        out = str(tmp_path / "artifact")
+        export_cli.main([
+            "--model", "resgcn", "--log_dir", log_dir, "--output", out,
+            "--num_point", "64", "--resgcn_blocks", "2", "--resgcn_k",
+            "4", "--resgcn_filters", "8", "--resgcn_conv", "mr",
+            "--platforms", "cpu", "--check",
+        ])
+        forward, _ = load_artifact(out)
+        assert forward(_points(b=1, n=64)).shape == (1, 64, 13)
