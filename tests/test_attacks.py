@@ -945,3 +945,56 @@ class TestRegistryCompletion:
         assert details["eligible"] == [True, True]
         if any(details["success"]):
             assert np.isfinite(eps)
+
+    def test_decision_attacks_respect_clip_box(self, proto_surrogate,
+                                               proto_batch):
+        """Color-domain decision attacks: init draws come from the clip
+        box and every iterate stays inside it (only the unclipped
+        coordinate domain was exercised elsewhere)."""
+        from pointsecguard_tpu.attacks import (
+            BoundaryConfig,
+            EvolutionaryConfig,
+            boundary_attack,
+            evolutionary_attack,
+        )
+
+        # single-point clouds in the color domain: label = color cell
+        def cls_fn(points):
+            return proto_surrogate(points)[:, :1, :]  # [B, 1, C]
+
+        rng = np.random.RandomState(11)
+        pts = jnp.array(rng.rand(4, 1, 9).astype(np.float32))
+        labels = jnp.argmax(cls_fn(pts), axis=-1)
+        for fn, cfg in (
+            (boundary_attack,
+             BoundaryConfig(iters=60, init_tries=30, channels=(3, 6),
+                            clip=(0.0, 1.0))),
+            (evolutionary_attack,
+             EvolutionaryConfig(iters=60, init_tries=30, channels=(3, 6),
+                                clip=(0.0, 1.0))),
+        ):
+            res = fn(cls_fn, pts, labels, cfg, key=jax.random.PRNGKey(4))
+            color = np.asarray(res.points_adv[..., 3:6])
+            assert color.min() >= -1e-6 and color.max() <= 1 + 1e-6
+            np.testing.assert_array_equal(  # xyz + extra untouched
+                np.asarray(res.points_adv[..., :3]),
+                np.asarray(pts[..., :3]),
+            )
+            assert float(res.acc) < 1.0  # random init found SOME region
+
+    def test_nattack_unclipped_latent(self, cls_surrogate, cls_batch):
+        """clip=None (coordinate domain): the latent IS the perturbation
+        and candidates are color0 + proj_eps(z) — the eps ball must hold
+        without any tanh box."""
+        from pointsecguard_tpu.attacks import NAttackConfig, nattack
+
+        outputs_fn, _ = cls_surrogate
+        pts, labels = cls_batch
+        cfg = NAttackConfig(eps=0.2, alpha=0.1, iters=20, samples=8,
+                            sigma=0.1, loss="ce", channels=(0, 3),
+                            clip=None, num_classes=C)
+        res = nattack(outputs_fn, pts, labels, cfg,
+                      key=jax.random.PRNGKey(5))
+        delta = np.asarray(res.points_adv - pts)
+        assert np.abs(delta).max() <= 0.2 + 1e-5
+        assert np.abs(delta).max() > 0
