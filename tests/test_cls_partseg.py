@@ -322,6 +322,26 @@ class TestClsCLI:
         )
         np.testing.assert_array_equal(succ, total & ~acc_adv)
 
+    def test_benchmark_cls_distortion_decision_attack(self, trained):
+        """--mode distortion with a minimization attack on the cls task:
+        boundary runs once and reports achieved per-sample distortion
+        (`distortion.py:68,276-288` semantics via the optimized path)."""
+        from pointsecguard_tpu.cli import benchmark
+
+        data, log = trained
+        eps, details = benchmark.main([
+            "--task", "cls", "--model", "pointnet2_cls",
+            "--mode", "distortion", "--attack_name", "boundary",
+            "--data_root", data, "--log_dir", log, "--num_point", "64",
+            "--batch_size", "8", "--max_blocks", "8",
+            "--iters", "30", "--init_tries", "10",
+        ])
+        assert details["optimized"]
+        assert len(details["dist"]) == 8
+        # eligibility = clean-correct for the one-decision task
+        assert details["eligible"] == [a >= 1.0 for a in
+                                       details["clean_acc"]]
+
     def test_benchmark_cls_prediction_mode(self, trained, tmp_path):
         from pointsecguard_tpu.cli import benchmark
 
