@@ -21,6 +21,7 @@ from pointsecguard_tpu.attacks.benchmark import (
     distortion_binsearch,
     iteration_curve,
     load_attack,
+    worst_case_run,
 )
 from pointsecguard_tpu.attacks.blackbox import (
     NAttackConfig,
@@ -164,4 +165,5 @@ __all__ = [
     "simple_random_subsample",
     "spsa_attack",
     "statistical_outlier_removal",
+    "worst_case_run",
 ]

@@ -304,6 +304,70 @@ def load_attack(attack_name: str, init_kwargs: dict):
     return cfg
 
 
+def worst_case_run(
+    attack_names,
+    outputs_fn: Callable,
+    batches,
+    *,
+    goal: str = "ut",
+    distance_metric: str = "l_2",
+    origin: int | None = None,
+    target: int | None = None,
+    key: jax.Array | None = None,
+    logger=None,
+    **kwargs,
+):
+    """AutoAttack-style worst-case evaluation (Croce & Hein 2020,
+    beyond-reference): run several registry attacks over the SAME
+    batches and score each point's robustness against its WORST
+    attacker — per-point success is the union, robust accuracy is the
+    eligible fraction no attack breaks. The per-sample reported
+    distortion is the minimum among that sample's successful attacks.
+
+    Returns ``(robust_acc, per_attack, combined)`` where ``per_attack``
+    maps each name to its ares result summary and ``combined`` carries
+    the union arrays (``total``, ``succ``, ``dist``).
+    """
+    batches = list(batches)  # every attack sees identical batches
+    key = jax.random.PRNGKey(0) if key is None else key
+    per_attack: dict = {}
+    union_succ = totals = None
+    min_dist = None
+    for name in attack_names:
+        bench = AttackBenchmark(
+            name, outputs_fn, goal=goal, distance_metric=distance_metric,
+            origin=origin, target=target, **kwargs,
+        )
+        acc, acc_adv, total, succ, dist = bench.run(batches, key=key)
+        succ_rate = succ.sum() / max(total.sum(), 1)
+        per_attack[name] = {
+            "acc": float(acc.mean()),
+            "adv_acc": float(acc_adv.mean()),
+            "succ_rate": float(succ_rate),
+            "dist_mean": float(dist.mean()),
+        }
+        if logger is not None:
+            logger.info("%-12s adv_acc=%.4f succ=%.4f dist=%.4f",
+                        name, acc_adv.mean(), succ_rate, dist.mean())
+        if union_succ is None:
+            union_succ, totals = succ.copy(), total
+            min_dist = np.where(
+                succ.reshape(len(dist), -1).any(axis=1), dist, np.inf
+            )
+        else:
+            union_succ |= succ
+            sample_succ = succ.reshape(len(dist), -1).any(axis=1)
+            min_dist = np.where(
+                sample_succ, np.minimum(min_dist, dist), min_dist
+            )
+    robust_acc = 1.0 - union_succ.sum() / max(totals.sum(), 1)
+    combined = {"total": totals, "succ": union_succ, "dist": min_dist}
+    if logger is not None:
+        logger.info("WORST-CASE robust_acc=%.4f (union of %s)",
+                    robust_acc, ",".join(attack_names))
+    return float(robust_acc), per_attack, combined
+
+
 class AttackBenchmark:
     """Run a registered attack over a dataset and report ares' five result
     arrays (`benchmark/attack.py:52-115`): per-point clean correctness,

@@ -47,7 +47,12 @@ def main(argv=None):
     ap = argparse.ArgumentParser("benchmark")
     ap.add_argument("--mode", default="attack",
                     choices=["attack", "distortion", "iteration",
-                             "prediction"])
+                             "prediction", "worstcase"])
+    ap.add_argument("--attack_names", default="pgd,cw",
+                    help="worstcase mode: comma list of registry attacks "
+                         "— robust accuracy against the per-point UNION "
+                         "of their successes (AutoAttack-style worst-case "
+                         "evaluation, beyond-reference)")
     ap.add_argument("--attack_name", default="pgd",
                     choices=["fgsm", "bim", "pgd", "mim", "cw", "deepfool",
                              "nes", "spsa", "nattack", "boundary",
@@ -380,7 +385,7 @@ def main(argv=None):
         # silently turn them into momentum variants (bim zeroes it in
         # load_attack, pgd would keep it)
         extra["momentum"] = args.momentum
-    if args.mode == "attack":
+    if args.mode in ("attack", "worstcase"):
         kwargs = dict(eps=args.eps,
                       steps=args.cw_steps, samples=args.samples,
                       delta=args.spsa_delta,
@@ -393,6 +398,20 @@ def main(argv=None):
         elif args.goal == "tm":
             # targeted drive, untargeted scoring (`bim.py:80-82,144`)
             kwargs.update(target=args.target, ce_reduction="mean")
+        if args.mode == "worstcase":
+            from pointsecguard_tpu.attacks import worst_case_run
+
+            names = [n.strip() for n in args.attack_names.split(",")
+                     if n.strip()]
+            kwargs.pop("origin", None)
+            kwargs.pop("target", None)
+            robust_acc, per_attack, combined = worst_case_run(
+                names, jax.jit(outputs_fn), batches(), goal=args.goal,
+                distance_metric=args.distance, origin=args.origin,
+                target=args.target, key=jax.random.PRNGKey(args.seed),
+                logger=log, **kwargs,
+            )
+            return robust_acc, per_attack, combined
         bench = AttackBenchmark(
             args.attack_name, jax.jit(outputs_fn), goal=args.goal,
             distance_metric=args.distance, **kwargs,

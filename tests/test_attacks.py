@@ -998,3 +998,44 @@ class TestRegistryCompletion:
         delta = np.asarray(res.points_adv - pts)
         assert np.abs(delta).max() <= 0.2 + 1e-5
         assert np.abs(delta).max() > 0
+
+
+class TestWorstCase:
+    """AutoAttack-style worst-case evaluation (beyond-reference): per-
+    point success is the UNION over registry attacks on identical
+    batches; robust accuracy is the eligible fraction no attack breaks."""
+
+    def test_union_semantics(self, surrogate, batch):
+        from pointsecguard_tpu.attacks import (
+            AttackBenchmark,
+            worst_case_run,
+        )
+
+        pts, labels = batch
+        names = ["bim", "nes"]
+        shared = dict(eps=0.3, alpha=0.05, iters=10, samples=8, sigma=0.05)
+        robust, per_attack, combined = worst_case_run(
+            names, surrogate, [(pts, labels)],
+            key=jax.random.PRNGKey(4), **shared,
+        )
+        succs = []
+        for n in names:
+            bench = AttackBenchmark(n, surrogate, goal="ut", **shared)
+            _, _, total, succ, dist = bench.run(
+                [(pts, labels)], key=jax.random.PRNGKey(4)
+            )
+            succs.append(succ)
+        union = succs[0] | succs[1]
+        np.testing.assert_array_equal(combined["succ"], union)
+        denom = max(combined["total"].sum(), 1)
+        assert robust == pytest.approx(1.0 - union.sum() / denom)
+        # the union is at least as strong as each member
+        worst_rate = union.sum() / denom
+        for n in names:
+            assert per_attack[n]["succ_rate"] <= worst_rate + 1e-9
+        # min successful distortion per sample is finite where any
+        # attack succeeded
+        sample_succ = union.reshape(B, -1).any(axis=1)
+        dists = np.asarray(combined["dist"])
+        assert np.isfinite(dists[sample_succ]).all()
+        assert np.isinf(dists[~sample_succ]).all()

@@ -374,6 +374,26 @@ class TestBenchmarkCLI:
         for t_probe, u_probe in zip(targeted, untargeted):
             assert 0.0 < t_probe["l2"] < u_probe["l2"]
 
+    def test_worstcase_mode(self, trained):
+        """--mode worstcase: robust accuracy against the union of the
+        listed attacks' per-point successes; the union can only beat
+        the best single attack."""
+        from pointsecguard_tpu.cli import benchmark
+
+        data, log = trained
+        robust, per_attack, combined = benchmark.main([
+            "--mode", "worstcase", "--attack_names", "bim,nes",
+            "--model", "pointnet", "--data_root", data, "--log_dir", log,
+            "--num_point", "128", "--batch_size", "2", "--max_blocks",
+            "4", "--iters", "4", "--samples", "4",
+        ])
+        assert set(per_attack) == {"bim", "nes"}
+        worst_rate = (combined["succ"].sum()
+                      / max(combined["total"].sum(), 1))
+        assert robust == pytest.approx(1.0 - worst_rate)
+        for stats in per_attack.values():
+            assert stats["succ_rate"] <= worst_rate + 1e-9
+
     def test_iteration_mode_rejects_cw(self, trained):
         from pointsecguard_tpu.cli import benchmark
 
