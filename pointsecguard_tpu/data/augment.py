@@ -187,7 +187,9 @@ def rotate_perturbation_point_cloud_with_normal(
 ) -> np.ndarray:
     """Small random 3-axis rotations applied to xyz AND normals
     (`provider.py:106-131`). Input [B, N, 6]: xyz | normal."""
-    out = np.empty_like(batch)
+    # copy (not empty_like): extra channels beyond 6 must pass through,
+    # not read back uninitialized memory
+    out = batch.copy()
     for b in range(batch.shape[0]):
         R = _small_rotation(rng, angle_sigma, angle_clip)
         out[b, :, :3] = batch[b, :, :3] @ R

@@ -55,7 +55,10 @@ def _cifar10_test_batch(root: str) -> tuple[np.ndarray, np.ndarray]:
             if os.path.exists(p):
                 path = p
                 break
-    if not os.path.exists(path):
+    if not os.path.isfile(path):
+        # path may still be the directory itself when neither candidate
+        # exists — a bare exists() check would pass and open() would
+        # die with IsADirectoryError
         raise FileNotFoundError(
             f"no CIFAR-10 test_batch under '{root}' "
             "(expected the python-version pickle layout)"

@@ -122,9 +122,10 @@ class ModelNetDataset:
         for s in range(0, stop, batch_size):
             idx = order[s : s + batch_size]
             if len(idx) < batch_size and not drop_last:
-                idx = np.concatenate(
-                    [idx, order[: batch_size - len(idx)]]
-                )  # wrap-pad the tail to keep the program shape static
+                # wrap-pad the tail to the static batch shape; TILE the
+                # order so batch_size > 2·len(dataset) still fills up
+                pad = np.resize(order, batch_size - len(idx))
+                idx = np.concatenate([idx, pad])
             pts = np.stack([self.load(i)[0] for i in idx])
             yield pts, self.labels[idx].copy()
 

@@ -75,6 +75,11 @@ def knn_batch(
     query = np.ascontiguousarray(query, np.float32)
     B, N, _ = support.shape
     M = query.shape[1]
+    if k > N:
+        # scipy's query would silently fill missing neighbors with
+        # index == N (out of range) and distance inf; the native path
+        # has no defined behavior either — refuse loudly on both
+        raise ValueError(f"k={k} exceeds the {N} support points")
     lib = _load()
     if lib is not None:
         idx = np.empty((B, M, k), np.int64)

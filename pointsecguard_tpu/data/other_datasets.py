@@ -58,7 +58,9 @@ def prepare_scan(
     save_proj: bool = True,
 ) -> None:
     """Grid-subsample one scan/cloud and persist the RandLA input artifacts
-    (same layout as the S3DIS prep: .npy points/labels + KDTree + proj)."""
+    (same layout as the S3DIS prep: .npy points/labels + KDTree + proj;
+    ``_proj.pkl`` pickles ``[proj_idx, raw_labels]`` — the 2-list format
+    every other prep writes and `cli.eval`'s reprojection unpacks)."""
     os.makedirs(out_dir, exist_ok=True)
     if labels is not None:
         sub_xyz, sub_labels = grid_subsample_native(
@@ -73,8 +75,12 @@ def prepare_scan(
         pickle.dump(tree, f)
     if save_proj:
         _, proj = tree.query(xyz, k=1)
+        proj_labels = (labels if labels is not None
+                       else np.zeros(len(xyz), np.uint8))
         with open(os.path.join(out_dir, name + "_proj.pkl"), "wb") as f:
-            pickle.dump(proj.astype(np.int32), f)
+            pickle.dump(
+                [proj.astype(np.int32), np.asarray(proj_labels)], f
+            )
 
 
 def parse_kitti_learning_map(yaml_path: str) -> dict[int, int]:
@@ -295,6 +301,11 @@ def prepare_semantic3d_cloud(
     tree = cKDTree(sub_xyz)
     with open(os.path.join(out_dir, name + "_KDTree.pkl"), "wb") as f:
         pickle.dump(tree, f)
+    # [proj_idx, labels] — the 2-list format the root prep writes and
+    # cli.eval's reprojection unpacks (labels pair 1:1 with the queried
+    # raw points; zeros for unlabeled clouds)
     _, proj = tree.query(points, k=1)
+    proj_labels = (labels if labels is not None
+                   else np.zeros(len(points), np.uint8))
     with open(os.path.join(out_dir, name + "_proj.pkl"), "wb") as f:
-        pickle.dump(proj.astype(np.int32), f)
+        pickle.dump([proj.astype(np.int32), np.asarray(proj_labels)], f)

@@ -52,10 +52,24 @@ def read_ply(path: str) -> np.ndarray:
             if parts[0] == "format":
                 fmt = parts[1]
             elif parts[0] == "element":
+                if parts[1] != "vertex" and not props:
+                    # a non-vertex element BEFORE vertex would shift the
+                    # binary payload — skipping it needs per-element
+                    # sizes we don't parse; refuse loudly instead of
+                    # silently misreading vertex data
+                    raise NotImplementedError(
+                        f"PLY element {parts[1]!r} precedes the vertex "
+                        "element; only vertex-first layouts are supported"
+                    )
                 in_vertex = parts[1] == "vertex"
                 if in_vertex:
                     count = int(parts[2])
             elif parts[0] == "property" and in_vertex:
+                if parts[1] == "list":
+                    raise NotImplementedError(
+                        "PLY list properties on the vertex element are "
+                        "not supported (variable-length rows)"
+                    )
                 props.append((parts[2], _PLY_DTYPES[parts[1]]))
         if fmt not in _FORMAT_ENDIAN:
             raise NotImplementedError(f"PLY format {fmt} not supported")
@@ -86,6 +100,22 @@ def write_ply(path: str, arrays, field_names: list[str]) -> None:
         raise ValueError(
             f"{len(cols)} columns but {len(field_names)} field names"
         )
+    # PLY has no 64-bit integer or bool types: narrow BEFORE touching the
+    # file (a mid-write failure would leave a truncated header on disk).
+    # int64 is numpy's default integer, so np.argmax(...) predictions are
+    # the common case.
+    _NARROW = {"i8": "i4", "u8": "u4", "b1": "u1"}
+    cols = [
+        c.astype(c.dtype.str[0] + _NARROW[c.dtype.str[1:]])
+        if c.dtype.str[1:] in _NARROW else c
+        for c in cols
+    ]
+    for name, c in zip(field_names, cols):
+        if c.dtype.str[1:] not in _INV_DTYPES:
+            raise ValueError(
+                f"column {name!r} has dtype {c.dtype} with no PLY "
+                f"equivalent (supported: {sorted(_INV_DTYPES)})"
+            )
     n = len(cols[0])
     dtype = np.dtype(
         [(name, "<" + c.dtype.str[1:]) for name, c in zip(field_names, cols)]

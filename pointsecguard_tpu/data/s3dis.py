@@ -212,10 +212,15 @@ class S3DISBlockSampler:
         self._grids: dict[int, _BlockIndex] = {}  # lazy per-room indexes
         n_all = np.array([len(l) for l in rooms.labels], np.float64)
         prob = n_all / n_all.sum()
-        num_iter = int(n_all.sum() * sample_rate / num_point)
+        # floor at one draw: a dataset smaller than num_point/sample_rate
+        # points would otherwise produce an EMPTY sampler and the train
+        # loop's first next() would die with a bare StopIteration
+        num_iter = max(int(n_all.sum() * sample_rate / num_point), 1)
         idxs = []
         for i in range(len(rooms.names)):
             idxs.extend([i] * int(round(prob[i] * num_iter)))
+        if not idxs:
+            idxs = [int(np.argmax(n_all))]
         self.room_idxs = np.array(idxs, np.int64)
 
     def __len__(self):
@@ -248,8 +253,9 @@ class S3DISBlockSampler:
         in_block, center = best
         replace = in_block.size < self.num_point
         sel = rng.choice(in_block, self.num_point, replace=replace)
+        # fancy indexing already yields a fresh array — no .copy()
         feats = _nine_channel(
-            points[sel].copy(), center[:2], self.rooms.coord_max[room]
+            points[sel], center[:2], self.rooms.coord_max[room]
         )
         return feats, labels[sel]
 
@@ -306,8 +312,16 @@ class WholeSceneBlocks:
         coord_min = np.amin(points[:, :3], axis=0)
         coord_max = np.amax(points[:, :3], axis=0)
         bs, st = self.block_size, self.stride
-        grid_x = int(np.ceil((coord_max[0] - coord_min[0] - bs) / st) + 1)
-        grid_y = int(np.ceil((coord_max[1] - coord_min[1] - bs) / st) + 1)
+        # rooms narrower than block_size − stride would compute a 0-count
+        # grid and leave no blocks (the reference has the same latent
+        # crash, `S3DISDataLoader.py:132-133`; our blocks.room2blocks
+        # already guards it) — one block still covers a narrow room
+        grid_x = max(
+            int(np.ceil((coord_max[0] - coord_min[0] - bs) / st) + 1), 1
+        )
+        grid_y = max(
+            int(np.ceil((coord_max[1] - coord_min[1] - bs) / st) + 1), 1
+        )
         data_l, label_l, weight_l, index_l = [], [], [], []
         for iy in range(grid_y):
             for ix in range(grid_x):

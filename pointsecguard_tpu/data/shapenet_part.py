@@ -148,7 +148,9 @@ class ShapeNetPartDataset:
         for s in range(0, stop, batch_size):
             idx = order[s : s + batch_size]
             if len(idx) < batch_size and not drop_last:
-                idx = np.concatenate([idx, order[: batch_size - len(idx)]])
+                # tile, so batch_size > 2·len(dataset) still fills up
+                pad = np.resize(order, batch_size - len(idx))
+                idx = np.concatenate([idx, pad])
             loaded = [self.load(i, rng if resample else None) for i in idx]
             yield (
                 np.stack([l[0] for l in loaded]),

@@ -219,9 +219,10 @@ class TestOtherDatasets:
         lab = np.load(os.path.join(out, "seq00_000000_labels.npy"))
         assert sub.shape[0] == lab.shape[0] < 500  # grid reduced
         with open(os.path.join(out, "seq00_000000_proj.pkl"), "rb") as f:
-            proj = pickle.load(f)
+            proj, proj_labels = pickle.load(f)  # the 2-list eval unpacks
         assert proj.shape == (500,)
         assert proj.max() < sub.shape[0]
+        np.testing.assert_array_equal(proj_labels, labels)
 
     def test_prepare_semantic3d_cloud(self, tmp_path, rng):
         from pointsecguard_tpu.data import read_ply
@@ -240,6 +241,12 @@ class TestOtherDatasets:
         back = read_ply(os.path.join(out, "bildstein.ply"))
         assert len(back) < 800
         assert {"x", "red", "class"} <= set(back.dtype.names)
+        import pickle
+
+        with open(os.path.join(out, "bildstein_proj.pkl"), "rb") as f:
+            proj, proj_labels = pickle.load(f)  # 2-list, raw-point pairs
+        assert len(proj) == len(proj_labels) == 800
+        assert proj.max() < len(back)
 
     @staticmethod
     def _write_kitti_seq(root, seq, n_scans, rng, labeled):
@@ -445,3 +452,112 @@ class TestPartNet:
         v = model.init(jax.random.PRNGKey(0), jnp.asarray(pts))
         out = model.apply(v, jnp.asarray(pts))
         assert out.shape == (2, 128, ds.num_classes)
+
+
+class TestReviewRegressions:
+    """Edge-case fixes from the round-3 data-package review."""
+
+    def test_write_ply_narrows_int64_and_bool(self, tmp_path):
+        from pointsecguard_tpu.data import read_ply, write_ply
+
+        p = str(tmp_path / "preds.ply")
+        preds = np.array([3, 1, 2])  # np default int64 — the natural call
+        flags = np.array([True, False, True])
+        write_ply(p, [preds, flags], ["pred", "flag"])
+        back = read_ply(p)
+        np.testing.assert_array_equal(back["pred"], preds)
+        np.testing.assert_array_equal(back["flag"], flags.astype(np.uint8))
+        # unconvertible dtypes are rejected BEFORE the file is touched
+        q = str(tmp_path / "bad.ply")
+        with pytest.raises(ValueError, match="no PLY equivalent"):
+            write_ply(q, [np.array(["a", "b"])], ["s"])
+        assert not os.path.exists(q)
+
+    def test_read_ply_refuses_unsupported_layouts(self, tmp_path):
+        from pointsecguard_tpu.data import read_ply
+
+        p = str(tmp_path / "edgefirst.ply")
+        with open(p, "wb") as f:
+            f.write(b"ply\nformat binary_little_endian 1.0\n"
+                    b"element edge 2\nproperty int a\n"
+                    b"element vertex 1\nproperty float x\n"
+                    b"end_header\n" + b"\x00" * 12)
+        with pytest.raises(NotImplementedError, match="precedes"):
+            read_ply(p)
+        p2 = str(tmp_path / "list.ply")
+        with open(p2, "wb") as f:
+            f.write(b"ply\nformat binary_little_endian 1.0\n"
+                    b"element vertex 1\n"
+                    b"property list uchar int vertex_indices\n"
+                    b"end_header\n\x00")
+        with pytest.raises(NotImplementedError, match="list"):
+            read_ply(p2)
+
+    def test_whole_scene_blocks_narrow_room(self):
+        from pointsecguard_tpu.data.s3dis import RoomSet, WholeSceneBlocks
+
+        rng = np.random.RandomState(3)
+        pts = rng.rand(600, 6).astype(np.float32)
+        pts[:, 0] *= 0.4  # narrower than block_size − stride in x
+        pts[:, 1] *= 0.3  # and y
+        pts[:, 3:] *= 255
+        labels = rng.randint(0, 13, 600).astype(np.int32)
+        rooms = RoomSet(
+            ["narrow"], [pts], [labels],
+            [pts[:, :3].min(axis=0)], [pts[:, :3].max(axis=0)],
+        )
+        ws = WholeSceneBlocks(rooms, block_points=128)
+        data, lab, w, pidx = ws.room_blocks(
+            0, np.random.default_rng(0)
+        )  # must not crash empty
+        assert len(data) >= 1
+
+    def test_modelnet_wrap_pad_tiles_small_dataset(self, tmp_path):
+        from pointsecguard_tpu.data.modelnet import (
+            ModelNetDataset,
+            make_synthetic_modelnet,
+        )
+
+        root = str(tmp_path / "mn")
+        make_synthetic_modelnet(root, points_per_shape=64, seed=1)
+        ds = ModelNetDataset(root, "test", num_point=32)
+        big = 2 * len(ds) + 3  # > 2·len would previously under-fill
+        batches = list(ds.batches(np.random.default_rng(0), big,
+                                  drop_last=False))
+        assert all(b[0].shape[0] == big for b in batches)
+
+    def test_knn_batch_rejects_k_over_support(self):
+        from pointsecguard_tpu.data.native import knn_batch
+
+        sup = np.random.rand(1, 8, 3).astype(np.float32)
+        q = np.random.rand(1, 4, 3).astype(np.float32)
+        with pytest.raises(ValueError, match="exceeds"):
+            knn_batch(sup, q, k=16)
+
+    def test_rotate_perturbation_with_normal_passthrough(self):
+        rng = np.random.default_rng(0)
+        batch = np.random.rand(2, 16, 7).astype(np.float32)
+        out = augment.rotate_perturbation_point_cloud_with_normal(
+            batch, rng
+        )
+        np.testing.assert_array_equal(out[..., 6], batch[..., 6])
+
+    def test_block_sampler_tiny_dataset_still_yields(self):
+        from pointsecguard_tpu.data.s3dis import (
+            RoomSet,
+            S3DISBlockSampler,
+        )
+
+        rng = np.random.RandomState(5)
+        pts = rng.rand(2000, 6).astype(np.float32)  # < num_point/rate
+        pts[:, 3:] *= 255
+        labels = rng.randint(0, 13, 2000).astype(np.int32)
+        rooms = RoomSet(
+            ["tiny"], [pts], [labels],
+            [pts[:, :3].min(axis=0)], [pts[:, :3].max(axis=0)],
+        )
+        sampler = S3DISBlockSampler(rooms, num_point=4096,
+                                    min_points=16)
+        assert len(sampler.room_idxs) >= 1
+        batch = next(iter(sampler.batches(np.random.default_rng(0), 1)))
+        assert batch[0].shape == (1, 4096, 9)
