@@ -23,6 +23,22 @@ import numpy as np
 log = logging.getLogger(__name__)
 
 
+def _step_keys(key, k: int):
+    """Per-dispatch PRNG keys in the exact order a sequential loop would
+    have drawn them (one fold per step — shared by all five training
+    loops; the ordering is part of the multi-step/CLI equivalence
+    contract). Returns (advanced key, stacked [k] keys)."""
+    import jax
+
+    subs = []
+    for _ in range(k):
+        key, sub = jax.random.split(key)
+        subs.append(sub)
+    import jax.numpy as jnp
+
+    return key, jnp.stack(subs)
+
+
 def _maybe_adv_fn(args, model, *, model_args=None, output_head=None,
                   ignored_labels=(), num_classes=None):
     """``--adv_train nb`` → PGD adversarial-training hook
@@ -166,12 +182,9 @@ def train_pointnet_family(args):
             for pts_k, lab_k in prefetch(
                 stack_batches(_augmented(), spc), _put_group, depth=depth
             ):
-                subs = []
-                for _ in range(pts_k.shape[0]):
-                    key, sub = jax.random.split(key)
-                    subs.append(sub)
+                key, subs = _step_keys(key, pts_k.shape[0])
                 state, losses, _ = step_fn(
-                    state, pts_k, lab_k, weights, lr, bn_m, jnp.stack(subs),
+                    state, pts_k, lab_k, weights, lr, bn_m, subs,
                 )
                 loss_parts.append(losses)
         # one host sync per EPOCH: fetching losses per step would stall
@@ -199,8 +212,13 @@ def train_pointnet_family(args):
                    learning_rate=lr)
         if (epoch + 1) % args.eval_every == 0 or epoch == args.epochs - 1:
             predict = lambda p: np.asarray(eval_fn(state, put(p)))
+            # batch_size must match the put (built and divisibility-
+            # checked for args.batch_size): the default 16 would crash
+            # device_put under --devices N that divides the train batch
+            # but not 16
             total, _ = evaluate_whole_scenes(
                 predict, test_rooms, block_points=args.npoint,
+                batch_size=batch_size,
                 rng=np.random.default_rng(args.seed),
             )
             miou = float(total.miou)
@@ -219,7 +237,6 @@ def train_randla(args):
     import jax
     import jax.numpy as jnp
 
-    from pointsecguard_tpu.configs import RandlaConfig
     from pointsecguard_tpu.data import SpatiallyRegularSampler
     from pointsecguard_tpu.data.loader import prefetch, stack_batches
     from pointsecguard_tpu.models import RandLANet, build_pyramid, weighted_softmax_ce_loss
@@ -321,10 +338,18 @@ def train_randla(args):
     eval_fn = make_eval_step(model, model_args=model_args,
                              output_head=lambda out: out)
     ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
+    # best-effort auto-resume like every other family loop; without it a
+    # rerun restarts at epoch 0 and orbax silently refuses every save at
+    # a step <= the previously saved latest
+    resumed = ckpt.restore_latest(state)
+    start_epoch = 0
+    if resumed:
+        state, start_epoch = resumed
+        log.info("resumed from epoch %d", start_epoch)
     state = replicate(mesh, state)
     key = jax.random.PRNGKey(args.seed + 1)
     best_miou = 0.0
-    for epoch in range(args.epochs):
+    for epoch in range(start_epoch, args.epochs):
         lr = randla_lr(epoch, base=args.learning_rate or cfg.learning_rate)
         t0 = time.time()
 
@@ -339,12 +364,9 @@ def train_randla(args):
             stack_batches(_pairs(), spc),
             lambda g: (sput(g[0]), sput(g[1])), depth=depth,
         ):
-            subs = []
-            for _ in range(f_k.shape[0]):
-                key, sub = jax.random.split(key)
-                subs.append(sub)
+            key, subs = _step_keys(key, f_k.shape[0])
             state, losses, _ = step_fn(
-                state, f_k, l_k, weights, lr, 0.01, jnp.stack(subs),
+                state, f_k, l_k, weights, lr, 0.01, subs,
             )
             loss = losses[-1]  # last-step loss, fetched after the loop
         # validation confusion over the reference's FULL val_steps batches
@@ -363,6 +385,9 @@ def train_randla(args):
         for _, feats, labels, _, _ in val_sampler.batches(
             cfg.val_batch_size, val_steps
         ):
+            # fed unsharded: the protocol's val_batch_size=1 cannot split
+            # over the data axis (--shard_points is the axis that scales
+            # one-cloud batches; GSPMD replicates this input otherwise)
             preds = np.asarray(eval_fn(state, jnp.array(feats)))
             y = labels.reshape(-1)
             p = preds.reshape(-1)
@@ -465,19 +490,21 @@ def train_resgcn(args):
             stack_batches(sampler.batches(rng, batch_size), spc),
             lambda g: (sput(g[0]), sput(g[1])), depth=depth,
         ):
-            subs = []
-            for _ in range(pts_k.shape[0]):
-                key, sub = jax.random.split(key)
-                subs.append(sub)
+            key, subs = _step_keys(key, pts_k.shape[0])
             state, losses, _ = step_fn(
-                state, pts_k, lab_k, jnp.ones(13), lr, 0.1, jnp.stack(subs),
+                state, pts_k, lab_k, jnp.ones(13), lr, 0.1, subs,
             )
             loss_parts.append(losses)
-        mean_loss = float(np.mean(np.concatenate(
-            [np.asarray(l) for l in loss_parts]
-        ))) if loss_parts else 0.0
-        log.info("epoch %d loss %.4f (%.1fs)", epoch, mean_loss,
-                 time.time() - t0)
+        losses_np = (np.concatenate([np.asarray(l) for l in loss_parts])
+                     if loss_parts else np.zeros(0, np.float32))
+        finite = np.isfinite(losses_np)
+        # filter NaN-guard-skipped batches like the other loops — one bad
+        # batch would otherwise poison the logged loss and the checkpoint
+        # metric to NaN for the rest of the run
+        mean_loss = (float(losses_np[finite].mean()) if finite.any()
+                     else 0.0)
+        log.info("epoch %d loss %.4f (%.1fs, %d skipped)", epoch,
+                 mean_loss, time.time() - t0, int((~finite).sum()))
         ckpt.save(epoch + 1, state, miou=-mean_loss)
     return state, None
 
@@ -650,14 +677,11 @@ def train_cls(args):
             stack_batches(_augmented(), spc),
             lambda g: (sput(g[0]), sput(g[1])), depth=depth,
         ):
-            subs = []
-            for _ in range(pts_k.shape[0]):
-                key, sub = jax.random.split(key)
-                subs.append(sub)
+            key, subs = _step_keys(key, pts_k.shape[0])
             # bn momentum here is the TORCH update fraction (0.1 default;
             # the upstream cls driver does not anneal it)
             state, losses, _ = step_fn(
-                state, pts_k, lab_k, weights, lr, 0.1, jnp.stack(subs)
+                state, pts_k, lab_k, weights, lr, 0.1, subs
             )
             loss_parts.append(losses)
         losses_np = (
@@ -807,12 +831,9 @@ def train_partseg(args):
             stack_batches(_augmented(), spc),
             lambda g: (sput(g[0]), sput(g[1])), depth=depth,
         ):
-            subs = []
-            for _ in range(pts_k.shape[0]):
-                key, sub = jax.random.split(key)
-                subs.append(sub)
+            key, subs = _step_keys(key, pts_k.shape[0])
             state, losses, _ = step_fn(
-                state, pts_k, seg_k, weights, lr, bn_m, jnp.stack(subs)
+                state, pts_k, seg_k, weights, lr, bn_m, subs
             )
             loss_parts.append(losses)
         losses_np = (

@@ -77,6 +77,7 @@ def _make_step_body(
     output_head: Callable,
     aux_loss: Callable | None,
     adv_fn: Callable | None = None,
+    with_confusion: bool = True,
 ):
     """The un-jitted train-step body shared by ``make_train_step`` (one
     step per dispatch) and ``make_multi_train_step`` (K steps scanned
@@ -130,8 +131,14 @@ def _make_step_body(
         params = keep(params, state.params)
         new_opt = keep(new_opt, state.opt_state)
         new_stats = keep(new_stats, state.batch_stats)
-        preds = jnp.argmax(seg, axis=-1)
-        cm = confusion_matrix(labels, preds, num_classes)
+        if with_confusion:
+            preds = jnp.argmax(seg, axis=-1)
+            cm = confusion_matrix(labels, preds, num_classes)
+        else:
+            # the cm scatter-adds B·P rows per step (~3-4 ms at RandLA
+            # shapes at the chip's ~67M rows/s scatter rate) — skip it
+            # when the caller discards it (the hot training loops do)
+            cm = jnp.zeros((num_classes, num_classes), jnp.int32)
         new_state = TrainState(
             params=params,
             batch_stats=new_stats,
@@ -182,6 +189,7 @@ def make_multi_train_step(
     output_head: Callable = lambda out: out[0] if isinstance(out, tuple) else out,
     aux_loss: Callable | None = None,
     adv_fn: Callable | None = None,
+    with_confusion: bool = False,
 ):
     """K optimizer steps per dispatch: ``lax.scan`` of the train step over
     batches stacked on a new leading axis (``data.loader.stack_batches``).
@@ -194,10 +202,14 @@ def make_multi_train_step(
     Takes ``points [K,B,...]``, ``labels [K,B]`` and ``rngs [K]`` (one key
     per step, stacked in the order the sequential loop would have drawn
     them); returns ``(state, losses [K], summed confusion matrix)``.
+
+    ``with_confusion`` defaults to False here (unlike the single-step
+    factory): every training loop discards the matrix, and computing it
+    costs a B·P-row scatter-add per step on the hot path.
     """
     body = _make_step_body(
         model, tx, loss_fn, num_classes, model_args, output_head, aux_loss,
-        adv_fn,
+        adv_fn, with_confusion,
     )
 
     @partial(jax.jit, donate_argnums=0)

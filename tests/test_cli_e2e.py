@@ -52,6 +52,25 @@ class TestTrainCLI:
         losses = [e["loss"] for e in ev if e["event"] == "epoch"]
         assert losses[-1] < losses[0]  # it actually learns
 
+    def test_eval_batch_matches_train_devices(self, trained, tmp_path):
+        """In-loop eval must use the TRAIN batch size: the batch put is
+        built (and divisibility-checked) for --batch_size, and the old
+        hardcoded eval chunk of 16 crashed device_put whenever --devices
+        divided the train batch but not 16 (here 3 | 6 but 3 ∤ 16)."""
+        from pointsecguard_tpu.cli import train
+
+        data, _ = trained
+        log = str(tmp_path / "dev3")
+        train.main([
+            "--model", "pointnet", "--data_root", data, "--log_dir", log,
+            "--epochs", "1", "--npoint", "128", "--batch_size", "6",
+            "--learning_rate", "0.003", "--eval_every", "1",
+            "--devices", "3",
+        ])
+        ev = [json.loads(l) for l in
+              open(os.path.join(log, "events.jsonl"))]
+        assert any(e["event"] == "eval" for e in ev)  # eval survived
+
     def test_auto_resume_skips_done_epochs(self, trained):
         from pointsecguard_tpu.cli import train
 

@@ -43,6 +43,27 @@ class TestRandlaCLI:
         _, _, log = trained
         assert os.path.isdir(os.path.join(log, "checkpoints"))
 
+    def test_train_auto_resumes(self, trained, capfd):
+        """Re-running with a higher --epochs continues from the saved
+        epoch instead of restarting at 0 (this loop was the last one
+        without auto-resume; a restart's lower-step saves would be
+        silently refused by orbax)."""
+        from pointsecguard_tpu.cli import train
+
+        rd, _, log = trained
+        before = set(os.listdir(os.path.join(log, "checkpoints")))
+        train.main([
+            "--model", "randla", "--randla_dir", rd, "--log_dir", log,
+            "--epochs", "5", "--randla_points", "512",
+            "--steps_per_epoch", "8", "--batch_size", "2", "--seed",
+            "0", "--val_steps", "4",
+        ])
+        # cli.train's basicConfig(force=True) evicts pytest's caplog
+        # handler — read the stderr log stream instead
+        assert "resumed from epoch" in capfd.readouterr().err
+        after = set(os.listdir(os.path.join(log, "checkpoints")))
+        assert before <= after  # resume only ADDS later-epoch saves
+
     def test_eval_save_preds_then_cv6fold(self, trained, tmp_path):
         """eval --save_preds writes full-resolution prediction PLYs that
         cv6fold aggregates against the prepared original_ply ground truth

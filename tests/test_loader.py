@@ -164,7 +164,9 @@ class TestMultiTrainStep:
             seq_losses.append(float(loss))
 
         stateK, txK = make_state()
-        stepK = mkk(model, txK, loss_fn)
+        # with_confusion defaults OFF in the multi-step factory (the hot
+        # loops discard it); switch it on to check the summed matrix
+        stepK = mkk(model, txK, loss_fn, with_confusion=True)
         pts_k = jnp.stack([b[0] for b in batches])
         lab_k = jnp.stack([b[1] for b in batches])
         stateK, losses, cm = stepK(
