@@ -315,6 +315,9 @@ def main(argv=None):
     targeted = args.attack.startswith("tar_")
     if args.attack == "random":
         attack_cfg = None
+        if args.control:  # same semantics as the RandLA/object drivers
+            log.info("--control is a no-op with --attack random; ignoring")
+            args.control = False
     else:
         overrides = {"targeted": True, "target": args.target} if targeted else {}
         attack_cfg = attack_preset(preset_family, args.attack, **overrides)
@@ -475,8 +478,9 @@ def main(argv=None):
             pi = pidx[start : start + valid]
             add_votes(clean_pool, pi, clean_pred, w)
             add_votes(adv_pool, pi, adv_pred, w)
-            if adv_colors_room is not None and args.attack != "random":
-                adv_c = np.asarray(res.points_adv[:valid, :, 3:6]).reshape(-1, 3)
+            if adv_colors_room is not None:
+                adv_src = adv if args.attack == "random" else res.points_adv
+                adv_c = np.asarray(adv_src[:valid, :, 3:6]).reshape(-1, 3)
                 adv_colors_room[pi.reshape(-1)] = adv_c
             row = (
                 f"{room_name}\t{start}\t{clean_acc:.4f}\t{adv_acc:.4f}"

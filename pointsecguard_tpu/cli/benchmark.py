@@ -279,7 +279,21 @@ def main(argv=None):
         def outputs_fn(f):
             return model.apply(variables, f, pyramid_fn(f[..., :3]))
 
-        n_clouds = args.max_blocks or 16
+        if not args.max_blocks:
+            # the possibility sampler draws spatially-regular samples
+            # indefinitely — "0 = all" has no finite meaning here
+            raise SystemExit(
+                "--model randla needs an explicit --max_blocks cloud "
+                "count (the possibility sampler has no finite 'all')"
+            )
+        # the sampler always yields full batches: round UP so at least
+        # --max_blocks clouds are covered, and say so
+        n_clouds = -(-args.max_blocks // B) * B
+        if n_clouds != args.max_blocks:
+            log.info(
+                "benchmarking %d clouds (--max_blocks %d rounded up to "
+                "full %d-cloud batches)", n_clouds, args.max_blocks, B,
+            )
 
         def batches():
             for _, feats, labels, _, _ in sampler.batches(

@@ -69,7 +69,9 @@ def main(argv=None):
     ap.add_argument("--num_point", type=int, default=0,
                     help="points per sample (0 = task default: 4096 "
                          "semseg blocks, 1024 cls, 2048 part-seg)")
-    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--batch_size", type=int, default=0,
+                    help="0 = family default: 16 for block/object models, "
+                         "the dataset config's val_batch_size for randla")
     ap.add_argument("--num_votes", type=int, default=5)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--visual", action="store_true",
@@ -126,6 +128,7 @@ def main(argv=None):
         )
     if args.model == "randla":
         return _eval_randla(args, log)
+    args.batch_size = args.batch_size or 16
     if is_object:
         if args.visual:
             raise SystemExit(
@@ -429,7 +432,7 @@ def _eval_randla(args, log):
         )
     )
     model_args = lambda f: (f, pyramid_fn(f[..., :3]))
-    B = cfg.val_batch_size
+    B = args.batch_size or cfg.val_batch_size
     dummy = jnp.zeros((B, num_points, feat_dim), jnp.float32)
     state, _ = create_train_state(
         model, (dummy, None), rng=jax.random.PRNGKey(0), model_args=model_args
@@ -480,9 +483,11 @@ def _eval_randla(args, log):
         )
         return m
 
-    # per-sub-cloud probability vote pools
+    # per-sub-cloud probability vote pools; --num_clouds counts SAMPLES
+    # (the possibility sampler's spatially-regular draws), not batches
     pools = [np.zeros((len(c.labels), K), np.float64) for c in sampler.clouds]
-    for _, feats, labels, idx, cloud_idx in sampler.batches(B, args.num_clouds):
+    steps = -(-args.num_clouds // B)
+    for _, feats, labels, idx, cloud_idx in sampler.batches(B, steps):
         probs = np.asarray(probs_fn(put(feats)))
         for b in range(B):
             np.add.at(pools[int(cloud_idx[b])], idx[b], probs[b])
@@ -490,7 +495,13 @@ def _eval_randla(args, log):
     cm = np.zeros((K, K), np.float64)
     if args.save_preds:
         os.makedirs(args.save_preds, exist_ok=True)
+    n_scored = 0
     for ci, cloud in enumerate(sampler.clouds):
+        if not pools[ci].any():
+            # never sampled (small --num_clouds): argmaxing an all-zero
+            # pool would score the whole cloud as class 0 — skip it
+            continue
+        n_scored += 1
         sub_pred = pools[ci].argmax(axis=1)
         proj_path = os.path.join(args.randla_dir, cloud.name + "_proj.pkl")
         proj_ok = os.path.exists(proj_path)
@@ -552,6 +563,11 @@ def _eval_randla(args, log):
                 title=f"{cloud.name} predictions",
             )
 
+    if n_scored < len(sampler.clouds):
+        log.info(
+            "scored %d/%d clouds (raise --num_clouds to cover all)",
+            n_scored, len(sampler.clouds),
+        )
     m = metrics_from_confusion(jnp.array(cm))
     for cls, iou in zip(preset.class_names, np.asarray(m.class_iou)):
         log.info("%18s: %.4f", cls, iou)

@@ -129,8 +129,7 @@ class FeaturePropagation(nn.Module):
             )
         elif plan is not None:
             idx, weight = plan
-            gathered = ops.gather_points(feats2, idx)  # [B, N, 3, D]
-            interpolated = jnp.sum(gathered * weight[..., None], axis=2)
+            interpolated = ops.apply_three_nn(feats2, idx, weight)
         else:
             interpolated = ops.three_nn_interpolate(xyz1, xyz2, feats2)
         if feats1 is not None:
@@ -148,15 +147,10 @@ _SSG_NSAMPLES = (32, 32, 32, 32)
 
 def three_nn_plan(dst: jnp.ndarray, src: jnp.ndarray):
     """3-NN interpolation plan (idx [B,N,3], weight [B,N,3]) for a
-    FeaturePropagation hop — the gather/weight half of
-    `pointnet_util.py:270-297` with the search hoisted out."""
-    from pointsecguard_tpu.ops.selection import bottom_k_indices
-
-    d = ops.square_distance(dst, src)
-    dists, idx3 = bottom_k_indices(d, 3)
-    recip = 1.0 / (dists + 1e-8)
-    weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
-    return idx3, weight
+    FeaturePropagation hop — the search/weight half of
+    `pointnet_util.py:270-297` hoisted out (single definition lives in
+    ``ops.interpolate.three_nn_plan``)."""
+    return ops.three_nn_plan(dst, src)
 
 
 def build_geometry(xyz: jnp.ndarray) -> dict:

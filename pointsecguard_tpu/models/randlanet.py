@@ -106,10 +106,7 @@ def build_pyramid(
             _, idx = sp_knn(query, pts, k_eff)
         else:
             _, idx = ops.knn(query, pts, k_eff, tile=tile)
-        if k_eff < kk:
-            reps = -(-kk // k_eff)
-            idx = jnp.tile(idx, (1, 1, reps))[:, :, :kk]
-        return idx
+        return ops.repeat_pad_k(idx, kk)
 
     xyzs, neighs, subs, interps = [], [], [], []
     cur = xyz

@@ -135,9 +135,8 @@ class DynConv(nn.Module):
             cand = x[:, :: self.dilation, :]
             k_eff = min(self.k, cand.shape[1])
             _, idx = ops.knn(x, cand, k_eff, strategy=self.knn_strategy)
-            if k_eff < self.k:  # tiny clouds: repeat neighbors to width k
-                reps = -(-self.k // k_eff)
-                idx = jnp.tile(idx, (1, 1, reps))[:, :, : self.k]
+            # tiny clouds: repeat neighbors to width k
+            idx = ops.repeat_pad_k(idx, self.k)
             idx = idx * self.dilation  # map back to full-cloud indices
         else:
             idx = ops.dense_knn_graph(

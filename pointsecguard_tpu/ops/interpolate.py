@@ -15,21 +15,23 @@ from pointsecguard_tpu.ops.distance import square_distance
 from pointsecguard_tpu.ops.gather import gather_points
 
 
-def three_nn_interpolate(
-    xyz_dst: jnp.ndarray, xyz_src: jnp.ndarray, feats_src: jnp.ndarray
-) -> jnp.ndarray:
-    """Inverse-distance weighted 3-NN interpolation onto a denser set.
+def three_nn_plan(
+    xyz_dst: jnp.ndarray, xyz_src: jnp.ndarray
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """3-NN inverse-distance interpolation plan.
 
-    Matches `pointnet_util.py:298-308`: 3 nearest source points per
-    destination point, weights ∝ 1/(d²+1e-8), normalized.
+    The search/weight half of `pointnet_util.py:298-308`: 3 nearest
+    source points per destination point, weights ∝ 1/(d²+1e-8),
+    normalized. The single definition of this formula (incl. the
+    parity-sensitive 1e-8 epsilon) — both the planned and unplanned
+    FeaturePropagation forwards route through it.
 
     Args:
       xyz_dst: [B, N, 3] destination (dense) positions.
       xyz_src: [B, S, 3] source (sparse) positions.
-      feats_src: [B, S, D] source features.
 
     Returns:
-      [B, N, D] interpolated features.
+      (idx [B, N, 3] int32, weight [B, N, 3]).
     """
     from pointsecguard_tpu.ops.selection import bottom_k_indices
 
@@ -37,8 +39,28 @@ def three_nn_interpolate(
     dists, idx = bottom_k_indices(d, 3)
     recip = 1.0 / (dists + 1e-8)
     weight = recip / jnp.sum(recip, axis=-1, keepdims=True)
+    return idx, weight
+
+
+def apply_three_nn(
+    feats_src: jnp.ndarray, idx: jnp.ndarray, weight: jnp.ndarray
+) -> jnp.ndarray:
+    """Gather + weighted-sum half of the 3-NN interpolation."""
     gathered = gather_points(feats_src, idx)  # [B, N, 3, D]
     return jnp.sum(gathered * weight[..., None], axis=2)
+
+
+def three_nn_interpolate(
+    xyz_dst: jnp.ndarray, xyz_src: jnp.ndarray, feats_src: jnp.ndarray
+) -> jnp.ndarray:
+    """Inverse-distance weighted 3-NN interpolation onto a denser set
+    (`pointnet_util.py:298-308`); see ``three_nn_plan``.
+
+    Returns:
+      [B, N, D] interpolated features.
+    """
+    idx, weight = three_nn_plan(xyz_dst, xyz_src)
+    return apply_three_nn(feats_src, idx, weight)
 
 
 def nearest_upsample(feats: jnp.ndarray, interp_idx: jnp.ndarray) -> jnp.ndarray:

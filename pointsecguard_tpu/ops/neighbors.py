@@ -50,14 +50,21 @@ def _use_fused_knn(query, points, k, strategy) -> bool:
     # old max(d, 8) undercounted by up to ~1.8x just above multiples
     d_padded = (d + 7) // 8 * 8
     points_block_bytes = d_padded * ((n + 127) // 128 * 128) * 4
-    return (
+    if not (
         strategy in ("auto", "fused")
         and jax.default_backend() == "tpu"
         and k <= 48
         and n >= 256
         and d <= 512
         and points_block_bytes <= (4 << 20)
-    )
+    ):
+        return False
+    # the kernel's per-row working set also grows with N — ask it
+    # (between ~85k and ~131k points the block gate alone would admit a
+    # shape knn_pallas then rejects with no fallback)
+    from pointsecguard_tpu.ops.pallas.knn import knn_pallas_feasible
+
+    return knn_pallas_feasible(query.shape[1], n, k)
 
 
 def knn(
@@ -119,6 +126,21 @@ def knn(
     dists = jnp.reshape(jnp.swapaxes(dists, 0, 1), (query.shape[0], S, k))
     idx = jnp.reshape(jnp.swapaxes(idx, 0, 1), (query.shape[0], S, k))
     return dists, idx
+
+
+def repeat_pad_k(idx: jnp.ndarray, k: int) -> jnp.ndarray:
+    """Pad a [..., S, k_eff] neighbor list to k columns by repeating the
+    list in order (or truncate if wider). Tiny-cloud semantics shared by
+    RandLA's pyramid build and ResGCN's subsample dilation: when a cloud
+    has fewer than k candidates, the nearest ones repeat cyclically —
+    matching the reference's effective behavior of sampling with
+    replacement from the available neighbors."""
+    k_eff = idx.shape[-1]
+    if k_eff >= k:
+        return idx[..., :k]
+    reps = -(-k // k_eff)
+    tile_reps = (1,) * (idx.ndim - 1) + (reps,)
+    return jnp.tile(idx, tile_reps)[..., :k]
 
 
 def ball_query(

@@ -37,6 +37,18 @@ from pointsecguard_tpu.ops.pallas.bottomk import (
 )
 
 
+def knn_pallas_feasible(S: int, N: int, k: int) -> bool:
+    """True iff ``knn_pallas`` can tile [*, S, *] queries × [*, N, *]
+    points at this k — mirrors its own row-block computation, so gating
+    callers (``ops.neighbors._use_fused_knn``) never admit a shape the
+    kernel then rejects (the kernel's per-row VMEM need grows with N,
+    which the resident-points-block bound alone does not capture)."""
+    s_pad = -(-S // 8) * 8
+    n_pad = -(-N // _W) * _W
+    k_sel = min(k, n_pad // _W)
+    return _row_block_chunked(s_pad, 2 * n_pad, k_sel) > 0
+
+
 def _knn_kernel(k, k_sel, q_ref, pt_ref, s2_ref, d2_ref, out_v_ref, out_i_ref):
     # q_ref [1, R, D] queries; pt_ref [1, D, N] points^T (resident across
     # the S grid axis); s2_ref [1, R, 1] |q|²; d2_ref [1, 1, N] |p|².
@@ -104,7 +116,10 @@ def knn_pallas(
     k_sel = min(k, C)
     R = _row_block_chunked(s_pad, 2 * n_pad, k_sel)  # dist + reshape copy
     if R == 0:
-        raise ValueError(f"S={S} has no VMEM-fitting row block")
+        raise ValueError(
+            f"knn_pallas: no VMEM-fitting row block for S={S}, N={N}, "
+            f"k={k} (per-row need grows with N; use the tiled XLA path)"
+        )
     kernel = functools.partial(_knn_kernel, k, k_sel)
     out_v, out_i = pl.pallas_call(
         kernel,

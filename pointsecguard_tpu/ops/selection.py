@@ -80,8 +80,14 @@ def bottom_k_indices(
             if vals.shape[-1] >= _CHUNKED_MIN_N
             else bottom_k_pallas
         )
-        v, i = kern(vals.astype(jnp.float32), k)
-        return v.astype(vals.dtype), i
+        _, i = kern(vals.astype(jnp.float32), k)
+        # The kernels stop_gradient their input, so their returned values
+        # carry no d(values)/d(vals). Re-gather from the caller's array
+        # instead: same elements (bit-identical, no arithmetic), and the
+        # gradient flows like every XLA strategy — 3-NN interpolation
+        # weights differentiate through these values under coordinate
+        # attacks (`pointnet_util.py:298-308` keeps this term in torch).
+        return jnp.take_along_axis(vals, i, axis=-1), i
 
     if strategy == "topk":
         neg, idx = jax.lax.top_k(-vals, k)
@@ -104,7 +110,10 @@ def bottom_k_indices(
             idx = jnp.argmin(cur, axis=-1).astype(jnp.int32)
             picked = jnp.take_along_axis(cur, idx[..., None], axis=-1)[..., 0]
             onehot = jax.nn.one_hot(idx, cur.shape[-1], dtype=cur.dtype)
-            return cur + onehot * big, (picked, idx)
+            # SET the extracted slot to +big (adding big to -inf or to a
+            # ≤ -big value would leave it the row min and re-pick it,
+            # breaking the documented lax.top_k equivalence)
+            return jnp.where(onehot > 0, big, cur), (picked, idx)
 
         _, (picked, idxs) = jax.lax.scan(body, work, None, length=k)
         # scan stacks on axis 0 → move to the trailing axis

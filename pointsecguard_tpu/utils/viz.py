@@ -55,7 +55,9 @@ def render_cloud(
                linewidths=0)
     ax.view_init(elev=elev, azim=azim)
     ax.set_axis_off()
-    ax.set_box_aspect(np.ptp(xyz, axis=0))
+    # clamp: planar/degenerate clouds have zero extent on an axis and
+    # Axes3D.set_box_aspect rejects non-positive aspects
+    ax.set_box_aspect(np.maximum(np.ptp(xyz, axis=0), 1e-6))
     if out_path:
         fig.savefig(out_path, dpi=150, bbox_inches="tight")
         plt.close(fig)

@@ -174,6 +174,28 @@ class TestAttackCLI:
         assert any(f.endswith("_adv_raw.xyzrgb") for f in vis)
         assert any(f.endswith("_adv.html") for f in vis)
 
+    def test_random_with_control_and_visual(self, trained):
+        """Block-driver `--attack random`: --control is a logged no-op
+        (the 'attack' IS the equal-norm noise — RandLA/object-driver
+        parity) and --visual writes the noised colors into the room
+        dump instead of skipping it."""
+        from pointsecguard_tpu.cli import attack
+
+        data, log = trained
+        clean_m, adv_m = attack.main([
+            "--model", "pointnet", "--attack", "random", "--data_root",
+            data, "--log_dir", log, "--num_point", "128", "--batch_size",
+            "2", "--max_blocks", "4", "--noise_norm", "2.0", "--control",
+            "--visual",
+        ])
+        assert 0.0 <= float(adv_m.accuracy) <= 1.0
+        tsv = os.path.join(log, "pointnet_random_area5.tsv")
+        rows = open(tsv).read().strip().splitlines()
+        # --control dropped: no rand_acc column
+        assert not rows[0].endswith("rand_acc")
+        vis = os.listdir(os.path.join(log, "visual"))
+        assert any(f.endswith("_adv_raw.xyzrgb") for f in vis)
+
     def test_save_adv_then_reevaluate(self, trained, tmp_path):
         """--save_adv writes the adversarial set; cli.eval --adv_set
         re-evaluates it (the torchattacks base's save capability,

@@ -123,6 +123,50 @@ class TestRandlaCLI:
         np.testing.assert_array_equal(succ, total & ~acc_adv)
         assert (dist > 0).all()
 
+    def test_benchmark_randla_rejects_max_blocks_zero(self, trained):
+        """The possibility sampler draws indefinitely — `--max_blocks 0`
+        ("all") has no finite meaning on the randla path and must fail
+        loudly instead of silently benchmarking a default count."""
+        from pointsecguard_tpu.cli import benchmark
+
+        rd, _, log = trained
+        with pytest.raises(SystemExit, match="max_blocks"):
+            benchmark.main([
+                "--mode", "attack", "--attack_name", "bim", "--goal", "ut",
+                "--model", "randla", "--randla_dir", rd, "--log_dir", log,
+                "--num_point", "512", "--batch_size", "2",
+                "--max_blocks", "0", "--eps", "17.0", "--alpha", "1.7",
+                "--iters", "3",
+            ])
+
+    def test_benchmark_randla_rounds_up_to_full_batches(self, trained):
+        """The sampler always yields full batches: `--max_blocks 3` at
+        batch 2 must cover 4 clouds (round UP), never truncate to 2."""
+        from pointsecguard_tpu.cli import benchmark
+
+        rd, _, log = trained
+        acc, acc_adv, total, succ, dist = benchmark.main([
+            "--mode", "attack", "--attack_name", "bim", "--goal", "ut",
+            "--model", "randla", "--randla_dir", rd, "--log_dir", log,
+            "--num_point", "512", "--batch_size", "2", "--max_blocks", "3",
+            "--eps", "17.0", "--alpha", "1.7", "--iters", "2",
+        ])
+        assert acc.shape == acc_adv.shape == succ.shape == (4 * 512,)
+
+    def test_eval_batch_size_override(self, trained):
+        """cli.eval --batch_size overrides the config's val_batch_size on
+        the randla path (default 0 keeps the family default); --num_clouds
+        counts sampled clouds, so B=1 × 2 clouds still scores."""
+        from pointsecguard_tpu.cli import eval as eval_cli
+
+        rd, _, log = trained
+        m = eval_cli.main([
+            "--model", "randla", "--randla_dir", rd, "--log_dir", log,
+            "--randla_points", "512", "--num_clouds", "2",
+            "--batch_size", "1",
+        ])
+        assert 0.0 <= float(m.miou) <= 1.0
+
     def test_random_noise_driver(self, trained):
         """`--attack random` runs the fixed-norm noise control as its own
         driver at the cloud level (the `sem_seg_dense/test.py:47-109`

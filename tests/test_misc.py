@@ -62,6 +62,16 @@ class TestViz:
         )
         assert os.path.getsize(p) > 1000
 
+    def test_render_planar_cloud(self, tmp_path, rng):
+        # zero extent on an axis must not crash set_box_aspect
+        from pointsecguard_tpu.utils.viz import render_cloud
+
+        xyz = rng.rand(50, 3)
+        xyz[:, 2] = 0.25  # planar slice
+        p = render_cloud(xyz, labels=rng.randint(0, 3, 50),
+                         out_path=str(tmp_path / "flat.png"))
+        assert os.path.getsize(p) > 1000
+
     def test_export_html_viewer(self, tmp_path, rng):
         from pointsecguard_tpu.utils.viz import export_html_viewer
 

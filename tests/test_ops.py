@@ -187,6 +187,56 @@ class TestTwoStageSelection:
         np.testing.assert_array_equal(np.asarray(idx), np.asarray(widx))
 
 
+class TestSelectionEdgeCases:
+    def test_iterative_handles_neg_inf(self, rng):
+        # Extraction must SET picked slots to +big: adding big to -inf
+        # leaves it the row min and duplicates the index.
+        from pointsecguard_tpu.ops.selection import bottom_k_indices
+
+        x = jnp.array([[-jnp.inf, 1.0, 2.0, -jnp.inf, 0.5]], jnp.float32)
+        v_it, i_it = bottom_k_indices(x, 3, strategy="iterative")
+        v_tk, i_tk = bottom_k_indices(x, 3, strategy="topk")
+        np.testing.assert_array_equal(np.asarray(i_it), np.asarray(i_tk))
+        np.testing.assert_array_equal(np.asarray(v_it), np.asarray(v_tk))
+        assert len(set(np.asarray(i_it)[0].tolist())) == 3
+
+    def test_values_carry_gradient(self, rng):
+        # d(selected values)/d(input) must flow for every strategy — the
+        # 3-NN interpolation weights differentiate through these values
+        # under coordinate attacks (pallas path checked on-chip in
+        # tools/tpu_checks.py; it re-gathers values outside the kernel).
+        from pointsecguard_tpu.ops.selection import bottom_k_indices
+
+        x = jnp.array(rng.randn(2, 8, 16).astype(np.float32))
+
+        def f(strategy):
+            return jax.grad(
+                lambda v: jnp.sum(bottom_k_indices(v, 3, strategy=strategy)[0])
+            )(x)
+
+        g_tk, g_it = f("topk"), f("iterative")
+        assert float(jnp.abs(g_tk).sum()) > 0
+        np.testing.assert_allclose(np.asarray(g_tk), np.asarray(g_it), atol=1e-6)
+
+    def test_fused_knn_feasibility_gate(self):
+        # The auto gate must never admit a shape knn_pallas then rejects:
+        # its per-row VMEM need grows with N (ValueError, no fallback).
+        from pointsecguard_tpu.ops.pallas.knn import knn_pallas_feasible
+
+        assert knn_pallas_feasible(4096, 40960, 16)
+        assert knn_pallas_feasible(40960, 40960, 16)
+        assert not knn_pallas_feasible(4096, 100000, 16)
+
+    def test_repeat_pad_k(self, rng):
+        idx = jnp.array(rng.randint(0, 4, (2, 5, 3)), jnp.int32)
+        same = ops.repeat_pad_k(idx, 3)
+        np.testing.assert_array_equal(np.asarray(same), np.asarray(idx))
+        padded = np.asarray(ops.repeat_pad_k(idx, 7))
+        assert padded.shape == (2, 5, 7)
+        want = np.tile(np.asarray(idx), (1, 1, 3))[:, :, :7]
+        np.testing.assert_array_equal(padded, want)
+
+
 class TestInterpolate:
     def test_three_nn(self, rng):
         dst = rng.randn(2, 20, 3).astype(np.float32)
@@ -213,6 +263,18 @@ class TestInterpolate:
             ops.three_nn_interpolate(jnp.array(src), jnp.array(src), jnp.array(feats))
         )
         np.testing.assert_allclose(got, feats, atol=1e-3)
+
+    def test_plan_apply_matches_interpolate(self, rng):
+        # planned (hoisted-search) path == direct path, exactly
+        dst = rng.randn(2, 20, 3).astype(np.float32)
+        src = rng.randn(2, 8, 3).astype(np.float32)
+        feats = rng.randn(2, 8, 5).astype(np.float32)
+        idx, w = ops.three_nn_plan(jnp.array(dst), jnp.array(src))
+        via_plan = ops.apply_three_nn(jnp.array(feats), idx, w)
+        direct = ops.three_nn_interpolate(
+            jnp.array(dst), jnp.array(src), jnp.array(feats)
+        )
+        np.testing.assert_array_equal(np.asarray(via_plan), np.asarray(direct))
 
     def test_nearest_upsample(self, rng):
         feats = rng.randn(2, 4, 6).astype(np.float32)

@@ -83,6 +83,24 @@ def main() -> int:
         bool(jnp.allclose(rv, av)) and bool((ri == ai).all()),
     )
 
+    # pallas-strategy value gradients — the kernels stop_gradient their
+    # input, so selection re-gathers values outside the kernel; the
+    # gradient w.r.t. the input must match the topk strategy's (3-NN
+    # interpolation weights differentiate through these values under
+    # coordinate attacks)
+    v = jnp.array(rng.rand(1, 1024, 4096).astype(np.float32))
+
+    def val_sum(strategy):
+        return jax.jit(
+            jax.grad(lambda x: bottom_k_indices(x, 3, strategy=strategy)[0].sum())
+        )(v)
+
+    g_ref, g_pal = val_sum("topk"), val_sum("pallas")
+    ok &= check(
+        "pallas value-gradient [1,1024,4096] k=3",
+        bool(jnp.abs(g_pal).sum() > 0) and bool(jnp.allclose(g_ref, g_pal)),
+    )
+
     # chunked bottom-k — exact at the RandLA width and at the ResGCN
     # dilated budget k·d = 448 (VERDICT r1 item 2 acceptance)
     from pointsecguard_tpu.ops.pallas.bottomk import bottom_k_pallas_chunked
@@ -129,12 +147,13 @@ def main() -> int:
         rv, ri = knn(q, p, k, strategy="topk", tile=4096 if N > 16384 else None)
         fv, fi = knn_pallas(q, p, k)
         # values: float-rounding tolerance (tiny shapes may take a VPU
-        # einsum in XLA); indices must agree except across near-ties
-        near_tie = bool(jnp.any(jnp.abs(fv - rv) > 1e-4))
+        # einsum in XLA); indices must agree except where the selected
+        # distances are (near-)equal — there either candidate order is a
+        # legitimate tie-break
+        vals_ok = bool(jnp.allclose(rv, fv, atol=1e-4))
+        idx_ok = bool(jnp.all((ri == fi) | (jnp.abs(fv - rv) <= 1e-4)))
         ok &= check(
-            f"knn_fused [{B},{S},{N}] D={D} k={k}",
-            bool(jnp.allclose(rv, fv, atol=1e-4)) and not near_tie
-            and bool((ri == fi).all()),
+            f"knn_fused [{B},{S},{N}] D={D} k={k}", vals_ok and idx_ok
         )
 
     # fused attentive pooling (opt-in RandLA ap_impl="fused"): forward
