@@ -95,6 +95,20 @@ def _ensure_backend() -> None:
 
 _ensure_backend()
 
+# persistent compile cache (same dir as the CLIs' setup_jax): the remote
+# compile service is the dominant cost of a cold bench — a dozen programs
+# at ~20-40 s each. Caching compiled executables cuts reruns to the
+# measurement time itself; measured numbers are unaffected (compiles are
+# never inside a timed region).
+try:
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.expanduser("~/.cache/pointsecguard_jax"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+except Exception:
+    pass
+
 import jax.numpy as jnp
 import numpy as np
 

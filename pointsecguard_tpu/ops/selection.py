@@ -32,12 +32,84 @@ identical to ``lax.top_k`` of the negated values.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
 _ITERATIVE_MAX_K = 48
 _CHUNKED_MIN_N = 8192
 _APPROX_RECALL = 0.99
+
+
+def _pallas_bottom_k(vals: jnp.ndarray, k: int):
+    """Dispatch to the right Pallas kernel: the in-VMEM k-pass kernel for
+    moderate widths, the chunked candidate-gather kernel for wide rows
+    (the k-pass kernel's whole-row block would blow VMEM and its VPU
+    cost is k·N)."""
+    from pointsecguard_tpu.ops.pallas.bottomk import (
+        bottom_k_pallas,
+        bottom_k_pallas_chunked,
+    )
+
+    kern = (
+        bottom_k_pallas_chunked
+        if vals.shape[-1] >= _CHUNKED_MIN_N
+        else bottom_k_pallas
+    )
+    return kern(vals, k)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def _pallas_bottom_k_diff(vals: jnp.ndarray, k: int, n: int):
+    """Pallas bottom-k with value gradients.
+
+    The kernels stop_gradient their input, so their returned values carry
+    no d(values)/d(vals) — but 3-NN interpolation weights differentiate
+    through these values under coordinate attacks
+    (`pointnet_util.py:298-308` keeps this term in torch). Re-gathering
+    the values with ``take_along_axis`` in the forward fixes the gradient
+    but costs ~30% of the whole PointNet++ forward (measured on v5e: the
+    full distance matrix takes a second HBM round trip through TPU's slow
+    lane-axis gather). A custom VJP gets both: the kernel's own values in
+    the forward (zero extra cost; bit-identical to the gather — verified
+    on-chip by tools/tpu_checks.py "auto==exact"), and the exact
+    ``take_along_axis``-equivalent scatter-add of the cotangents in the
+    backward — which JAX prunes from every program that does not
+    differentiate through the values (train steps w.r.t. params, color
+    attacks: weights depend only on xyz)."""
+    return _pallas_bottom_k(vals, k)
+
+
+def _pallas_bottom_k_fwd(vals, k, n):
+    v, i = _pallas_bottom_k(vals, k)
+    return (v, i), i
+
+
+def _pallas_bottom_k_bwd(k_static, n, res, cts):
+    del k_static
+    i = res
+    dv, _ = cts  # indices are int: no cotangent
+    # scatter-add dv into a zero row of width n at indices i — the VJP of
+    # take_along_axis (kernel indices are distinct, so add == set)
+    rows = i.shape[:-1]
+    k = i.shape[-1]
+    flat_rows = 1
+    for r in rows:
+        flat_rows *= r
+    i2 = i.reshape(flat_rows, k).astype(jnp.int32)
+    dv2 = dv.reshape(flat_rows, k)
+    flat = jnp.arange(flat_rows, dtype=jnp.int32)[:, None] * n + i2
+    dvals = (
+        jnp.zeros((flat_rows * n,), dv.dtype)
+        .at[flat.reshape(-1)]
+        .add(dv2.reshape(-1))
+        .reshape(*rows, n)
+    )
+    return (dvals,)
+
+
+_pallas_bottom_k_diff.defvjp(_pallas_bottom_k_fwd, _pallas_bottom_k_bwd)
 
 
 def bottom_k_indices(
@@ -67,27 +139,10 @@ def bottom_k_indices(
             strategy = "topk"
 
     if strategy == "pallas":
-        from pointsecguard_tpu.ops.pallas.bottomk import (
-            bottom_k_pallas,
-            bottom_k_pallas_chunked,
+        v, i = _pallas_bottom_k_diff(
+            vals.astype(jnp.float32), k, vals.shape[-1]
         )
-
-        # in-VMEM k-pass kernel for moderate widths; chunked candidate
-        # gather for wide rows (the k-pass kernel's whole-row block would
-        # blow VMEM and its VPU cost is k·N)
-        kern = (
-            bottom_k_pallas_chunked
-            if vals.shape[-1] >= _CHUNKED_MIN_N
-            else bottom_k_pallas
-        )
-        _, i = kern(vals.astype(jnp.float32), k)
-        # The kernels stop_gradient their input, so their returned values
-        # carry no d(values)/d(vals). Re-gather from the caller's array
-        # instead: same elements (bit-identical, no arithmetic), and the
-        # gradient flows like every XLA strategy — 3-NN interpolation
-        # weights differentiate through these values under coordinate
-        # attacks (`pointnet_util.py:298-308` keeps this term in torch).
-        return jnp.take_along_axis(vals, i, axis=-1), i
+        return v.astype(vals.dtype), i
 
     if strategy == "topk":
         neg, idx = jax.lax.top_k(-vals, k)
