@@ -61,7 +61,15 @@ def aggregate(messages, targets, num_nodes, *, aggr="max", t=1.0, p=1.0):
     """Message aggregation (`torch_message.py:7-52`): max / mean / add /
     softmax (temperature t) / power-mean (exponent p)."""
     if aggr == "max":
-        return jax.ops.segment_max(messages, targets, num_nodes)
+        # torch_geometric's scatter-max zero-fills nodes with no incoming
+        # edge; segment_max's identity is -inf, which would poison every
+        # downstream layer (NaN/inf features) on graphs that don't cover
+        # all target nodes.
+        r = jax.ops.segment_max(messages, targets, num_nodes)
+        covered = jax.ops.segment_sum(
+            jnp.ones((messages.shape[0], 1), messages.dtype), targets, num_nodes
+        )
+        return jnp.where(covered > 0, r, 0.0)
     if aggr == "add" or aggr == "sum":
         return jax.ops.segment_sum(messages, targets, num_nodes)
     if aggr == "mean":

@@ -20,7 +20,6 @@ from __future__ import annotations
 from typing import Sequence
 
 import flax.linen as nn
-import jax
 import jax.numpy as jnp
 
 from pointsecguard_tpu import ops
@@ -153,6 +152,25 @@ def three_nn_plan(dst: jnp.ndarray, src: jnp.ndarray):
     return ops.three_nn_plan(dst, src)
 
 
+def sa_plan(cur, npoint, radius, nsample):
+    """One SA level's geometry: FPS centers + ball-query group indices
+    (the plan bodies shared by every PointNet++ variant's hoisted
+    geometry builder)."""
+    fps = ops.farthest_point_sample(cur, npoint)
+    centers = ops.gather_points(cur, fps)
+    return centers, ops.ball_query(radius, nsample, cur, centers)
+
+
+def sa_plan_msg(cur, npoint, radii, nsamples):
+    """MSG SA level: FPS centers + one ball-query index set per radius."""
+    fps = ops.farthest_point_sample(cur, npoint)
+    centers = ops.gather_points(cur, fps)
+    idx_list = tuple(
+        ops.ball_query(r, k, cur, centers) for r, k in zip(radii, nsamples)
+    )
+    return centers, idx_list
+
+
 def build_geometry(xyz: jnp.ndarray) -> dict:
     """Precompute the SSG geometry plan (FPS centers, ball-query groups,
     3-NN interpolation indices/weights) from coordinates alone.
@@ -165,11 +183,9 @@ def build_geometry(xyz: jnp.ndarray) -> dict:
     sa_plans = []
     cur = xyz
     for npoint, radius, nsample in zip(_SSG_NPOINTS, _SSG_RADII, _SSG_NSAMPLES):
-        fps = ops.farthest_point_sample(cur, npoint)
-        centers = ops.gather_points(cur, fps)
-        idx = ops.ball_query(radius, nsample, cur, centers)
-        sa_plans.append((centers, idx))
-        cur = centers
+        plan = sa_plan(cur, npoint, radius, nsample)
+        sa_plans.append(plan)
+        cur = plan[0]
     levels = [xyz] + [p[0] for p in sa_plans]  # l0..l4 coordinates
     fp_plans = []
     for li in range(len(levels) - 1):  # (l0←l1), (l1←l2), ...
@@ -319,13 +335,9 @@ def build_geometry_msg(xyz: jnp.ndarray) -> dict:
     sa_plans = []
     cur = xyz
     for npoint, radii, nsamples in _MSG_SPEC:
-        fps = ops.farthest_point_sample(cur, npoint)
-        centers = ops.gather_points(cur, fps)
-        idx_list = tuple(
-            ops.ball_query(r, k, cur, centers) for r, k in zip(radii, nsamples)
-        )
-        sa_plans.append((centers, idx_list))
-        cur = centers
+        plan = sa_plan_msg(cur, npoint, radii, nsamples)
+        sa_plans.append(plan)
+        cur = plan[0]
     levels = [xyz] + [p[0] for p in sa_plans]
     fp_plans = []
     for li in range(len(levels) - 1):

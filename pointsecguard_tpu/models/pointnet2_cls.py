@@ -16,15 +16,15 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from pointsecguard_tpu import ops
-from pointsecguard_tpu.models.common import BatchNorm, Dtype
+from pointsecguard_tpu.models.common import BatchNorm, Dtype, PointMLP
 from pointsecguard_tpu.models.pointnet2 import (
     FeaturePropagation,
     SetAbstraction,
     SetAbstractionMSG,
+    sa_plan as _sa_plan,
+    sa_plan_msg as _sa_plan_msg,
     three_nn_plan,
 )
-from pointsecguard_tpu.models.common import PointMLP
 
 
 class _ClsHead(nn.Module):
@@ -204,21 +204,6 @@ class PointNet2PartSegMSG(nn.Module):
         # head logits + log_softmax always in float32
         x = nn.Dense(self.num_classes, dtype=self.dtype)(x).astype(jnp.float32)
         return nn.log_softmax(x, axis=-1), l3
-
-
-def _sa_plan(cur, npoint, radius, nsample):
-    fps = ops.farthest_point_sample(cur, npoint)
-    centers = ops.gather_points(cur, fps)
-    return centers, ops.ball_query(radius, nsample, cur, centers)
-
-
-def _sa_plan_msg(cur, npoint, radii, nsamples):
-    fps = ops.farthest_point_sample(cur, npoint)
-    centers = ops.gather_points(cur, fps)
-    idx_list = tuple(
-        ops.ball_query(r, k, cur, centers) for r, k in zip(radii, nsamples)
-    )
-    return centers, idx_list
 
 
 def build_geometry_cls(xyz: jnp.ndarray) -> dict:

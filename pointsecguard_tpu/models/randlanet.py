@@ -120,7 +120,8 @@ def build_pyramid(
         if sp_mesh is not None:
             _, interp = sp_knn(cur, sub_xyz, 1)
         else:
-            _, interp = ops.knn(cur, sub_xyz, 1)
+            # same [B, tile, ·] working-set bound as the k-NN search above
+            _, interp = ops.knn(cur, sub_xyz, 1, tile=tile)
         xyzs.append(cur)
         neighs.append(neigh)
         subs.append(sub_idx)

@@ -43,11 +43,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, tree, *, shard_points: bool = False):
-    """Device-put a host batch pytree with batch-axis sharding."""
+    """Device-put a host batch pytree with batch-axis sharding.
+
+    Same leaf rule as ``make_batch_put``: only ndim>=2 leaves carry the
+    batch spec; scalars and 1-D leaves (class weights, cloud indices) are
+    replicated — P('data'[, 'points']) would otherwise reject them with a
+    rank/divisibility error.
+    """
     sh = batch_sharding(mesh, shard_points=shard_points)
+    rep = replicated(mesh)
 
     def put(x):
-        return jax.device_put(x, sh if np.ndim(x) >= 1 else replicated(mesh))
+        return jax.device_put(x, sh if np.ndim(x) >= 2 else rep)
 
     return jax.tree_util.tree_map(put, tree)
 

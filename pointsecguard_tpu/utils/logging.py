@@ -38,8 +38,10 @@ class EventLog:
     def write(self, event: str, **fields) -> None:
         rec = {"t": round(time.time() - self._t0, 3), "event": event}
         for k, v in fields.items():
-            if isinstance(v, (np.floating, np.integer)):
+            if isinstance(v, (np.floating, np.integer, np.bool_)):
                 v = v.item()
+            elif isinstance(v, np.ndarray):
+                v = v.tolist()
             rec[k] = v
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()

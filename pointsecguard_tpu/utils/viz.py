@@ -13,6 +13,25 @@ import numpy as np
 from pointsecguard_tpu.utils.logging import label_palette
 
 
+def _prepare_cloud(xyz, colors, labels, max_points):
+    """Shared PNG/HTML preprocessing: deterministic subsample, label →
+    palette colors, 0-255 → [0,1] normalization. Returns (xyz, colors);
+    colors is None when neither colors nor labels were given."""
+    if len(xyz) > max_points:
+        sel = np.random.RandomState(0).choice(len(xyz), max_points, replace=False)
+        xyz = xyz[sel]
+        colors = None if colors is None else np.asarray(colors)[sel]
+        labels = None if labels is None else np.asarray(labels)[sel]
+    if colors is None and labels is not None:
+        labels = np.asarray(labels).astype(int)
+        colors = label_palette(labels.max() + 1)[labels] / 255.0
+    elif colors is not None:
+        colors = np.asarray(colors, np.float64)
+        if colors.max() > 1.0:
+            colors = colors / 255.0
+    return xyz, colors
+
+
 def render_cloud(
     xyz: np.ndarray,
     colors: np.ndarray | None = None,
@@ -35,19 +54,7 @@ def render_cloud(
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
 
-    xyz = np.asarray(xyz)
-    if len(xyz) > max_points:
-        sel = np.random.RandomState(0).choice(len(xyz), max_points, replace=False)
-        xyz = xyz[sel]
-        colors = None if colors is None else np.asarray(colors)[sel]
-        labels = None if labels is None else np.asarray(labels)[sel]
-    if colors is None and labels is not None:
-        labels = np.asarray(labels).astype(int)
-        colors = label_palette(labels.max() + 1)[labels] / 255.0
-    elif colors is not None:
-        colors = np.asarray(colors, np.float64)
-        if colors.max() > 1.0:
-            colors = colors / 255.0
+    xyz, colors = _prepare_cloud(np.asarray(xyz), colors, labels, max_points)
 
     fig = plt.figure(figsize=(8, 8))
     ax = fig.add_subplot(projection="3d")
@@ -136,23 +143,13 @@ def export_html_viewer(
 
     Args/semantics match ``render_cloud``; returns ``path``.
     """
-    xyz = np.asarray(xyz, np.float32).reshape(-1, 3)
-    if len(xyz) > max_points:
-        sel = np.random.RandomState(0).choice(
-            len(xyz), max_points, replace=False
-        )
-        xyz = xyz[sel]
-        colors = None if colors is None else np.asarray(colors)[sel]
-        labels = None if labels is None else np.asarray(labels)[sel]
-    if colors is None and labels is not None:
-        labels = np.asarray(labels).astype(int)
-        colors = label_palette(labels.max() + 1)[labels] / 255.0
-    elif colors is None:
+    xyz, colors = _prepare_cloud(
+        np.asarray(xyz, np.float32).reshape(-1, 3), colors, labels, max_points
+    )
+    if colors is None:
         colors = np.full_like(xyz, 0.8)
     else:
-        colors = np.asarray(colors, np.float64).reshape(-1, 3)
-        if colors.max() > 1.0:
-            colors = colors / 255.0
+        colors = np.asarray(colors).reshape(-1, 3)
 
     def js_array(a):
         return np.array2string(

@@ -49,6 +49,20 @@ class TestAggregate:
         out = aggregate(ones, ei[1], N, aggr="softmax")
         np.testing.assert_allclose(np.asarray(out), 1.0, atol=1e-5)
 
+    def test_max_zero_fills_uncovered_nodes(self, graph):
+        # torch_geometric's scatter-max gives nodes with no incoming edge a
+        # 0 row; segment_max alone would leave -inf and poison downstream
+        # layers (NaN logits through SparseMRConv's concat).
+        x, _ = graph
+        ei = jnp.array([[1, 2], [0, 0]])  # only node 0 receives messages
+        msgs = x[ei[0]]
+        out = np.asarray(aggregate(msgs, ei[1], N, aggr="max"))
+        assert np.isfinite(out).all()
+        np.testing.assert_array_equal(out[1:], 0.0)
+        np.testing.assert_allclose(
+            out[0], np.maximum(np.asarray(x)[1], np.asarray(x)[2]), atol=1e-6
+        )
+
     def test_powermean_p1_is_mean_of_clipped(self, graph):
         x, ei = graph
         msgs = jnp.abs(x[ei[0]]) + 0.1

@@ -148,6 +148,28 @@ class TestPutValidation:
         out = put(np.zeros((2, 64, 6), np.float32))
         assert out.sharding.spec == P("data", "points")
 
+    def test_shard_batch_replicates_small_leaves(self):
+        # Same leaf rule as make_batch_put: 1-D leaves (class weights,
+        # cloud indices) are replicated — the batch spec would reject
+        # them with a rank/divisibility error.
+        mesh = make_mesh(jax.devices()[:8])
+        tree = {
+            "points": np.zeros((8, 64, 9), np.float32),
+            "class_weights": np.ones(13, np.float32),
+        }
+        out = shard_batch(mesh, tree)
+        assert out["points"].sharding.spec == P("data")
+        assert out["class_weights"].sharding.spec == P()
+
+        sp_mesh = make_mesh(jax.devices()[:8], points_axis=2)
+        out = shard_batch(
+            mesh=sp_mesh,
+            tree={**tree, "cloud_idx": np.arange(8)},
+            shard_points=True,
+        )
+        assert out["points"].sharding.spec == P("data", "points")
+        assert out["cloud_idx"].sharding.spec == P()
+
     def test_batch_validates_against_data_axis(self):
         from pointsecguard_tpu.parallel import make_batch_put
 

@@ -107,6 +107,18 @@ class TestEventLog:
         assert lines[1]["miou"] == 0.42
         assert all("t" in l for l in lines)
 
+    def test_numpy_bool_and_array_fields(self, tmp_path):
+        # np.bool_ is neither np.floating nor np.integer; np.ndarray isn't
+        # JSON-serializable either — both are natural things to pass from
+        # metric code and must not kill a run at a bookkeeping line.
+        p = str(tmp_path / "events.jsonl")
+        log = EventLog(p)
+        log.write("eval", success=np.bool_(True), ious=np.arange(3) / 2.0)
+        log.close()
+        rec = json.loads(open(p).read())
+        assert rec["success"] is True
+        assert rec["ious"] == [0.0, 0.5, 1.0]
+
 
 class TestVisualDumps:
     def test_xyzrgb(self, tmp_path, rng):
