@@ -122,7 +122,9 @@ class DynConv(nn.Module):
     dtype: Dtype = None
 
     @nn.compact
-    def __call__(self, x, *, train=False, idx=None, collect_idx=False):
+    def __call__(self, x, train=False, idx=None, collect_idx=False):
+        # args are positional-or-keyword (not keyword-only) so nn.remat
+        # can mark train/collect_idx static by argnum (DenseDeepGCN.remat)
         if idx is not None:
             # precomputed edge graph (fixed-graph attacks / parity tests)
             pass
@@ -191,6 +193,17 @@ class DenseDeepGCN(nn.Module):
     # None = exact f32; jnp.bfloat16 runs the Dense matmuls on the MXU in
     # bf16 (params f32, BN/kNN/logits f32 — see models/common.py)
     dtype: Dtype = None
+    # per-block rematerialization (nn.remat around each backbone DynConv):
+    # the backward recomputes a block's internals (edge-feature gathers,
+    # the [B,N,k,2C] EdgeConv tensor, the kNN sort) instead of keeping 27
+    # blocks of them live across the fwd→bwd gap. Measured (v5e, bs=8,
+    # memory_report): train-step temp HBM 12.6 GB → see docs/PERF.md.
+    # Param/batch_stats trees are IDENTICAL to remat=False (blocks carry
+    # explicit names), so checkpoints interchange freely. Note:
+    # whole-loss-function jax.checkpoint saves NOTHING here (the backward
+    # recompute re-stores the same intermediates) — block granularity is
+    # what bounds the live set.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, points, *, train: bool = False, momentum=None,
@@ -230,7 +243,14 @@ class DenseDeepGCN(nn.Module):
                 out_ch, dilation = self.n_filters, 1
             else:
                 out_ch, dilation = self.n_filters, 1 + i
-            body = DynConv(
+            # explicit name => the auto-name DynConv_{i} in both branches,
+            # keeping param trees identical with/without remat (nn.remat
+            # would otherwise rename the scope to CheckpointDynConv_{i})
+            block_cls = (
+                nn.remat(DynConv, static_argnums=(2, 4))
+                if self.remat else DynConv
+            )
+            body = block_cls(
                 out_ch,
                 k=self.k,
                 dilation=dilation,
@@ -243,11 +263,12 @@ class DenseDeepGCN(nn.Module):
                 knn_strategy=self.knn_strategy,
                 dilated_mode=self.dilated_mode,
                 dtype=self.dtype,
+                name=f"DynConv_{i}",
             )(
                 feats[-1],
-                train=train,
-                idx=graphs[1 + i] if graphs is not None else None,
-                collect_idx=collect_graphs,
+                train,
+                graphs[1 + i] if graphs is not None else None,
+                collect_graphs,
             )
             if collect_graphs:
                 body, idx_i = body

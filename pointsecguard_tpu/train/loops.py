@@ -442,6 +442,9 @@ def train_resgcn(args):
     model = DenseDeepGCN(
         dtype=jnp.bfloat16
         if getattr(args, "precision", "float32") == "bfloat16" else None,
+        # --remat: per-block nn.remat (the within-step HBM lever for this
+        # 28-block stack; param tree unchanged, checkpoints interchange)
+        remat=getattr(args, "remat", False),
         **model_kwargs,
     )
 

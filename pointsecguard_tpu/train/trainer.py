@@ -86,7 +86,17 @@ def _make_step_body(
     ``adv_fn`` (optional): ``(state, points, labels, key) → points`` —
     crafts the batch against the CURRENT params before the optimizer
     step (PGD adversarial training; see ``make_adv_train_fn``). Runs
-    inside the same XLA program as the step itself."""
+    inside the same XLA program as the step itself.
+
+    Rematerialization note (measured, v5e — do not re-derive): wrapping
+    the WHOLE loss fn in ``jax.checkpoint`` here saves nothing — the
+    backward's recompute phase re-stores the same intermediates, so peak
+    HBM is unchanged (ResGCN bs=8: 12617 → 12646 MB temp). The useful
+    granularity is per-BLOCK inside the model (``DenseDeepGCN(remat=
+    True)`` / ``--remat``), which bounds the live set at one block's
+    internals. The K-step scan in ``make_multi_train_step`` needs no
+    checkpointing either: the backward runs INSIDE the scanned body, so
+    no residuals live across iterations (measured: K=4 temp ≈ K=1)."""
 
     def train_step(state: TrainState, points, labels, class_weights, lr,
                    bn_momentum, rng):

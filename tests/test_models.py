@@ -232,6 +232,48 @@ class TestDenseDeepGCN:
         g = jax.jit(jax.grad(loss_fn))(pts[..., 3:6])
         assert float(jnp.abs(g).max()) > 0
 
+    def test_remat_same_params_same_logits(self, rng, key):
+        """DenseDeepGCN(remat=True) wraps each backbone DynConv in
+        nn.remat with an explicit name — the param/batch_stats trees must
+        be identical to remat=False (checkpoints interchange), the
+        forward must match, and train-mode grads must flow."""
+        kw = dict(num_classes=C_CLS, n_blocks=4, n_filters=16, k=8)
+        plain = DenseDeepGCN(**kw)
+        rem = DenseDeepGCN(remat=True, **kw)
+        pts = make_points(rng, n=64)
+        v_plain = jax.jit(plain.init)(key, pts)
+        v_rem = jax.jit(rem.init)(key, pts)
+        assert jax.tree_util.tree_structure(v_plain) \
+            == jax.tree_util.tree_structure(v_rem)
+        # same params through both graphs → same logits (eval mode is
+        # deterministic; remat only changes what the backward stores)
+        out_plain = plain.apply(v_plain, pts)
+        out_rem = rem.apply(v_plain, pts)
+        np.testing.assert_allclose(
+            np.asarray(out_plain), np.asarray(out_rem), rtol=1e-5, atol=1e-5
+        )
+        labels = jnp.array(rng.randint(0, C_CLS, (B, 64)))
+
+        def loss(params, model):
+            logits, _ = model.apply(
+                {"params": params, "batch_stats": v_plain["batch_stats"]},
+                pts, train=True, mutable=["batch_stats"],
+                rngs={"sample": jax.random.PRNGKey(2)},
+            )
+            lp = jax.nn.log_softmax(logits)
+            return -jnp.mean(
+                jnp.take_along_axis(lp, labels[..., None], axis=-1)
+            )
+
+        g_plain = jax.grad(loss)(v_plain["params"], plain)
+        g_rem = jax.grad(loss)(v_plain["params"], rem)
+        jax.tree_util.tree_map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-5
+            ),
+            g_plain, g_rem,
+        )
+
     def test_collect_and_replay_graphs_bit_identical(self, rng, key):
         """collect_graphs returns the graphs the forward used; re-feeding
         them via graphs= reproduces the logits bit-exactly (the fixed-

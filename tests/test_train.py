@@ -71,6 +71,11 @@ class TestTrainStep:
         assert preds.shape == (B, N)
         assert 0 <= int(preds.min()) and int(preds.max()) < NUM_CLASSES
 
+    # Rematerialization is a MODEL-level concern (DenseDeepGCN(remat=True),
+    # tests/test_models.py::TestDenseDeepGCN::test_remat_same_params_same_logits);
+    # a trainer-level whole-loss jax.checkpoint was measured useless
+    # (trainer._make_step_body docstring) and deliberately does not exist.
+
 
 class TestWholeSceneEval:
     def test_perfect_stub_predictor(self, tmp_path):
