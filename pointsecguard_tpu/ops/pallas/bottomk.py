@@ -46,6 +46,23 @@ def _row_block(S: int, N: int) -> int:
     return 0
 
 
+def bottom_k_pallas_feasible(S: int, N: int, k: int) -> bool:
+    """True iff the Pallas bottom-k dispatch (`ops.selection
+    _pallas_bottom_k`: the in-VMEM k-pass kernel for N < 8192, the
+    chunked candidate-gather kernel for wider rows) can tile [*, S, N]
+    rows at this k. Mirrors the kernels' own row-block computations so
+    gating callers (the `bottom_k_indices` auto route) never admit a
+    shape a kernel then rejects — at k=16 the chunked kernel runs out
+    of VMEM row blocks around N ≈ 169k, far above RandLA's 40960 but
+    reachable through the public ops API."""
+    if k > N or S % 8 != 0:
+        return False
+    n_pad = -(-N // _W) * _W
+    if N >= 8192:  # ops.selection._CHUNKED_MIN_N
+        return _row_block_chunked(S, n_pad, min(k, n_pad // _W)) > 0
+    return _row_block(S, N) > 0
+
+
 def _bottomk_kernel(k: int, vals_ref, out_v_ref, out_i_ref, scratch_ref):
     # vals_ref: [1, R, N] VMEM; out_*: [1, R, k] VMEM; scratch: [R, N] VMEM
     R, N = vals_ref.shape[1], vals_ref.shape[2]

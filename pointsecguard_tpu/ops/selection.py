@@ -42,6 +42,18 @@ _CHUNKED_MIN_N = 8192
 _APPROX_RECALL = 0.99
 
 
+def _pallas_feasible(S: int, N: int, k: int) -> bool:
+    """Gate for the auto route: can a Pallas kernel tile [*, S, N] at
+    this k? Mirrors the kernels' row-block computations (the S % 8 == 0
+    requirement is included) so auto NEVER routes to a kernel that then
+    raises — the chunked kernel runs out of VMEM row blocks around
+    N ≈ 169k at k=16 (no fallback inside the kernel; boundary-fuzzed in
+    tests/test_pallas_gates.py)."""
+    from pointsecguard_tpu.ops.pallas.bottomk import bottom_k_pallas_feasible
+
+    return bottom_k_pallas_feasible(S, N, k)
+
+
 def _pallas_bottom_k(vals: jnp.ndarray, k: int):
     """Dispatch to the right Pallas kernel: the in-VMEM k-pass kernel for
     moderate widths, the chunked candidate-gather kernel for wide rows
@@ -129,8 +141,8 @@ def bottom_k_indices(
             jax.default_backend() == "tpu"
             and k <= _ITERATIVE_MAX_K
             and vals.ndim == 3
-            and vals.shape[1] % 8 == 0
             and vals.shape[-1] >= 1024
+            and _pallas_feasible(vals.shape[1], vals.shape[-1], k)
         ):
             strategy = "pallas"
         elif jax.default_backend() == "tpu" and k <= _ITERATIVE_MAX_K:
