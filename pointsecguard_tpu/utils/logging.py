@@ -90,11 +90,14 @@ def write_label_cloud(path: str, xyz: np.ndarray, labels: np.ndarray) -> None:
 
 
 class SummaryLogger:
-    """TensorBoard scalar logging (the reference's `utils/tf_logger.py:17-111`
-    and `RandLANet.py:137-147` summaries). Uses torch.utils.tensorboard's
+    """TensorBoard logging (the reference's `utils/tf_logger.py:17-111`
+    and `RandLANet.py:137-147` summaries): scalars, histograms and image
+    summaries (`tf_logger.py:48-64`). Uses torch.utils.tensorboard's
     writer when available; silently no-ops otherwise so headless runs never
-    fail. Point clouds go through ``write_xyzrgb``/``render_cloud`` instead
-    of TB mesh summaries."""
+    fail. Mesh summaries (`tf_logger.py:66-82`) are a documented deviation:
+    point clouds go through ``write_xyzrgb`` / ``viz.render_cloud`` /
+    the interactive HTML viewer instead (PARITY.md), with ``cloud_image``
+    bridging a rendered cloud into the TB image form."""
 
     def __init__(self, log_dir: str):
         try:
@@ -115,6 +118,42 @@ class SummaryLogger:
     def histogram(self, tag: str, values, step: int) -> None:
         if self._w is not None:
             self._w.add_histogram(tag, np.asarray(values), int(step))
+
+    def image(self, tag: str, image, step: int) -> None:
+        """Image summary (`ResGCN/utils/tf_logger.py:48-64` capability):
+        ``image`` is an [H, W, 3|4] uint8/float numpy array or raw PNG
+        bytes (as produced by ``viz.render_cloud(out_path=...)``)."""
+        if self._w is None:
+            return
+        if isinstance(image, (bytes, bytearray)):
+            import io
+
+            import matplotlib.image as mpimg
+
+            image = mpimg.imread(io.BytesIO(bytes(image)), format="png")
+        arr = np.asarray(image)
+        if arr.ndim == 2:  # grayscale → HW1
+            arr = arr[..., None]
+        self._w.add_image(tag, arr, int(step), dataformats="HWC")
+
+    def cloud_image(
+        self, tag: str, xyz, step: int, *, colors=None, labels=None
+    ) -> None:
+        """Render a point cloud (true colors or label palette) and log it
+        as a TB image — the capability of the reference's
+        ``mesh_summary``/``image_summary`` pair in the artifact form TB
+        can actually display without the mesh plugin."""
+        if self._w is None:
+            return
+        from pointsecguard_tpu.utils.viz import render_cloud
+
+        fig = render_cloud(xyz, colors=colors, labels=labels)
+        fig.canvas.draw()
+        arr = np.asarray(fig.canvas.buffer_rgba())
+        import matplotlib.pyplot as plt
+
+        plt.close(fig)
+        self.image(tag, arr, step)
 
     def close(self) -> None:
         if self._w is not None:

@@ -274,6 +274,37 @@ class TestDenseDeepGCN:
             g_plain, g_rem,
         )
 
+    def test_remat_fixed_graph_replay_bit_identical(self, rng, key):
+        """The fixed-graph attack path under --remat: collect_graphs and
+        graphs= replay (idx is a TRACED non-static argument through
+        nn.remat) must reproduce the plain-model logits bit-exactly, and
+        color gradients must flow through the remat'd frozen-graph
+        forward — the combination the attack loop runs with
+        `cli.attack --resgcn_fixed_graphs` on a --remat-trained model."""
+        kw = dict(num_classes=C_CLS, n_blocks=4, n_filters=16, k=8)
+        plain = DenseDeepGCN(**kw)
+        rem = DenseDeepGCN(remat=True, **kw)
+        pts = make_points(rng, n=64)
+        variables = jax.jit(plain.init)(key, pts)
+        base = plain.apply(variables, pts)
+        logits_r, graphs_r = rem.apply(variables, pts, collect_graphs=True)
+        np.testing.assert_allclose(
+            np.asarray(base), np.asarray(logits_r), rtol=1e-5, atol=1e-5
+        )
+        replay = rem.apply(variables, pts, graphs=graphs_r)
+        # replay through the SAME (remat) graph is bit-identical
+        np.testing.assert_array_equal(
+            np.asarray(logits_r), np.asarray(replay)
+        )
+        g = jax.jit(jax.grad(
+            lambda c: jnp.sum(
+                rem.apply(
+                    variables, pts.at[..., 3:6].set(c), graphs=graphs_r
+                )
+            )
+        ))(pts[..., 3:6])
+        assert float(jnp.abs(g).max()) > 0
+
     def test_collect_and_replay_graphs_bit_identical(self, rng, key):
         """collect_graphs returns the graphs the forward used; re-feeding
         them via graphs= reproduces the logits bit-exactly (the fixed-

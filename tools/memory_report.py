@@ -147,6 +147,11 @@ def _randla(batch, remat, steps):
 
 
 BUILDERS = {"pointnet2": _pointnet2, "resgcn": _resgcn, "randla": _randla}
+# families with a model-level remat path; for the others remat=True would
+# compile the IDENTICAL program a second time through the (slow) remote
+# compile service and print a row that reads like a measured "remat is a
+# no-op" result — skip it with an explicit note instead
+HAS_REMAT = {"resgcn"}
 
 
 def main():
@@ -177,6 +182,14 @@ def main():
             raise SystemExit(f"unknown family {fam!r}; pick from "
                              f"{sorted(BUILDERS)}")
         for remat in remats:
+            if remat and fam not in HAS_REMAT:
+                rec = {"family": fam, "remat": None, "steps": args.steps,
+                       "backend": jax.default_backend(),
+                       "note": "no model-level remat path; program is "
+                               "identical to remat=False (skipped)"}
+                rows.append(rec)
+                print(json.dumps(rec), flush=True)
+                continue
             rec = {"family": fam, "remat": remat, "steps": args.steps,
                    "backend": jax.default_backend()}
             try:
