@@ -120,15 +120,33 @@ REPEATS = 5
 SCAN_ATTACKS = 20  # whole attacks per program (amortizes ~28 ms dispatch)
 
 
+def _time_stats(fn, repeats, *, guard_spread=0.10, attempts=2):
+    """Best-of-N wall time + spread, with a contention guard.
+
+    fn must fetch a scalar to host itself (block_until_ready can return
+    early on tunneled TPU transports). Returns ``(best_seconds, spread)``
+    where spread = (max−min)/min over the repeat times; if spread exceeds
+    ``guard_spread`` (another process contending for the chip/tunnel) the
+    whole repeat set is re-run up to ``attempts`` times and the
+    lowest-spread set is kept — every reported number carries its own
+    variance evidence (VERDICT r3 item 4)."""
+    best = None
+    for _ in range(attempts):
+        times = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            fn()
+            times.append(time.perf_counter() - t0)
+        spread = (max(times) - min(times)) / min(times)
+        if best is None or spread < best[1]:
+            best = (min(times), spread)
+        if spread <= guard_spread:
+            break
+    return best
+
+
 def _time_best(fn, repeats):
-    """Best-of-N wall time; fn must fetch a scalar to host itself
-    (block_until_ready can return early on tunneled TPU transports)."""
-    times = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        fn()
-        times.append(time.perf_counter() - t0)
-    return min(times)
+    return _time_stats(fn, repeats)[0]
 
 
 def headline_nb_iters_per_sec():
@@ -170,7 +188,7 @@ def headline_nb_iters_per_sec():
 
     p, l2s = attack_scan(points, labels)
     float(l2s.sum())  # compile + warmup
-    best = _time_best(
+    best, spread = _time_stats(
         lambda: float(attack_scan(points, labels)[1].sum()), REPEATS
     )
     # FLOPs of ONE attack iteration (the fwd+bwd that dominates it),
@@ -195,7 +213,7 @@ def headline_nb_iters_per_sec():
     if flops_iter:
         tflops = flops_iter * iters_per_sec / 1e12
         mfu = 100.0 * flops_iter * iters_per_sec / V5E_PEAK_FLOPS
-    return iters_per_sec, tflops, mfu
+    return iters_per_sec, tflops, mfu, spread
 
 
 def extra_nb_batched_aggregate(batch=8, scan=5):
@@ -230,10 +248,10 @@ def extra_nb_batched_aggregate(batch=8, scan=5):
         return l2s
 
     float(attack_scan(points, labels).sum())  # compile + warmup
-    best = _time_best(
+    best, spread = _time_stats(
         lambda: float(attack_scan(points, labels).sum()), 3
     )
-    return batch * ITERS * scan / best
+    return batch * ITERS * scan / best, spread
 
 
 def extra_cls_nb_iters_per_sec(batch=16, npoint=1024, scan=3):
@@ -278,10 +296,10 @@ def extra_cls_nb_iters_per_sec(batch=16, npoint=1024, scan=3):
         return l2s
 
     float(attack_scan(points, labels).sum())  # compile + warmup
-    best = _time_best(
+    best, spread = _time_stats(
         lambda: float(attack_scan(points, labels).sum()), 3
     )
-    return batch * cfg.iters * scan / best
+    return batch * cfg.iters * scan / best, spread
 
 
 def extra_spsa_queries_per_sec(iters=10, samples=8, scan=2):
@@ -320,10 +338,10 @@ def extra_spsa_queries_per_sec(iters=10, samples=8, scan=2):
 
     key = jax.random.PRNGKey(1)
     float(attack_scan(points, labels, key).sum())  # compile + warmup
-    best = _time_best(
+    best, spread = _time_stats(
         lambda: float(attack_scan(points, labels, key).sum()), 3
     )
-    return iters * samples * 2 * scan / best
+    return iters * samples * 2 * scan / best, spread
 
 
 def extra_pointnet2_serving_blocks_per_sec(batch=8, reps=20):
@@ -370,8 +388,8 @@ def extra_pointnet2_serving_blocks_per_sec(batch=8, reps=20):
         return means
 
     float(serve_scan(points).sum())  # compile + warmup
-    best = _time_best(lambda: float(serve_scan(points).sum()), 3)
-    return batch * reps / best
+    best, spread = _time_stats(lambda: float(serve_scan(points).sum()), 3)
+    return batch * reps / best, spread
 
 
 def extra_randla_nb_ms():
@@ -417,10 +435,10 @@ def extra_randla_nb_ms():
 
     key = jax.random.PRNGKey(3)
     float(run_scan(feats, labels, key).sum())
-    best = _time_best(
+    best, spread = _time_stats(
         lambda: float(run_scan(feats, labels, key).sum()), 3
     )
-    return best / 4 * 1e3
+    return best / 4 * 1e3, spread
 
 
 def _program_flops(jitted, *args) -> float | None:
@@ -475,8 +493,8 @@ def extra_nu_steps_per_sec():
         return l2s
 
     float(attack_scan(points, labels).sum())
-    best = _time_best(lambda: float(attack_scan(points, labels).sum()), 3)
-    return steps * 4 / best
+    best, spread = _time_stats(lambda: float(attack_scan(points, labels).sum()), 3)
+    return steps * 4 / best, spread
 
 
 def extra_resgcn_nb_ms_per_iter(dtype=None):
@@ -511,8 +529,8 @@ def extra_resgcn_nb_ms_per_iter(dtype=None):
         return l2s
 
     float(attack_scan(points, labels).sum())
-    best = _time_best(lambda: float(attack_scan(points, labels).sum()), 3)
-    return best / (2 * cfg.iters) * 1e3
+    best, spread = _time_stats(lambda: float(attack_scan(points, labels).sum()), 3)
+    return best / (2 * cfg.iters) * 1e3, spread
 
 
 def extra_baseline_cpu_measured():
@@ -599,16 +617,23 @@ def extra_pointnet2_train_blocks_per_sec(dtype=None):
         state, losses = ten_steps(state)
         float(losses.sum())
         times.append(time.perf_counter() - t0)
-    return 10 * bs / min(times)
+    best = min(times)
+    return 10 * bs / best, (max(times) - best) / best
 
 
-def extra_pointnet2_train_pipeline_blocks_per_sec():
-    """END-TO-END train throughput through the real host loop —
-    S3DISBlockSampler sampling, z-rotation augmentation, background
-    prefetch (`data/loader.py`), `--steps_per_call` fusion, deferred
-    loss fetch — in contrast to ``pointnet2_train_blocks_per_sec``,
-    which scans pre-staged in-memory batches (the device-only ceiling).
-    Synthetic rooms, reference batch 16 × 4096 points."""
+def extra_pointnet2_train_pipeline_blocks_per_sec(device_sampler=True):
+    """END-TO-END train throughput through the real train loop. With
+    ``device_sampler`` (the tracked number): rooms staged in HBM once,
+    block sampling + z-rotation on device inside the step-scan program
+    (`data/device_sampler.py`) — steady-state batch H2D is zero. With
+    ``device_sampler=False`` (``..._hostpipe_...``): the exact-parity
+    host path — S3DISBlockSampler sampling, numpy augmentation,
+    background prefetch, per-batch H2D over the tunnel (the r3 number:
+    91 blocks/s vs the 391 device ceiling). Both in contrast to
+    ``pointnet2_train_blocks_per_sec`` which scans pre-staged in-memory
+    batches (device-only ceiling). Synthetic rooms, reference batch
+    16 × 4096 points. Returns (blocks/s best warm epoch, spread over
+    warm epochs)."""
     import json as _json
     import shutil
     import tempfile
@@ -629,16 +654,119 @@ def extra_pointnet2_train_pipeline_blocks_per_sec():
     log = tempfile.mkdtemp(prefix="psg_bench_log_")
     args = types.SimpleNamespace(
         data_root=data, log_dir=log, test_area=5, model="pointnet2",
-        npoint=N_POINTS, batch_size=16, learning_rate=0.0, epochs=3,
+        npoint=N_POINTS, batch_size=16, learning_rate=0.0, epochs=4,
         eval_every=99, seed=0, steps_per_call=4, prefetch=2, devices=1,
-        profile=None, precision="float32",
+        profile=None, precision="float32", device_sampler=device_sampler,
     )
     train_pointnet_family(args)
     with open(f"{log}/events.jsonl") as f:
         ep = [e for e in map(_json.loads, f) if e["event"] == "epoch"]
-    # epoch 0 pays the compiles; best warm epoch counts
-    best = min(e["seconds"] / (e["batches"] * 16) for e in ep[1:])
-    return 1.0 / best
+    # epoch 0 pays the compiles; warm epochs carry the number + spread
+    warm = [e["seconds"] / (e["batches"] * 16) for e in ep[1:]]
+    return 1.0 / min(warm), (max(warm) - min(warm)) / min(warm)
+
+
+def _make_attack_fixture(num_rooms=1, points_per_room=80_000):
+    """Tiny test-area fixture + an UNtrained saved checkpoint for the
+    wall-clock attack extras (wall time does not depend on weights)."""
+    import tempfile
+
+    from pointsecguard_tpu.data.synthetic import make_synthetic_rooms
+
+    data = tempfile.mkdtemp(prefix="psg_bench_atk_data_")
+    make_synthetic_rooms(
+        data, points_per_room=points_per_room, seed=8,
+        rooms_per_area=num_rooms,
+    )
+    log = tempfile.mkdtemp(prefix="psg_bench_atk_log_")
+    return data, log
+
+
+def _save_checkpoint(model, log, example, model_args=None):
+    from pointsecguard_tpu.train import create_train_state
+    from pointsecguard_tpu.utils.checkpoint import CheckpointManager
+
+    state, _ = create_train_state(
+        model, (example, None), rng=jax.random.PRNGKey(0),
+        model_args=model_args,
+    )
+    CheckpointManager(f"{log}/checkpoints").save(1, state, miou=0.0)
+
+
+def extra_attack_wall_ms_per_block(batch_size=1, max_blocks=24):
+    """What a `cli.attack` user actually waits for, per block: the REAL
+    driver loop (host sampling, per-batch device_put through the
+    tunnel, the fused NB program, TSV bookkeeping) — dispatch included.
+    The in-scan headline is device-only; on a tunneled chip each bs=1
+    block program pays ~25-30 ms dispatch against ~10 ms of compute,
+    so THIS is the number that decides the driver's default batch size
+    (VERDICT r3 item 3; reference comparison target: the per-iteration
+    host loop `ares/ares/attack/bim.py:167-253`). Measured from the
+    driver's own per-row wall clock, first (compiling) row dropped."""
+    from pointsecguard_tpu.cli import attack as attack_cli
+    from pointsecguard_tpu.models import PointNet2SemSegSSG
+
+    data, log = _make_attack_fixture()
+    _save_checkpoint(
+        PointNet2SemSegSSG(),
+        log,
+        jnp.zeros((batch_size, N_POINTS, 9), jnp.float32),
+    )
+    attack_cli.main([
+        "--model", "pointnet2", "--attack", "nb", "--data_root", data,
+        "--log_dir", log, "--batch_size", str(batch_size),
+        "--max_blocks", str(max_blocks),
+    ])
+    rows = open(f"{log}/pointnet2_nb_area5.tsv").read().strip().splitlines()
+    times = [float(r.split("\t")[8]) for r in rows[1:]]
+    warm = times[1:]  # row 0 pays the compile
+    per_block = [t / batch_size for t in warm]
+    best = min(per_block)
+    spread = (max(per_block) - best) / best
+    return best * 1e3, spread
+
+
+def extra_randla_attack_wall_ms_per_cloud(num_clouds=8):
+    """End-to-end `cli.attack --model randla` NB wall per cloud
+    (possibility sampling, pyramid build, fused ares-budget PGD,
+    per-cloud TSV), dispatch included — the RandLA complement of
+    `attack_wall_ms_per_block` (`tester_S3DIS.py:132-206` protocol)."""
+    import os as _os
+    import tempfile
+
+    from pointsecguard_tpu.cli import attack as attack_cli
+    from pointsecguard_tpu.configs import RandlaConfig
+    from pointsecguard_tpu.data.randla import prepare_room
+    from pointsecguard_tpu.data.synthetic import make_synthetic_rooms
+    from pointsecguard_tpu.models import RandLANet, build_pyramid
+
+    cfg = RandlaConfig()
+    data = tempfile.mkdtemp(prefix="psg_bench_rl_data_")
+    make_synthetic_rooms(data, points_per_room=120_000, seed=9)
+    rl = tempfile.mkdtemp(prefix="psg_bench_rl_in_")
+    for f in sorted(_os.listdir(data)):
+        if f.endswith(".npy") and "Area_5" in f:
+            prepare_room(f"{data}/{f}", rl, sub_grid_size=0.04)
+    log = tempfile.mkdtemp(prefix="psg_bench_rl_log_")
+    model = RandLANet(d_out=cfg.d_out)
+    feats0 = jnp.zeros((1, cfg.num_points, 6), jnp.float32)
+    model_args = lambda f: (
+        f,
+        build_pyramid(
+            f[..., :3], num_layers=cfg.num_layers, k=cfg.k_n,
+            sub_ratios=cfg.sub_sampling_ratio,
+        ),
+    )
+    _save_checkpoint(model, log, feats0, model_args=model_args)
+    attack_cli.main([
+        "--model", "randla", "--attack", "nb", "--randla_dir", rl,
+        "--log_dir", log, "--num_clouds", str(num_clouds),
+    ])
+    rows = open(f"{log}/randla_nb_area5.tsv").read().strip().splitlines()
+    times = [float(r.split("\t")[6]) for r in rows[1:]]
+    warm = times[1:]
+    best = min(warm)
+    return best * 1e3, (max(warm) - best) / best
 
 
 # (name, fn, round-digits) — module-level so tests can assert the table
@@ -662,20 +790,36 @@ EXTRAS = (
      lambda: extra_pointnet2_train_blocks_per_sec(jnp.bfloat16), 1),
     ("pointnet2_train_pipeline_blocks_per_sec",
      extra_pointnet2_train_pipeline_blocks_per_sec, 1),
+    ("pointnet2_train_hostpipe_blocks_per_sec",
+     lambda: extra_pointnet2_train_pipeline_blocks_per_sec(False), 1),
+    ("attack_wall_ms_per_block_bs1",
+     extra_attack_wall_ms_per_block, 1),
+    ("attack_wall_ms_per_block_bs8",
+     lambda: extra_attack_wall_ms_per_block(8), 1),
+    ("randla_attack_wall_ms_per_cloud",
+     extra_randla_attack_wall_ms_per_cloud, 1),
     ("baseline_cpu_measured_nb_iters_per_sec",
      extra_baseline_cpu_measured, 3),
 )
 
 
 def main():
-    iters_per_sec, headline_tflops, headline_mfu = headline_nb_iters_per_sec()
-    extras = {}
+    iters_per_sec, headline_tflops, headline_mfu, headline_spread = (
+        headline_nb_iters_per_sec()
+    )
+    extras = {"headline_spread": round(headline_spread, 3)}
     if headline_tflops is not None:
         extras["headline_tflops_per_sec"] = round(headline_tflops, 2)
         extras["headline_mfu_pct_v5e_bf16"] = round(headline_mfu, 2)
     for name, fn, nd in EXTRAS:
         try:
-            extras[name] = round(fn(), nd)
+            r = fn()
+            if isinstance(r, tuple):  # (value, spread): variance evidence
+                extras[name] = {
+                    "value": round(r[0], nd), "spread": round(r[1], 3)
+                }
+            else:
+                extras[name] = round(r, nd)
         except Exception as e:  # never let an extra break the headline
             extras[name] = f"error: {type(e).__name__}: {e}"
 

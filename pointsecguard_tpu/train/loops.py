@@ -139,6 +139,32 @@ def train_pointnet_family(args):
     state, tx = create_train_state(
         model, (jnp.array(pts0), jnp.array(lab0)), rng=jax.random.PRNGKey(args.seed)
     )
+    # --device_sampler: stage the rooms in HBM once, sample + augment
+    # blocks on device inside the same program as the step scan —
+    # steady-state batch H2D disappears (data/device_sampler.py; the
+    # host path below stays the exact-parity default)
+    device_sampler = bool(getattr(args, "device_sampler", False))
+    if device_sampler:
+        if getattr(args, "devices", 1) > 1 or sp > 1:
+            raise SystemExit(
+                "--device_sampler runs single-device; use the host "
+                "pipeline with --devices/--shard_points"
+            )
+        from pointsecguard_tpu.data.device_sampler import (
+            make_device_block_sampler,
+            make_sampled_multi_train_step,
+            stage_rooms,
+        )
+
+        staged, num_max = stage_rooms(rooms)
+        sample_fn = make_device_block_sampler(
+            batch_size=batch_size, num_point=args.npoint, num_max=num_max,
+            min_points=getattr(args, "min_block_points", 1024),
+        )
+        dstep_fn = make_sampled_multi_train_step(
+            model, tx, weighted_nll_loss, sample_fn, aux_loss=aux,
+            adv_fn=_maybe_adv_fn(args, model),
+        )
     step_fn = make_multi_train_step(
         model, tx, weighted_nll_loss, aux_loss=aux,
         adv_fn=_maybe_adv_fn(args, model),
@@ -179,14 +205,27 @@ def train_pointnet_family(args):
 
         loss_parts = []
         with maybe_trace(profile_dir):
-            for pts_k, lab_k in prefetch(
-                stack_batches(_augmented(), spc), _put_group, depth=depth
-            ):
-                key, subs = _step_keys(key, pts_k.shape[0])
-                state, losses, _ = step_fn(
-                    state, pts_k, lab_k, weights, lr, bn_m, subs,
-                )
-                loss_parts.append(losses)
+            if device_sampler:
+                # whole epoch on device: n_batches dispatches of K
+                # sampled+trained steps each, nothing but keys/scalars
+                # crossing the link (epoch length matches the host
+                # sampler's size-proportional draw count)
+                n_batches = max(len(sampler) // batch_size, 1)
+                for _ in range(max(n_batches // spc, 1)):
+                    key, subs = _step_keys(key, spc)
+                    state, losses = dstep_fn(
+                        state, staged, weights, lr, bn_m, subs
+                    )
+                    loss_parts.append(losses)
+            else:
+                for pts_k, lab_k in prefetch(
+                    stack_batches(_augmented(), spc), _put_group, depth=depth
+                ):
+                    key, subs = _step_keys(key, pts_k.shape[0])
+                    state, losses, _ = step_fn(
+                        state, pts_k, lab_k, weights, lr, bn_m, subs,
+                    )
+                    loss_parts.append(losses)
         # one host sync per EPOCH: fetching losses per step would stall
         # async dispatch and serialize host sampling with device compute
         losses_np = (
