@@ -83,6 +83,63 @@ def main() -> int:
         bool(jnp.allclose(rv, av)) and bool((ri == ai).all()),
     )
 
+    # Feasibility-gate boundary probes: tests/test_pallas_gates.py pins
+    # gate == kernel-accepts at TRACE time; here the real Mosaic
+    # allocator must agree on both sides of the VMEM cliff — run the
+    # kernel at the largest feasible width and confirm the auto route
+    # still executes (via fallback) just past it.
+    from pointsecguard_tpu.ops.pallas.bottomk import (
+        bottom_k_pallas_feasible,
+        bottom_k_pallas_chunked,
+    )
+    from pointsecguard_tpu.ops.pallas.knn import knn_pallas_feasible
+    from pointsecguard_tpu.ops.pallas.knn import knn_pallas as _knnp
+    from pointsecguard_tpu.ops.neighbors import knn as _knn
+
+    def _cliff(feasible, S, k):
+        lo, hi = 8192, 500_000
+        while hi - lo > 1:
+            mid = (lo + hi) // 2
+            if feasible(S, mid, k):
+                lo = mid
+            else:
+                hi = mid
+        return lo, hi
+
+    lo, hi = _cliff(knn_pallas_feasible, 64, 16)
+    q = jnp.array(rng.rand(1, 64, 3).astype(np.float32) * 4)
+    p_lo = jnp.array(rng.rand(1, lo, 3).astype(np.float32) * 4)
+    rv, ri = _knn(q, p_lo, 16, strategy="topk")
+    fv, fi = _knnp(q, p_lo, 16)
+    ok &= check(
+        f"knn gate just-below cliff N={lo}",
+        bool(jnp.allclose(rv, fv, atol=1e-4))
+        and bool(jnp.all((ri == fi) | (jnp.abs(fv - rv) <= 1e-4))),
+    )
+    p_hi = jnp.array(rng.rand(1, hi, 3).astype(np.float32) * 4)
+    av, ai = _knn(q, p_hi, 16, strategy="auto")  # must fall back, not raise
+    rv2, ri2 = _knn(q, p_hi, 16, strategy="topk")
+    ok &= check(
+        f"knn auto fallback just-above cliff N={hi}",
+        bool(jnp.all((ri2 == ai) | (jnp.abs(av - rv2) <= 1e-4))),
+    )
+
+    lo, hi = _cliff(bottom_k_pallas_feasible, 8, 16)
+    v = jnp.array(rng.rand(1, 8, lo).astype(np.float32))
+    rv, ri = bottom_k_indices(v, 16, strategy="topk")
+    pv, pi = bottom_k_pallas_chunked(v, 16)
+    ok &= check(
+        f"bottomk gate just-below cliff N={lo}",
+        bool(jnp.allclose(rv, pv)) and bool((ri == pi).all()),
+    )
+    v = jnp.array(rng.rand(1, 8, hi).astype(np.float32))
+    rv, ri = bottom_k_indices(v, 16, strategy="topk")
+    av, ai = bottom_k_indices(v, 16, strategy="auto")  # iterative fallback
+    ok &= check(
+        f"bottomk auto fallback just-above cliff N={hi}",
+        bool(jnp.allclose(rv, av)) and bool((ri == ai).all()),
+    )
+
     # pallas-strategy value gradients — the kernels stop_gradient their
     # input, so selection re-gathers values outside the kernel; the
     # gradient w.r.t. the input must match the topk strategy's (3-NN
