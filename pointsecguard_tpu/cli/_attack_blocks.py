@@ -232,88 +232,113 @@ def run_blocks(args, log):
             else:
                 mask = None
             key, sub = jax.random.split(key)
-            rand_acc = None
+            # want the (big) adversarial points on host only when a
+            # consumer exists — the save/visual artifacts
+            want_adv = args.save_adv or adv_colors_room is not None
             if args.attack == "random":
-                clean_pred = np.asarray(predict(pts))
                 norm = jnp.full((B,), args.noise_norm)
                 adv = equal_norm_color_noise(sub, pts, norm, mask=mask)
-                adv_pred = np.asarray(predict(adv))
-                res, traj = None, None
-                steps, sr, l2 = 0, 0.0, float(norm[0])
-                adv_points_np = np.asarray(adv) if args.save_adv else None
+                # ONE host round trip for everything (sequential
+                # np.asarray fetches cost ~28 ms EACH over a tunneled
+                # chip; device_get batches the transfer — measured 140 ms
+                # → 28 ms for a 5-leaf fetch, docs/ROUND4_NOTES.md)
+                clean_pred, adv_pred, adv_np = jax.device_get(
+                    (predict(pts), predict(adv), adv if want_adv else ())
+                )
+                res, traj_f, rand_f = None, None, None
+                steps = 0
+                sr_b = np.zeros(valid)
+                l2_b = np.full(valid, float(args.noise_norm))
+                adv_points_np = adv_np if args.save_adv else None
             else:
-                clean_pred, adv_pred, res, traj, rand_pred = run_attack(
+                clean_pred_d, adv_pred_d, res, traj, rand_pred = run_attack(
                     pts, labs, mask, sub
                 )
-                clean_pred = np.asarray(clean_pred)
-                adv_pred = np.asarray(adv_pred)
-                steps = int(res.steps)
+                # single batched fetch (see above): predictions, scalar
+                # bookkeeping, per-cloud l2, optional control/trajectory/
+                # adversarial points all in one transfer
+                (clean_pred, adv_pred, steps_a, l2_a, rand_f, traj_f,
+                 adv_np) = jax.device_get((
+                    clean_pred_d, adv_pred_d, res.steps, res.l2_dist,
+                    rand_pred if rand_pred is not None else (),
+                    traj if traj is not None else (),
+                    res.points_adv if want_adv else (),
+                ))
+                steps = int(steps_a)
+                l2_b = np.asarray(l2_a)[:valid]
                 if targeted:
                     # protocol sr from the DEPLOYED-defense predictions:
                     # adv_pred comes from eval_wrap, while the engine's
                     # success_rate tracked the ATTACKED closure (the
-                    # EoT-averaged model under --eot > 1) — and it also
-                    # averages over the padded duplicate rows of a tail
-                    # batch, so recompute over the real rows only
-                    ap, mp = adv_pred[:valid], np.asarray(mask)[:valid]
-                    sr = (
-                        float((ap[mp] == args.target).mean())
-                        if mp.any() else 0.0
-                    )
+                    # EoT-averaged model under --eot > 1) — recomputed
+                    # per real row below
+                    sr_b = np.array([
+                        float((adv_pred[b][mask_np[b]] == args.target).mean())
+                        if mask_np[b].any() else 0.0
+                        for b in range(valid)
+                    ])
                 else:
-                    sr = float(res.success_rate)
-                l2 = float(np.mean(np.asarray(res.l2_dist)[:valid]))
-                if rand_pred is not None:
-                    rand_acc = float(
-                        (np.asarray(rand_pred)[:valid] == labs_np[:valid]).mean()
-                    )
-                adv_points_np = (
-                    np.asarray(res.points_adv) if args.save_adv else None
-                )
+                    sr_b = np.zeros(valid)
+                adv_points_np = adv_np if args.save_adv else None
             dt = time.time() - t0
             if adv_points_np is not None:
-                adv_saved.append(adv_points_np[:valid].astype(np.float32))
+                adv_saved.append(
+                    np.asarray(adv_points_np)[:valid].astype(np.float32)
+                )
                 adv_saved_labels.append(labs_np[:valid].astype(np.int32))
 
-            clean_pred = clean_pred[:valid]
-            adv_pred = adv_pred[:valid]
+            clean_pred = np.asarray(clean_pred)[:valid]
+            adv_pred = np.asarray(adv_pred)[:valid]
             lab_np = labs_np[:valid]
-            clean_acc = float((clean_pred == lab_np).mean())
-            adv_acc = float((adv_pred == lab_np).mean())
-            if targeted:
-                # accuracy on the untouched points (`tar_NU` "other acc",
-                # `target.py:110`, `bim.py:510`)
-                inv = ~mask_np
-                other_acc = float((adv_pred[inv] == lab_np[inv]).mean()) if inv.any() else 1.0
-            else:
-                other_acc = adv_acc
             w = weights[start : start + valid]
             pi = pidx[start : start + valid]
             add_votes(clean_pool, pi, clean_pred, w)
             add_votes(adv_pool, pi, adv_pred, w)
             if adv_colors_room is not None:
-                adv_src = adv if args.attack == "random" else res.points_adv
-                adv_c = np.asarray(adv_src[:valid, :, 3:6]).reshape(-1, 3)
+                adv_c = np.asarray(adv_np)[:valid, :, 3:6].reshape(-1, 3)
                 adv_colors_room[pi.reshape(-1)] = adv_c
-            row = (
-                f"{room_name}\t{start}\t{clean_acc:.4f}\t{adv_acc:.4f}"
-                f"\t{l2:.4f}\t{sr:.4f}\t{other_acc:.4f}\t{steps}\t{dt:.2f}"
-            )
-            if args.control:
-                row += f"\t{rand_acc if rand_acc is not None else float('nan'):.4f}"
-            tsv.write(row + "\n")
+            # one protocol row per BLOCK (the reference logs per block,
+            # `NB_nontarget_test_semseg.py:213-215`; the old per-batch
+            # rows matched it only at --batch_size 1)
+            for b in range(valid):
+                clean_acc = float((clean_pred[b] == lab_np[b]).mean())
+                adv_acc = float((adv_pred[b] == lab_np[b]).mean())
+                if targeted:
+                    # accuracy on the untouched points (`tar_NU` "other
+                    # acc", `target.py:110`, `bim.py:510`)
+                    inv = ~mask_np[b]
+                    other_acc = (
+                        float((adv_pred[b][inv] == lab_np[b][inv]).mean())
+                        if inv.any() else 1.0
+                    )
+                else:
+                    other_acc = adv_acc
+                row = (
+                    f"{room_name}\t{start + b}\t{clean_acc:.4f}"
+                    f"\t{adv_acc:.4f}\t{l2_b[b]:.4f}\t{sr_b[b]:.4f}"
+                    f"\t{other_acc:.4f}\t{steps}\t{dt / valid:.2f}"
+                )
+                if args.control:
+                    rand_acc = (
+                        float((np.asarray(rand_f)[b] == lab_np[b]).mean())
+                        if rand_f is not None and not isinstance(rand_f, tuple)
+                        else float("nan")
+                    )
+                    row += f"\t{rand_acc:.4f}"
+                tsv.write(row + "\n")
             tsv.flush()
-            if steps_tsv is not None and traj is not None:
-                t_acc = np.asarray(traj["acc"])
-                t_sr = np.asarray(traj["sr"])
-                t_l2 = np.asarray(traj["l2"])[:, :valid].mean(axis=1)
+            if steps_tsv is not None and traj_f is not None \
+                    and not isinstance(traj_f, tuple):
+                t_acc = np.asarray(traj_f["acc"])
+                t_sr = np.asarray(traj_f["sr"])
+                t_l2 = np.asarray(traj_f["l2"])[:, :valid].mean(axis=1)
                 for it in range(t_acc.shape[0]):
                     steps_tsv.write(
                         f"{room_name}\t{start}\t{it}\t{t_acc[it]:.4f}"
                         f"\t{t_sr[it]:.4f}\t{t_l2[it]:.4f}\n"
                     )
                 steps_tsv.flush()
-            n_blocks_done += 1
+            n_blocks_done += valid
             if args.max_blocks and n_blocks_done >= args.max_blocks:
                 break
         clean_room = np.argmax(clean_pool, 1)

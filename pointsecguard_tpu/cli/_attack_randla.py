@@ -92,7 +92,9 @@ def run_randla(args, log):
     # (`configs.py:47`). Targeted runs keep B=1: the <500-origin skip
     # gate (`tester_S3DIS.py:253-258`) is a per-cloud control-flow
     # decision that cannot be batched faithfully.
-    B = getattr(args, "batch_size", 0) or cfg.val_batch_size
+    B = getattr(args, "batch_size", 0)
+    if B == 0:  # auto: targeted protocol mandates per-cloud batches
+        B = 1 if args.attack.startswith("tar_") else cfg.val_batch_size
     if args.attack.startswith("tar_") and B != 1:
         raise SystemExit(
             "randla targeted attacks use --batch_size 1 (per-cloud skip "
@@ -160,6 +162,10 @@ def run_randla(args, log):
         outputs_fn = lambda f: model.apply(variables, f, pyr, pos_plan=pos)
         out_eval = eval_wrap(outputs_fn) if eval_wrap else outputs_fn
         out_atk = attack_wrap(outputs_fn) if attack_wrap else outputs_fn
+        # clean predictions INSIDE the same program — a separate predict
+        # dispatch would rebuild the whole pyramid and pay another
+        # ~28 ms tunnel round trip per cloud
+        clean_pred = jnp.argmax(out_eval(feats), axis=-1)
         if isinstance(attack_cfg, PGDConfig):
             res = pgd_color_attack(
                 out_atk, feats, labels, attack_cfg, mask=mask, key=key,
@@ -183,7 +189,7 @@ def run_randla(args, log):
             rand_pred = jnp.argmax(out_eval(rand), axis=-1)
         else:
             rand_pred = None
-        return res, adv_pred, traj, rand_pred
+        return clean_pred, res, adv_pred, traj, rand_pred
 
     def _fwd(f):
         out_fn = lambda g: model.apply(variables, g, pyramid_fn(g[..., :3]))
@@ -238,23 +244,40 @@ def run_randla(args, log):
         else:
             mask = None
         t0 = time.time()
-        clean_pred = np.asarray(predict(feats_j))
         key, sub = jax.random.split(key)
+        # everything leaves the device in ONE batched transfer: separate
+        # np.asarray fetches cost ~28 ms EACH through the tunnel
+        # (docs/ROUND4_NOTES.md); adversarial points only when a
+        # consumer exists
+        want_adv = getattr(args, "save_adv", False) or args.visual
         if attack_cfg is None:  # --attack random
             norm = jnp.full((B,), args.noise_norm)
-            adv_points = equal_norm_color_noise(sub, feats_j, norm, mask=mask)
-            adv_pred = np.asarray(predict(adv_points))
-            res, traj, rand_pred = None, None, None
+            adv_j = equal_norm_color_noise(sub, feats_j, norm, mask=mask)
+            clean_pred, adv_pred, adv_f = jax.device_get(
+                (predict(feats_j), predict(adv_j),
+                 adv_j if want_adv else ())
+            )
+            traj_f, rand_pred = None, None
             l2_np = np.full((B,), args.noise_norm)
             steps_n, sr_global = 0, 0.0
         else:
-            res, adv_pred_j, traj, rand_pred = run(
+            clean_pred_d, res, adv_pred_d, traj, rand_pred_d = run(
                 feats_j, labels_j, mask, sub
             )
-            adv_pred = np.asarray(adv_pred_j)
-            adv_points = res.points_adv
-            l2_np = np.asarray(res.l2_dist)
-            steps_n, sr_global = int(res.steps), float(res.success_rate)
+            (clean_pred, adv_pred, l2_np, steps_a, sr_a, traj_f, rand_pred,
+             adv_f) = jax.device_get((
+                clean_pred_d, adv_pred_d, res.l2_dist, res.steps,
+                res.success_rate,
+                traj if traj is not None else (),
+                rand_pred_d if rand_pred_d is not None else (),
+                res.points_adv if want_adv else (),
+            ))
+            if isinstance(traj_f, tuple):
+                traj_f = None
+            if isinstance(rand_pred, tuple):
+                rand_pred = None
+            steps_n, sr_global = int(steps_a), float(sr_a)
+        adv_points = adv_f if want_adv else None
         dt = time.time() - t0
         if getattr(args, "save_adv", False):
             adv_saved.append(np.asarray(adv_points).astype(np.float32))
@@ -329,12 +352,12 @@ def run_randla(args, log):
                     title=f"cloud {int(cloud_idx[b])} {args.attack} "
                           "adversarial",
                 )
-        if steps_tsv is not None and traj is not None:
+        if steps_tsv is not None and traj_f is not None:
             # acc/sr trajectories are batch-global (engine reductions);
             # l2 is per cloud
-            t_acc = np.asarray(traj["acc"])
-            t_sr = np.asarray(traj["sr"])
-            t_l2 = np.asarray(traj["l2"])
+            t_acc = np.asarray(traj_f["acc"])
+            t_sr = np.asarray(traj_f["sr"])
+            t_l2 = np.asarray(traj_f["l2"])
             for b in range(B):
                 for it in range(t_acc.shape[0]):
                     steps_tsv.write(

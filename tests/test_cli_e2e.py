@@ -161,14 +161,21 @@ class TestAttackCLI:
         tsv = os.path.join(log, "pointnet_nb_area5.tsv")
         rows = open(tsv).read().strip().splitlines()
         assert rows[0].endswith("rand_acc")
-        assert len(rows) > 1
-        # per-block adv acc below clean acc, control column populated
-        c = rows[1].split("\t")
-        assert float(c[3]) <= float(c[2])
-        assert np.isfinite(float(c[-1]))
+        # TSV rows are per BLOCK at any batch size (round-4 change: the
+        # reference logs per block, `NB_nontarget_test_semseg.py:213-215`;
+        # --max_blocks counts blocks) — 8 blocks at bs=2 = 4 dispatches
+        assert len(rows) == 1 + 8
+        # adv acc below clean acc in the mean over blocks (a single
+        # 128-pt block can go either way), control column populated
+        cells = [r.split("\t") for r in rows[1:]]
+        assert np.mean([float(c[3]) for c in cells]) <= np.mean(
+            [float(c[2]) for c in cells]
+        )
+        assert all(np.isfinite(float(c[-1])) for c in cells)
         steps = open(tsv.replace(".tsv", "_steps.tsv")).read().splitlines()
-        # 10 NB iterations logged per attacked block (header + 10·blocks)
-        assert len(steps) == 1 + 10 * (len(rows) - 1)
+        # 10 NB iterations logged per attacked BATCH (trajectories are
+        # engine-level batch reductions): header + 10 · (8 blocks / bs 2)
+        assert len(steps) == 1 + 10 * ((len(rows) - 1) // 2)
         # --visual artifacts: .xyzrgb dumps + interactive HTML viewers
         vis = os.listdir(os.path.join(log, "visual"))
         assert any(f.endswith("_adv_raw.xyzrgb") for f in vis)
