@@ -95,18 +95,28 @@ def run_blocks(args, log):
         def make_outputs_fn(pts):
             geo = geo_fn(pts[..., :3])
             return lambda p: head(model.apply(variables, p, geometry=geo))
+
+        make_attack_outputs = make_outputs_fn
     elif args.model == "resgcn" and args.resgcn_fixed_graphs:
-        # freeze the dynamic edge graphs at the CLEAN input: skips the
-        # 27 per-iteration feature-space kNNs in the attack loop. Opt-in
-        # DEVIATION — the reference recomputes the graphs every forward
-        # (`torch_vertex.py:69-71`); the attack still sees the exact
-        # fixed-graph model it perturbs (PARITY.md deviation 6).
-        def make_outputs_fn(pts):
+        # the ATTACKER differentiates through a surrogate whose dynamic
+        # edge graphs are frozen at the clean input (skips the 27
+        # per-iteration feature-space kNNs AND removes the dynamic-graph
+        # gradient obfuscation — measured STRONGER as well as faster,
+        # tools/resgcn_graph_efficacy.py / docs/ROUND4_NOTES.md §5).
+        # Every reported metric still evaluates the TRUE dynamic model
+        # (the deployed victim recomputes its graphs, `torch_vertex.py:
+        # 69-71`); PARITY.md deviation 6.
+        def make_outputs_fn(pts):  # eval: the real dynamic forward
+            return lambda p: head(model.apply(variables, p))
+
+        def make_attack_outputs(pts):
             _, graphs = model.apply(variables, pts, collect_graphs=True)
             return lambda p: head(model.apply(variables, p, graphs=graphs))
     else:
         def make_outputs_fn(pts):
             return lambda p: head(model.apply(variables, p))
+
+        make_attack_outputs = make_outputs_fn
 
     wraps = defense_wrapper(args, jax)
     if wraps is not None:
@@ -116,11 +126,12 @@ def run_blocks(args, log):
         # use the deployed defense (eval_wrap); the attacker
         # differentiates through attack_wrap (EoT when --eot > 1).
         eval_wrap, attack_wrap = wraps
-        plain_make = make_outputs_fn
+        plain_make, plain_atk = make_outputs_fn, make_attack_outputs
         make_eval_fn = lambda pts: eval_wrap(plain_make(pts))
-        make_attack_fn = lambda pts: attack_wrap(plain_make(pts))
+        make_attack_fn = lambda pts: attack_wrap(plain_atk(pts))
     else:
-        make_eval_fn = make_attack_fn = make_outputs_fn
+        make_eval_fn = make_outputs_fn
+        make_attack_fn = make_attack_outputs
 
     outputs_fn = lambda pts: make_eval_fn(pts)(pts)
     predict = jax.jit(lambda pts: jnp.argmax(outputs_fn(pts), axis=-1))

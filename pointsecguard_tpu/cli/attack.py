@@ -85,11 +85,24 @@ def main(argv=None):
                          "--epsilon; reference enables with 0.2)")
     ap.add_argument("--resgcn_fast", action="store_true",
                     help="resgcn: dilated_mode=subsample + approx kNN "
-                         "(6x faster; documented deviation, PARITY.md)")
+                         "(documented deviation, PARITY.md). RECOMMENDED "
+                         "speed mode: measured attack strength ~= exact "
+                         "(NB adv acc 0.57 vs 0.60, NU 0.27 vs 0.28 at "
+                         "reference budgets) at ~1.7x the speed "
+                         "(docs/ROUND4_NOTES.md §5)")
     ap.add_argument("--resgcn_fixed_graphs", action="store_true",
-                    help="resgcn: freeze the dynamic edge graphs at the "
-                         "clean input for the whole attack (skips 27 "
-                         "kNNs/iter; documented deviation, PARITY.md)")
+                    help="resgcn: the ATTACKER differentiates through a "
+                         "surrogate with edge graphs frozen at the clean "
+                         "input (skips 27 kNNs/iter); metrics always "
+                         "evaluate the true dynamic model. ~1.7x faster "
+                         "but measurably WEAKER against the dynamic "
+                         "victim (NB adv acc 0.75 vs 0.60 exact, NU 0.87 "
+                         "vs 0.28 — frozen-graph examples transfer "
+                         "poorly; the dynamic recompute behaves as an "
+                         "input-adaptive defense). Use for quick "
+                         "screening only, never for reported robustness "
+                         "numbers (docs/ROUND4_NOTES.md §5; documented "
+                         "deviation, PARITY.md)")
     ap.add_argument("--defense", default="none",
                     choices=["none", "bit_depth", "jitter", "jpeg",
                              "resample"],
