@@ -719,10 +719,12 @@ def extra_attack_wall_ms_per_block(batch_size=1, max_blocks=24):
     ])
     rows = open(f"{log}/pointnet2_nb_area5.tsv").read().strip().splitlines()
     times = [float(r.split("\t")[8]) for r in rows[1:]]
-    warm = times[1:]  # row 0 pays the compile
-    per_block = [t / batch_size for t in warm]
-    best = min(per_block)
-    spread = (max(per_block) - best) / best
+    # rows are per BLOCK but wall time is per batch (dt/valid stamped on
+    # each row) — every row of the first, compiling batch carries the
+    # compile, so drop the first batch_size rows
+    warm = times[batch_size:]
+    best = min(warm)
+    spread = (max(warm) - best) / best
     return best * 1e3, spread
 
 

@@ -50,9 +50,10 @@ def main(argv=None):
                     help="0 = auto: 8 for untargeted block-family runs, "
                          "1 for targeted/RandLA (per-cloud protocol "
                          "gates). Measured end-to-end on a tunneled v5e "
-                         "(BENCH_r04 attack_wall_ms_per_block): bs=8 is "
-                         "~4x faster per block than the reference's bs=1 "
-                         "once dispatch+fetch round trips are counted; "
+                         "(BENCH_r04 attack_wall_ms_per_block): 30 "
+                         "ms/block at bs=8 vs 40 at bs=1 — batching "
+                         "amortizes the dispatch+fetch round trips "
+                         "faster than the device program anti-scales; "
                          "metrics/TSV rows are per block at any batch "
                          "size, so the protocol is unchanged")
     # targeted defaults origin=11 (board) → target=7 (table)
