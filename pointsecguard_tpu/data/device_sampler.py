@@ -216,6 +216,7 @@ def make_sampled_multi_train_step(
     num_classes: int = 13,
     aux_loss=None,
     adv_fn=None,
+    output_head=None,
 ):
     """K optimizer steps per dispatch where each step SAMPLES ITS OWN
     BATCH on device — the `make_multi_train_step` scan with the host
@@ -226,9 +227,10 @@ def make_sampled_multi_train_step(
     import jax.numpy as jnp
     from pointsecguard_tpu.train.trainer import _make_step_body
 
+    if output_head is None:
+        output_head = lambda out: out[0] if isinstance(out, tuple) else out
     body = _make_step_body(
-        model, tx, loss_fn, num_classes, None,
-        lambda out: out[0] if isinstance(out, tuple) else out,
+        model, tx, loss_fn, num_classes, None, output_head,
         aux_loss, adv_fn, with_confusion=False,
     )
 

@@ -510,6 +510,35 @@ def train_resgcn(args):
         model, tx, ce_loss, output_head=lambda o: o,
         adv_fn=_maybe_adv_fn(args, model, output_head=lambda o: o),
     )
+    # --device_sampler: same HBM-staged on-device sampling as the
+    # pointnet-family loop (the two share S3DISBlockSampler semantics)
+    device_sampler = bool(getattr(args, "device_sampler", False))
+    if device_sampler:
+        if getattr(args, "devices", 1) > 1 or sp > 1:
+            raise SystemExit(
+                "--device_sampler runs single-device; use the host "
+                "pipeline with --devices/--shard_points"
+            )
+        from pointsecguard_tpu.data.device_sampler import (
+            make_device_block_sampler,
+            make_sampled_multi_train_step,
+            stage_rooms,
+        )
+
+        staged, num_max = stage_rooms(rooms)
+        sample_fn = make_device_block_sampler(
+            batch_size=batch_size,
+            num_point=getattr(args, "npoint", 0) or cfg.num_point,
+            num_max=num_max,
+            min_points=getattr(args, "min_block_points", 1024),
+            # the resgcn host loop feeds raw sampler blocks with no
+            # augmentation (`sem_seg_dense/train.py:50-95`) — match it
+            augment_z=False,
+        )
+        dstep_fn = make_sampled_multi_train_step(
+            model, tx, ce_loss, sample_fn, output_head=lambda o: o,
+            adv_fn=_maybe_adv_fn(args, model, output_head=lambda o: o),
+        )
     # keep LATEST (reference `_ckpt_latest.pth`, ckpt_util.py:109-114):
     # this loop has no in-loop eval, so the save metric is only -loss —
     # under keep="best" a resumed run would persist nothing (docstring)
@@ -528,15 +557,24 @@ def train_resgcn(args):
     for epoch in range(start_epoch, args.epochs):
         lr = resgcn_lr(epoch, base=args.learning_rate or cfg.lr)
         t0, loss_parts = time.time(), []
-        for pts_k, lab_k in prefetch(
-            stack_batches(sampler.batches(rng, batch_size), spc),
-            lambda g: (sput(g[0]), sput(g[1])), depth=depth,
-        ):
-            key, subs = _step_keys(key, pts_k.shape[0])
-            state, losses, _ = step_fn(
-                state, pts_k, lab_k, jnp.ones(13), lr, 0.1, subs,
-            )
-            loss_parts.append(losses)
+        if device_sampler:
+            n_batches = max(len(sampler) // batch_size, 1)
+            for _ in range(max(n_batches // spc, 1)):
+                key, subs = _step_keys(key, spc)
+                state, losses = dstep_fn(
+                    state, staged, jnp.ones(13), lr, 0.1, subs
+                )
+                loss_parts.append(losses)
+        else:
+            for pts_k, lab_k in prefetch(
+                stack_batches(sampler.batches(rng, batch_size), spc),
+                lambda g: (sput(g[0]), sput(g[1])), depth=depth,
+            ):
+                key, subs = _step_keys(key, pts_k.shape[0])
+                state, losses, _ = step_fn(
+                    state, pts_k, lab_k, jnp.ones(13), lr, 0.1, subs,
+                )
+                loss_parts.append(losses)
         losses_np = (np.concatenate([np.asarray(l) for l in loss_parts])
                      if loss_parts else np.zeros(0, np.float32))
         finite = np.isfinite(losses_np)

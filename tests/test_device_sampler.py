@@ -179,6 +179,39 @@ class TestStatisticalEquivalence:
 
 
 class TestFusedTrainStep:
+    def test_resgcn_multi_step_trains(self, staged):
+        """The ResGCN loop shares the device sampler (no augmentation,
+        plain-logits output head) — `cli.train --model resgcn
+        --device_sampler`."""
+        import jax.numpy as jnp
+
+        from pointsecguard_tpu.models import DenseDeepGCN
+        from pointsecguard_tpu.train import create_train_state
+
+        st, num_max = staged
+        model = DenseDeepGCN(n_blocks=3, n_filters=8, k=4)
+        pts0 = jnp.zeros((B, P, 9), jnp.float32)
+        state, tx = create_train_state(
+            model, (pts0, None), rng=jax.random.PRNGKey(0),
+            weight_decay=0.0,
+        )
+
+        def ce(logits, labels, _):
+            lp = jax.nn.log_softmax(logits)
+            return -jnp.mean(
+                jnp.take_along_axis(lp, labels[..., None], axis=-1)
+            )
+
+        sample_fn = _sampler(num_max, augment_z=False)
+        step = make_sampled_multi_train_step(
+            model, tx, ce, sample_fn, output_head=lambda o: o
+        )
+        rngs = jax.random.split(jax.random.PRNGKey(4), 2)
+        state, losses = step(state, st, jnp.ones(13), 1e-3, 0.1, rngs)
+        losses = np.asarray(losses)
+        assert losses.shape == (2,) and np.isfinite(losses).all()
+        assert int(state.step) == 2
+
     def test_multi_step_trains(self, staged):
         from pointsecguard_tpu.models import (
             PointNetSemSeg,
