@@ -217,11 +217,20 @@ def make_sampled_multi_train_step(
     aux_loss=None,
     adv_fn=None,
     output_head=None,
+    mesh=None,
 ):
     """K optimizer steps per dispatch where each step SAMPLES ITS OWN
     BATCH on device — the `make_multi_train_step` scan with the host
     pipeline replaced by `sample_fn(staged, key)`. One dispatch carries
     a key, two schedule scalars and the donated state; zero batch H2D.
+
+    ``mesh``: optional data-parallel mesh. The staged rooms are
+    replicated (each chip holds its own copy in HBM); a sharding
+    constraint on the freshly sampled batch makes GSPMD partition the
+    per-block sampling AND the train step over the 'data' axis — each
+    chip samples and trains its own batch shard, with only the gradient
+    psums crossing ICI (the sampling itself is embarrassingly parallel).
+    Semantics are key-driven and identical at any device count.
     """
     import jax
     import jax.numpy as jnp
@@ -233,6 +242,11 @@ def make_sampled_multi_train_step(
         model, tx, loss_fn, num_classes, None, output_head,
         aux_loss, adv_fn, with_confusion=False,
     )
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        pts_sh = NamedSharding(mesh, P("data", None, None))
+        lab_sh = NamedSharding(mesh, P("data", None))
 
     @partial(jax.jit, donate_argnums=0)
     def multi_step(state, staged: StagedRooms, class_weights, lr,
@@ -240,6 +254,9 @@ def make_sampled_multi_train_step(
         def scan_body(s, rng):
             ksample, kstep = jax.random.split(rng)
             pts, labels = sample_fn(staged, ksample)
+            if mesh is not None:
+                pts = jax.lax.with_sharding_constraint(pts, pts_sh)
+                labels = jax.lax.with_sharding_constraint(labels, lab_sh)
             s, loss, _ = body(
                 s, pts, labels, class_weights, lr, bn_momentum, kstep
             )

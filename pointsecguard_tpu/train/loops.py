@@ -145,25 +145,27 @@ def train_pointnet_family(args):
     # host path below stays the exact-parity default)
     device_sampler = bool(getattr(args, "device_sampler", False))
     if device_sampler:
-        if getattr(args, "devices", 1) > 1 or sp > 1:
+        if sp > 1:
             raise SystemExit(
-                "--device_sampler runs single-device; use the host "
-                "pipeline with --devices/--shard_points"
+                "--device_sampler composes with --devices (DP) but not "
+                "--shard_points; use the host pipeline for SP"
             )
         from pointsecguard_tpu.data.device_sampler import (
             make_device_block_sampler,
             make_sampled_multi_train_step,
             stage_rooms,
         )
+        from pointsecguard_tpu.parallel import replicate as _replicate
 
         staged, num_max = stage_rooms(rooms)
+        staged = _replicate(mesh, staged)  # each chip holds its own copy
         sample_fn = make_device_block_sampler(
             batch_size=batch_size, num_point=args.npoint, num_max=num_max,
             min_points=getattr(args, "min_block_points", 1024),
         )
         dstep_fn = make_sampled_multi_train_step(
             model, tx, weighted_nll_loss, sample_fn, aux_loss=aux,
-            adv_fn=_maybe_adv_fn(args, model),
+            adv_fn=_maybe_adv_fn(args, model), mesh=mesh,
         )
     step_fn = make_multi_train_step(
         model, tx, weighted_nll_loss, aux_loss=aux,
@@ -514,18 +516,20 @@ def train_resgcn(args):
     # pointnet-family loop (the two share S3DISBlockSampler semantics)
     device_sampler = bool(getattr(args, "device_sampler", False))
     if device_sampler:
-        if getattr(args, "devices", 1) > 1 or sp > 1:
+        if sp > 1:
             raise SystemExit(
-                "--device_sampler runs single-device; use the host "
-                "pipeline with --devices/--shard_points"
+                "--device_sampler composes with --devices (DP) but not "
+                "--shard_points; use the host pipeline for SP"
             )
         from pointsecguard_tpu.data.device_sampler import (
             make_device_block_sampler,
             make_sampled_multi_train_step,
             stage_rooms,
         )
+        from pointsecguard_tpu.parallel import replicate as _replicate
 
         staged, num_max = stage_rooms(rooms)
+        staged = _replicate(mesh, staged)  # each chip holds its own copy
         sample_fn = make_device_block_sampler(
             batch_size=batch_size,
             num_point=getattr(args, "npoint", 0) or cfg.num_point,
@@ -538,6 +542,7 @@ def train_resgcn(args):
         dstep_fn = make_sampled_multi_train_step(
             model, tx, ce_loss, sample_fn, output_head=lambda o: o,
             adv_fn=_maybe_adv_fn(args, model, output_head=lambda o: o),
+            mesh=mesh,
         )
     # keep LATEST (reference `_ckpt_latest.pth`, ckpt_util.py:109-114):
     # this loop has no in-loop eval, so the save metric is only -loss —

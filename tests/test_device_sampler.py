@@ -179,6 +179,48 @@ class TestStatisticalEquivalence:
 
 
 class TestFusedTrainStep:
+    def test_dp_matches_single_device(self, staged):
+        """--device_sampler --devices N: the sampled batch is sharded
+        over the data axis (GSPMD partitions sampling + step; gradients
+        psum over ICI). Key-driven semantics — the 8-device run must
+        reproduce the single-device losses."""
+        import jax.numpy as jnp
+
+        from pointsecguard_tpu.models import (
+            PointNetSemSeg,
+            weighted_nll_loss,
+        )
+        from pointsecguard_tpu.parallel import data_parallel_mesh, replicate
+        from pointsecguard_tpu.train import create_train_state
+
+        st, num_max = staged
+        model = PointNetSemSeg()
+        pts0 = jnp.zeros((B, P, 9), jnp.float32)
+        sample_fn = _sampler(num_max, augment_z=True)
+        rngs = jax.random.split(jax.random.PRNGKey(6), 2)
+
+        def run(mesh):
+            state, tx = create_train_state(
+                model, (pts0, None), rng=jax.random.PRNGKey(0)
+            )
+            step = make_sampled_multi_train_step(
+                model, tx, weighted_nll_loss, sample_fn, mesh=mesh
+            )
+            state = replicate(mesh, state)
+            staged_m = replicate(mesh, st)
+            state, losses = step(
+                state, staged_m, jnp.ones(13), 1e-3, 0.1, rngs
+            )
+            return np.asarray(losses)
+
+        l1 = run(None)
+        l8 = run(data_parallel_mesh(8))
+        # pre-update loss must match tightly (same sampled blocks, same
+        # forward); after an Adam step the psum reduction-order float
+        # difference is amplified by the 1/sqrt(v) normalizer — allow
+        # percent-level drift on later steps
+        np.testing.assert_allclose(l8[0], l1[0], rtol=2e-5)
+        np.testing.assert_allclose(l8, l1, rtol=2e-2)
     def test_resgcn_multi_step_trains(self, staged):
         """The ResGCN loop shares the device sampler (no augmentation,
         plain-logits output head) — `cli.train --model resgcn
