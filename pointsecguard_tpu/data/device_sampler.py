@@ -108,6 +108,12 @@ def make_device_block_sampler(
     import jax.numpy as jnp
     from jax import lax
 
+    if num_max % 128:
+        raise ValueError(
+            f"num_max={num_max} must be a multiple of 128 (the two-level "
+            "inverse-CDF reshapes the membership mask to [C, 128]; "
+            "stage_rooms rounds up for you)"
+        )
     half = block_size / 2.0
 
     def _sample_one(staged: StagedRooms, key):

@@ -296,6 +296,40 @@ class TestAttackCLI:
         assert len(rows) >= 2
 
 
+class TestRunDemoGate:
+    def test_demo_gate_runs_and_reports(self, trained, capsys):
+        """tools/run_demo.py: the attack-vs-control gate executes on a
+        trained checkpoint, prints per-attack verdicts + the markdown
+        table, and returns 0 when nothing fails outside the waiver."""
+        import importlib.util
+        import sys as _sys
+
+        spec = importlib.util.spec_from_file_location(
+            "run_demo",
+            os.path.join(os.path.dirname(__file__), "..", "tools",
+                         "run_demo.py"),
+        )
+        run_demo = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(run_demo)
+        data, log = trained
+        argv = _sys.argv
+        _sys.argv = [
+            "run_demo", "--family", "pointnet", "--data_root", data,
+            "--log_dir", log, "--num_point", "128", "--batch_size", "4",
+            "--attacks", "nb", "--max_blocks", "8",
+        ]
+        try:
+            rc = run_demo.main()
+        finally:
+            _sys.argv = argv
+        out = capsys.readouterr().out
+        assert "pointnet/nb:" in out and "| `nb` |" in out
+        # verdict rendered; on this deterministic fixture nb beats its
+        # control (same seeds as test_nb_attack_degrades_accuracy)
+        assert "[PASS]" in out
+        assert rc == 0
+
+
 class TestBenchmarkCLI:
     """ares benchmark CLIs (`benchmark/{attack,distortion,iteration}_cli.py`)
     unified in cli.benchmark, driven on the trained fixture."""
