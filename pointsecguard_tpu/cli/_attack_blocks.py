@@ -355,33 +355,12 @@ def run_blocks(args, log):
         clean_room = np.argmax(clean_pool, 1)
         adv_room = np.argmax(adv_pool, 1)
         if adv_colors_room is not None:
-            from pointsecguard_tpu.utils.logging import (
-                write_label_cloud,
-                write_xyzrgb,
-            )
+            from pointsecguard_tpu.cli._attack_common import write_room_visuals
 
-            vis_dir = os.path.join(args.log_dir, "visual")
-            os.makedirs(vis_dir, exist_ok=True)
-            room_xyz = rooms.points[room_idx][:, :3]
-            base = os.path.join(vis_dir, f"{room_name}_{args.attack}")
-            write_xyzrgb(base + "_adv_raw.xyzrgb", room_xyz, adv_colors_room)
-            write_xyzrgb(
-                base + "_raw.xyzrgb", room_xyz,
-                rooms.points[room_idx][:, 3:6] / 255.0,
-            )
-            write_label_cloud(base + "_pred.xyzrgb", room_xyz, adv_room)
-            write_label_cloud(base + "_gt.xyzrgb", room_xyz, labels_room)
-            # interactive viewer (the reference's open3d/vtk windows,
-            # as a self-contained HTML file)
-            from pointsecguard_tpu.utils.viz import export_html_viewer
-
-            export_html_viewer(
-                base + "_adv.html", room_xyz, colors=adv_colors_room,
-                title=f"{room_name} {args.attack} adversarial",
-            )
-            export_html_viewer(
-                base + "_pred.html", room_xyz, labels=adv_room,
-                title=f"{room_name} {args.attack} predictions",
+            write_room_visuals(
+                os.path.join(args.log_dir, "visual"), room_name,
+                args.attack, rooms.points[room_idx], adv_colors_room,
+                adv_room, labels_room,
             )
         seen = clean_pool.sum(1) > 0
         np.add.at(clean_cm, (labels_room[seen], clean_room[seen]), 1)

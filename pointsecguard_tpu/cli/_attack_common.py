@@ -7,6 +7,38 @@ the argparse surface and TSV/visual formats are unchanged.
 
 from __future__ import annotations
 
+import os
+
+
+def write_room_visuals(
+    vis_dir, room_name, attack, room_points, adv_colors, adv_pred, labels
+):
+    """Per-room visual artifacts (`NB_nontarget_test_semseg.py:131-136`):
+    clean/adversarial `.xyzrgb` dumps, predicted/GT label clouds, and
+    the interactive three.js HTML viewers (the reference's open3d/vtk
+    windows as self-contained files)."""
+    from pointsecguard_tpu.utils.logging import (
+        write_label_cloud,
+        write_xyzrgb,
+    )
+    from pointsecguard_tpu.utils.viz import export_html_viewer
+
+    os.makedirs(vis_dir, exist_ok=True)
+    room_xyz = room_points[:, :3]
+    base = os.path.join(vis_dir, f"{room_name}_{attack}")
+    write_xyzrgb(base + "_adv_raw.xyzrgb", room_xyz, adv_colors)
+    write_xyzrgb(base + "_raw.xyzrgb", room_xyz, room_points[:, 3:6] / 255.0)
+    write_label_cloud(base + "_pred.xyzrgb", room_xyz, adv_pred)
+    write_label_cloud(base + "_gt.xyzrgb", room_xyz, labels)
+    export_html_viewer(
+        base + "_adv.html", room_xyz, colors=adv_colors,
+        title=f"{room_name} {attack} adversarial",
+    )
+    export_html_viewer(
+        base + "_pred.html", room_xyz, labels=adv_pred,
+        title=f"{room_name} {attack} predictions",
+    )
+
 
 def defense_wrapper(args, jax):
     """--defense / --eot wiring shared by the block and RandLA drivers.
