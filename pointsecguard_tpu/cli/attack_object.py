@@ -362,9 +362,11 @@ def _attack_cls(args, log, dataset, n, B, make_fns, run_attack,
             pts = np.stack([dataset.load(int(i))[0] for i in idx])
             labs = labels_all[idx]
             key, sub = jax.random.split(key)
-            cp, ap, l2, rp = run(put(pts), jnp.asarray(labs), sub)
-            cp, ap, l2, rp = (np.asarray(cp), np.asarray(ap),
-                              np.asarray(l2), np.asarray(rp))
+            # one batched D2H transfer — each separate np.asarray pays
+            # its own ~28 ms tunnel round trip (CLAUDE.md)
+            cp, ap, l2, rp = jax.device_get(
+                run(put(pts), jnp.asarray(labs), sub)
+            )
             take = idx[:n_valid]
             clean[take], advp[take], randp[take], l2s[take] = (
                 cp[:n_valid], ap[:n_valid], rp[:n_valid], l2[:n_valid])
@@ -433,12 +435,10 @@ def _attack_partseg(args, log, dataset, n, B, make_fns, run_attack,
             seg = np.stack([l[2] for l in loaded]).astype(np.int32)
             one_hot = np.eye(16, dtype=np.float32)[cls]
             key, sub = jax.random.split(key)
-            clean_lp, adv_lp, l2, rand_lp = run(
-                put(pts), put(one_hot), put(seg), sub,
+            # one batched D2H transfer (see above)
+            clean_lp, adv_lp, l2, rand_lp = jax.device_get(
+                run(put(pts), put(one_hot), put(seg), sub)
             )
-            clean_lp, adv_lp, l2, rand_lp = (
-                np.asarray(clean_lp), np.asarray(adv_lp), np.asarray(l2),
-                np.asarray(rand_lp))
             for j in range(n_valid):
                 cat = dataset.categories[idx[j]]
                 mc = float(np.mean(shape_part_ious(clean_lp[j], seg[j], cat)))
