@@ -30,6 +30,12 @@ class AttackResult(NamedTuple):
     success_rate: jnp.ndarray  # [] targeted success rate (0 if untargeted)
     l2_dist: jnp.ndarray  # [B] L2 distortion of the color channels
     adv_pred: jnp.ndarray  # [B, N] adversarial per-point predictions
+    # [B] int32 per-sample exit iteration for engines with per-sample
+    # early exit (C&W, targeted PGD with early_exit_sr): sample b's
+    # outcome is identical to running it alone at batch size 1, and
+    # steps_b[b] is ITS exit step. None for fixed-length programs
+    # (every sample ran exactly ``steps`` iterations).
+    steps_b: jnp.ndarray | None = None
 
 
 def get_color(points: jnp.ndarray) -> jnp.ndarray:
@@ -180,6 +186,21 @@ def point_accuracy(
         return jnp.mean(correct)
     m = mask.astype(jnp.float32)
     return jnp.sum(correct * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def per_sample_accuracy(
+    pred: jnp.ndarray, labels: jnp.ndarray, mask: jnp.ndarray | None = None
+) -> jnp.ndarray:
+    """Per-cloud (or per-cloud masked) point accuracy from predictions →
+    [B]. The per-sample early-exit tests use this so that each cloud in a
+    batch behaves exactly as it would alone at batch size 1 — the
+    reference's per-cloud protocol (`nontarget.py:95`, `target.py:116-121`,
+    `tar_NUattack.py:237-239`)."""
+    correct = (pred == labels).astype(jnp.float32)
+    if mask is None:
+        return jnp.mean(correct, axis=1)
+    m = mask.astype(jnp.float32)
+    return jnp.sum(correct * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
 
 
 def finish_attack_result(

@@ -38,7 +38,7 @@ from pointsecguard_tpu.attacks.common import (
     color_smoothness,
     cw_f_prob,
     cw_f_targeted,
-    point_accuracy,
+    per_sample_accuracy,
 )
 
 _TANH_BOUND = 1.0 - 1e-6  # ares `_scale_to_tanh` clamp (`NUattack.py:115-119`)
@@ -187,18 +187,42 @@ def cw_color_attack(
         w = w - st.lr * mhat / (jnp.sqrt(vhat) + cfg.adam_eps)
         return w, _AdamState(mm, vv, t, st.lr)
 
+    # Early exit and exit-state snapshots are PER SAMPLE: cloud b in a
+    # batch exits the moment ITS success test fires (acc_b < 1/13
+    # untargeted, sr_b > threshold targeted), and its adversarial color /
+    # prediction / step count are frozen at that iteration — identical to
+    # running it alone at batch size 1 (the reference's per-cloud
+    # protocol). The loop keeps stepping the still-live samples and ends
+    # when all are done or the budget runs out. Trajectory mode keeps its
+    # fixed-length no-early-exit semantics (full curves for every sample).
+    track_exit = not trajectory
+
     def body(carry):
-        i, w, st, _, _, _, _ = carry
-        (cost, outputs), g = grad_fn(w)
+        i, w, st, snap, pred_snap, done, steps_b = carry
+        (_, outputs), g = grad_fn(w)
         pred = jnp.argmax(outputs, axis=-1)
         if cfg.targeted:
-            acc = point_accuracy(outputs, labels)
-            sr = point_accuracy(outputs, jnp.full_like(labels, cfg.target), mask)
+            acc_b = per_sample_accuracy(pred, labels)
+            sr_b = per_sample_accuracy(
+                pred, jnp.full_like(labels, cfg.target), mask
+            )
+            success = sr_b > cfg.success_sr
         else:
             # an untargeted mask = the valid points (ignored-label
             # datasets): the early-exit accuracy scores only those
-            acc = point_accuracy(outputs, labels, mask)
-            sr = jnp.zeros(())
+            acc_b = per_sample_accuracy(pred, labels, mask)
+            sr_b = jnp.zeros((B,))
+            success = acc_b < cfg.success_acc
+        # write exit state for live samples (the first iteration also
+        # writes samples marked done at init — zero-mask targeted clouds
+        # — so their snapshot is a real evaluation, not zeros)
+        write = jnp.logical_or(~done, i == 0)
+        cur = adv_color_of(w)
+        snap = jnp.where(write[:, None, None], cur, snap)
+        pred_snap = jnp.where(write[:, None], pred, pred_snap)
+        steps_b = jnp.where(~done, i + 1, steps_b)
+        if track_exit:
+            done = jnp.logical_or(done, success)
         w_new, st_new = adam_step(w, g, st)
         if cfg.lr_halve_every > 0:
             # `target.py:123-125`: fresh Adam at half lr every 50 steps
@@ -209,16 +233,12 @@ def cw_color_attack(
                 jnp.where(halve, 0, st_new.t),
                 jnp.where(halve, st_new.lr * 0.5, st_new.lr),
             )
-        return i + 1, w_new, st_new, adv_color_of(w), acc, sr, pred
+        new = (i + 1, w_new, st_new, snap, pred_snap, done, steps_b)
+        return new, (acc_b, sr_b)
 
     def cond(carry):
-        i, _, _, _, acc, sr, _ = carry
-        running = i < cfg.steps
-        if cfg.targeted:
-            not_success = jnp.logical_or(i == 0, sr <= cfg.success_sr)
-        else:
-            not_success = jnp.logical_or(i == 0, acc >= cfg.success_acc)
-        return jnp.logical_and(running, not_success)
+        i, _, _, _, _, done, _ = carry
+        return jnp.logical_and(i < cfg.steps, ~jnp.all(done))
 
     st0 = _AdamState(
         jnp.zeros_like(w0),
@@ -226,27 +246,52 @@ def cw_color_attack(
         jnp.zeros((), jnp.int32),
         jnp.asarray(cfg.lr),
     )
+    # targeted clouds with an empty mask can never reach the sr exit;
+    # mark them done up front so they cannot stall the batch (their
+    # colors are mask-gated to the clean input regardless)
+    if track_exit and cfg.targeted and mask is not None:
+        done0 = jnp.sum(mask.astype(jnp.int32), axis=1) == 0
+    else:
+        done0 = jnp.zeros((B,), bool)
     init = (
-        jnp.zeros((), jnp.int32), w0, st0, color0, jnp.ones(()),
-        jnp.zeros(()), jnp.zeros_like(labels),
+        jnp.zeros((), jnp.int32), w0, st0, color0,
+        jnp.zeros_like(labels), done0, jnp.zeros((B,), jnp.int32),
     )
     if trajectory:
         def scan_body(carry, _):
-            new = body(carry)
+            new, (acc_b, sr_b) = body(carry)
             l2 = jnp.linalg.norm((new[3] - color0).reshape(B, -1), axis=1)
-            return new, {"acc": new[4], "sr": new[5], "l2": l2}
+            return new, {
+                "acc": jnp.mean(acc_b), "sr": jnp.mean(sr_b), "l2": l2
+            }
 
-        (steps, _, _, best_color, acc, sr, adv_pred), traj = jax.lax.scan(
+        (steps, _, _, best_color, adv_pred, _, steps_b), traj = jax.lax.scan(
             scan_body, init, None, length=cfg.steps
         )
     else:
         traj = None
-        steps, _, _, best_color, acc, sr, adv_pred = jax.lax.while_loop(
-            cond, body, init
+        steps, _, _, best_color, adv_pred, _, steps_b = jax.lax.while_loop(
+            cond, lambda c: body(c)[0], init
         )
     adv = points.at[..., ch].set(best_color)
     l2 = jnp.linalg.norm((best_color - color0).reshape(B, -1), axis=1)
-    result = AttackResult(adv, steps, acc, sr, l2, adv_pred)
+    # batch metrics from the per-sample exit predictions (each sample
+    # scored at ITS exit state, as B=1 runs would report)
+    correct = (adv_pred == labels).astype(jnp.float32)
+    if cfg.targeted:
+        acc = jnp.mean(correct)
+        hit = (adv_pred == cfg.target).astype(jnp.float32)
+        mm = m[..., 0] if m is not None else jnp.ones_like(hit)
+        sr = jnp.sum(hit * mm) / jnp.maximum(jnp.sum(mm), 1.0)
+    else:
+        if m is None:
+            acc = jnp.mean(correct)
+        else:
+            acc = jnp.sum(correct * m[..., 0]) / jnp.maximum(
+                jnp.sum(m[..., 0]), 1.0
+            )
+        sr = jnp.zeros(())
+    result = AttackResult(adv, steps, acc, sr, l2, adv_pred, steps_b)
     return (result, traj) if trajectory else result
 
 

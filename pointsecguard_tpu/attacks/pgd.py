@@ -30,6 +30,7 @@ from pointsecguard_tpu.attacks.common import (
     AttackResult,
     hinge_logit_loss,
     per_point_ce,
+    per_sample_accuracy,
     point_accuracy,
 )
 
@@ -152,12 +153,17 @@ def pgd_color_attack(
         return out
 
     use_mom = cfg.momentum > 0.0
+    # Early exit (TBIM `:508`) is PER SAMPLE: cloud b stops — its color
+    # and step count freeze — the moment ITS success rate crosses the
+    # threshold, exactly as it would alone at batch size 1; live samples
+    # keep stepping until all are done or the budget runs out.
+    track_exit = cfg.early_exit_sr > 0 and not trajectory
 
     def body(carry):
         if use_mom:
-            i, color, _, _, g_acc = carry
+            i, color, snap, done, steps_b, g_acc = carry
         else:
-            i, color, _, _ = carry
+            i, color, snap, done, steps_b = carry
         (_, outputs), g = grad_fn(color)
         if use_mom:
             # MIM accumulator (Dong et al. 2018 eq. 6): per-cloud
@@ -179,26 +185,33 @@ def pgd_color_attack(
             )
             step = cfg.alpha * unit.reshape(g_eff.shape)
         color = project(color + direction * step)
+        pred = jnp.argmax(outputs, axis=-1)
         # an untargeted mask = the valid points (ignored-label datasets)
-        acc = point_accuracy(
-            outputs, labels, None if cfg.targeted else mask
+        acc_b = per_sample_accuracy(
+            pred, labels, None if cfg.targeted else mask
         )
         if cfg.targeted and mask is not None:
-            sr = point_accuracy(outputs, jnp.full_like(labels, cfg.target), mask)
+            sr_b = per_sample_accuracy(
+                pred, jnp.full_like(labels, cfg.target), mask
+            )
         else:
-            sr = jnp.zeros(())
+            sr_b = jnp.zeros((B,))
+        # keep the old exit convention: the iteration whose (pre-step)
+        # evaluation fires the success test still writes its stepped
+        # color, then the sample freezes
+        live = ~done
+        snap = jnp.where(live[:, None, None], color, snap)
+        steps_b = jnp.where(live, i + 1, steps_b)
+        if track_exit:
+            done = jnp.logical_or(done, sr_b > cfg.early_exit_sr)
+        new = (i + 1, color, snap, done, steps_b)
         if use_mom:
-            return i + 1, color, acc, sr, g_acc
-        return i + 1, color, acc, sr
+            new = new + (g_acc,)
+        return new, (acc_b, sr_b)
 
     def cond(carry):
-        i, sr = carry[0], carry[3]
-        not_done = i < cfg.iters
-        if cfg.early_exit_sr > 0:
-            not_done = jnp.logical_and(
-                not_done, jnp.logical_or(i == 0, sr <= cfg.early_exit_sr)
-            )
-        return not_done
+        i, done = carry[0], carry[3]
+        return jnp.logical_and(i < cfg.iters, ~jnp.all(done))
 
     color_init = color0
     if cfg.rand_init_eps > 0:
@@ -214,7 +227,17 @@ def pgd_color_attack(
             noise = (cfg.rand_init_eps * g).reshape(color0.shape)
         color_init = project(color0 + noise)
 
-    init = (jnp.zeros((), jnp.int32), color_init, jnp.ones(()), jnp.zeros(()))
+    # targeted clouds with an empty mask can never reach the sr exit;
+    # mark them done up front so they cannot stall the batch (the masked
+    # projection pins their colors to the clean input regardless)
+    if track_exit and cfg.targeted and mask is not None:
+        done0 = jnp.sum(mask.astype(jnp.int32), axis=1) == 0
+    else:
+        done0 = jnp.zeros((B,), bool)
+    init = (
+        jnp.zeros((), jnp.int32), color_init, color_init, done0,
+        jnp.zeros((B,), jnp.int32),
+    )
     if use_mom:
         init = init + (jnp.zeros_like(color_init),)
     if trajectory:
@@ -222,16 +245,19 @@ def pgd_color_attack(
         # the ares ``iteration_callback`` capability (`bim.py:216-237`
         # yields per-step metrics), but still one device program.
         def scan_body(carry, _):
-            new_carry = body(carry)
-            c2, a2, s2 = new_carry[1], new_carry[2], new_carry[3]
-            l2 = jnp.linalg.norm((c2 - color0).reshape(B, -1), axis=1)
-            return new_carry, {"acc": a2, "sr": s2, "l2": l2}
+            new_carry, (acc_b, sr_b) = body(carry)
+            l2 = jnp.linalg.norm(
+                (new_carry[1] - color0).reshape(B, -1), axis=1
+            )
+            return new_carry, {
+                "acc": jnp.mean(acc_b), "sr": jnp.mean(sr_b), "l2": l2
+            }
 
         final, traj = jax.lax.scan(scan_body, init, None, length=cfg.iters)
     else:
         traj = None
-        final = jax.lax.while_loop(cond, body, init)
-    steps, color_adv, acc, sr = final[0], final[1], final[2], final[3]
+        final = jax.lax.while_loop(cond, lambda c: body(c)[0], init)
+    steps, color_adv, steps_b = final[0], final[2], final[4]
     adv = points.at[..., ch].set(color_adv)
     # final metrics on the returned adversary (drivers reuse adv_pred
     # instead of paying another forward)
@@ -240,6 +266,8 @@ def pgd_color_attack(
     acc = point_accuracy(outputs, labels, None if cfg.targeted else mask)
     if cfg.targeted and mask is not None:
         sr = point_accuracy(outputs, jnp.full_like(labels, cfg.target), mask)
+    else:
+        sr = jnp.zeros(())
     l2 = jnp.linalg.norm((color_adv - color0).reshape(B, -1), axis=1)
-    result = AttackResult(adv, steps, acc, sr, l2, adv_pred)
+    result = AttackResult(adv, steps, acc, sr, l2, adv_pred, steps_b)
     return (result, traj) if trajectory else result

@@ -100,8 +100,9 @@ def run_blocks(args, log):
     elif args.model == "resgcn" and args.resgcn_fixed_graphs:
         # the ATTACKER differentiates through a surrogate whose dynamic
         # edge graphs are frozen at the clean input (skips the 27
-        # per-iteration feature-space kNNs AND removes the dynamic-graph
-        # gradient obfuscation — measured STRONGER as well as faster,
+        # per-iteration feature-space kNNs). ~1.7× faster but measurably
+        # WEAKER against the dynamic victim (NB adv acc 0.75 vs 0.60
+        # exact — frozen-graph examples transfer poorly; screening only,
         # tools/resgcn_graph_efficacy.py / docs/ROUND4_NOTES.md §5).
         # Every reported metric still evaluates the TRUE dynamic model
         # (the deployed victim recomputes its graphs, `torch_vertex.py:
@@ -117,6 +118,91 @@ def run_blocks(args, log):
             return lambda p: head(model.apply(variables, p))
 
         make_attack_outputs = make_outputs_fn
+
+    if getattr(args, "ensemble", None):
+        # weighted ensemble victim — the ares EnsembleModel
+        # (`model/ensemble.py:9-25`) + EnsembleCrossEntropyLoss
+        # (`loss/cross_entropy.py:22-38`) capability the fork never
+        # wired to the point-cloud drivers. Every reported metric
+        # evaluates the deployed weighted softmax mixture; the attack
+        # differentiates through the same members (--ensemble_mode).
+        from pointsecguard_tpu.models import build_geometry
+        from pointsecguard_tpu.models.pointnet2 import build_geometry_msg
+        from pointsecguard_tpu.models.registry import ensemble_outputs_fn
+
+        member_makes = []
+        ens_weights = [1.0]  # primary model
+        for spec in args.ensemble:
+            parts = spec.split(":")
+            if len(parts) not in (2, 3):
+                raise SystemExit(
+                    f"--ensemble expects MODEL:LOG_DIR[:WEIGHT], got "
+                    f"'{spec}'"
+                )
+            m_name, m_log = parts[0], parts[1]
+            ens_weights.append(float(parts[2]) if len(parts) == 3 else 1.0)
+            if m_name == "resgcn":
+                from pointsecguard_tpu.configs import resgcn_overrides as _ro
+
+                m_model = DenseDeepGCN(dtype=model_dtype, **_ro(args))
+                m_head = lambda out: out
+            elif m_name in ("pointnet2", "pointnet2_msg", "pointnet"):
+                m_model = {
+                    "pointnet2": PointNet2SemSegSSG,
+                    "pointnet2_msg": PointNet2SemSegMSG,
+                    "pointnet": PointNetSemSeg,
+                }[m_name](dtype=model_dtype)
+                m_head = lambda out: out[0]
+            else:
+                raise SystemExit(
+                    f"--ensemble member '{m_name}' is not a block-family "
+                    "model (pointnet2/pointnet2_msg/pointnet/resgcn)"
+                )
+            m_state, _ = create_train_state(
+                m_model, (dummy, None), rng=jax.random.PRNGKey(0)
+            )
+            m_ckpt = CheckpointManager(f"{m_log}/checkpoints")
+            m_restored = (
+                m_ckpt.restore_best(m_state) or m_ckpt.restore_latest(m_state)
+            )
+            if m_restored is None:
+                raise SystemExit(f"no checkpoint under {m_log}/checkpoints")
+            m_state, _ = m_restored
+            m_state = replicate(mesh, m_state)
+            m_vars = {
+                "params": m_state.params,
+                "batch_stats": m_state.batch_stats,
+            }
+            if m_name in ("pointnet2", "pointnet2_msg"):
+                m_geo = (
+                    build_geometry if m_name == "pointnet2"
+                    else build_geometry_msg
+                )
+
+                def m_make(pts, _m=m_model, _v=m_vars, _g=m_geo, _h=m_head):
+                    geo = _g(pts[..., :3])
+                    return lambda p: _h(_m.apply(_v, p, geometry=geo))
+            else:
+                def m_make(pts, _m=m_model, _v=m_vars, _h=m_head):
+                    return lambda p: _h(_m.apply(_v, p))
+
+            member_makes.append(m_make)
+        log.info(
+            "ensemble victim: %s + %s (weights %s, attack mode %s)",
+            args.model, [s.split(":")[0] for s in args.ensemble],
+            ens_weights, args.ensemble_mode,
+        )
+        prim_eval, prim_atk = make_outputs_fn, make_attack_outputs
+
+        def make_outputs_fn(pts):
+            fns = [prim_eval(pts)] + [mk(pts) for mk in member_makes]
+            return ensemble_outputs_fn(fns, ens_weights, mode="probs")
+
+        def make_attack_outputs(pts):
+            fns = [prim_atk(pts)] + [mk(pts) for mk in member_makes]
+            return ensemble_outputs_fn(
+                fns, ens_weights, mode=args.ensemble_mode
+            )
 
     wraps = defense_wrapper(args, jax)
     if wraps is not None:
@@ -242,6 +328,15 @@ def run_blocks(args, log):
                     continue  # skip blocks without origin points (`:174`)
             else:
                 mask = None
+            # per-ROW skip gate at any batch size: origin-free blocks in
+            # a mixed targeted batch are dropped from the TSV and both
+            # vote pools, matching the reference's per-block `continue`
+            # (`NB_target_test_semseg.py:174`); the engine's per-sample
+            # early exit already keeps their colors clean
+            if targeted and not resgcn_gates:
+                keep = mask_np.any(axis=1)
+            else:
+                keep = np.ones(valid, bool)
             key, sub = jax.random.split(key)
             # want the (big) adversarial points on host only when a
             # consumer exists — the save/visual artifacts
@@ -257,7 +352,7 @@ def run_blocks(args, log):
                     (predict(pts), predict(adv), adv if want_adv else ())
                 )
                 res, traj_f, rand_f = None, None, None
-                steps = 0
+                steps_row = np.zeros(valid, np.int64)
                 sr_b = np.zeros(valid)
                 l2_b = np.full(valid, float(args.noise_norm))
                 adv_points_np = adv_np if args.save_adv else None
@@ -268,14 +363,23 @@ def run_blocks(args, log):
                 # single batched fetch (see above): predictions, scalar
                 # bookkeeping, per-cloud l2, optional control/trajectory/
                 # adversarial points all in one transfer
-                (clean_pred, adv_pred, steps_a, l2_a, rand_f, traj_f,
-                 adv_np) = jax.device_get((
-                    clean_pred_d, adv_pred_d, res.steps, res.l2_dist,
+                (clean_pred, adv_pred, steps_a, steps_bb, l2_a, rand_f,
+                 traj_f, adv_np) = jax.device_get((
+                    clean_pred_d, adv_pred_d, res.steps,
+                    res.steps_b if res.steps_b is not None else (),
+                    res.l2_dist,
                     rand_pred if rand_pred is not None else (),
                     traj if traj is not None else (),
                     res.points_adv if want_adv else (),
                 ))
-                steps = int(steps_a)
+                # per-ROW exit step (the engines track early exit per
+                # sample, so each block's step count is its own B=1
+                # outcome); fixed-length programs report the loop length
+                steps_row = (
+                    np.asarray(steps_bb)[:valid]
+                    if not isinstance(steps_bb, tuple)
+                    else np.full(valid, int(steps_a))
+                )
                 l2_b = np.asarray(l2_a)[:valid]
                 if targeted:
                     # protocol sr from the DEPLOYED-defense predictions:
@@ -294,24 +398,28 @@ def run_blocks(args, log):
             dt = time.time() - t0
             if adv_points_np is not None:
                 adv_saved.append(
-                    np.asarray(adv_points_np)[:valid].astype(np.float32)
+                    np.asarray(adv_points_np)[:valid][keep].astype(np.float32)
                 )
-                adv_saved_labels.append(labs_np[:valid].astype(np.int32))
+                adv_saved_labels.append(
+                    labs_np[:valid][keep].astype(np.int32)
+                )
 
             clean_pred = np.asarray(clean_pred)[:valid]
             adv_pred = np.asarray(adv_pred)[:valid]
             lab_np = labs_np[:valid]
             w = weights[start : start + valid]
             pi = pidx[start : start + valid]
-            add_votes(clean_pool, pi, clean_pred, w)
-            add_votes(adv_pool, pi, adv_pred, w)
+            add_votes(clean_pool, pi[keep], clean_pred[keep], w[keep])
+            add_votes(adv_pool, pi[keep], adv_pred[keep], w[keep])
             if adv_colors_room is not None:
-                adv_c = np.asarray(adv_np)[:valid, :, 3:6].reshape(-1, 3)
-                adv_colors_room[pi.reshape(-1)] = adv_c
+                adv_c = np.asarray(adv_np)[:valid][keep, :, 3:6].reshape(-1, 3)
+                adv_colors_room[pi[keep].reshape(-1)] = adv_c
             # one protocol row per BLOCK (the reference logs per block,
             # `NB_nontarget_test_semseg.py:213-215`; the old per-batch
             # rows matched it only at --batch_size 1)
             for b in range(valid):
+                if not keep[b]:
+                    continue  # origin-free block in a mixed batch
                 clean_acc = float((clean_pred[b] == lab_np[b]).mean())
                 adv_acc = float((adv_pred[b] == lab_np[b]).mean())
                 if targeted:
@@ -324,10 +432,14 @@ def run_blocks(args, log):
                     )
                 else:
                     other_acc = adv_acc
+                # per-row wall time at ms precision (BENCH aggregates a
+                # median over warm rows — a 0.01 s quantum hid 1.5×
+                # regressions, VERDICT r4 weak-item 1)
                 row = (
                     f"{room_name}\t{start + b}\t{clean_acc:.4f}"
                     f"\t{adv_acc:.4f}\t{l2_b[b]:.4f}\t{sr_b[b]:.4f}"
-                    f"\t{other_acc:.4f}\t{steps}\t{dt / valid:.2f}"
+                    f"\t{other_acc:.4f}\t{int(steps_row[b])}"
+                    f"\t{dt / valid:.4f}"
                 )
                 if args.control:
                     rand_acc = (
@@ -349,7 +461,7 @@ def run_blocks(args, log):
                         f"\t{t_sr[it]:.4f}\t{t_l2[it]:.4f}\n"
                     )
                 steps_tsv.flush()
-            n_blocks_done += valid
+            n_blocks_done += int(keep.sum())
             if args.max_blocks and n_blocks_done >= args.max_blocks:
                 break
         clean_room = np.argmax(clean_pool, 1)

@@ -259,14 +259,16 @@ def run_randla(args, log):
             )
             traj_f, rand_pred = None, None
             l2_np = np.full((B,), args.noise_norm)
-            steps_n, sr_global = 0, 0.0
+            steps_row = np.zeros(B, np.int64)
+            sr_global = 0.0
         else:
             clean_pred_d, res, adv_pred_d, traj, rand_pred_d = run(
                 feats_j, labels_j, mask, sub
             )
-            (clean_pred, adv_pred, l2_np, steps_a, sr_a, traj_f, rand_pred,
-             adv_f) = jax.device_get((
+            (clean_pred, adv_pred, l2_np, steps_a, steps_bb, sr_a, traj_f,
+             rand_pred, adv_f) = jax.device_get((
                 clean_pred_d, adv_pred_d, res.l2_dist, res.steps,
+                res.steps_b if res.steps_b is not None else (),
                 res.success_rate,
                 traj if traj is not None else (),
                 rand_pred_d if rand_pred_d is not None else (),
@@ -276,7 +278,13 @@ def run_randla(args, log):
                 traj_f = None
             if isinstance(rand_pred, tuple):
                 rand_pred = None
-            steps_n, sr_global = int(steps_a), float(sr_a)
+            # per-CLOUD exit step (per-sample early-exit engines)
+            steps_row = (
+                np.asarray(steps_bb)
+                if not isinstance(steps_bb, tuple)
+                else np.full(B, int(steps_a))
+            )
+            sr_global = float(sr_a)
         adv_points = adv_f if want_adv else None
         dt = time.time() - t0
         if getattr(args, "save_adv", False):
@@ -305,7 +313,7 @@ def run_randla(args, log):
             row = (
                 f"{int(cloud_idx[b])}\t{clean_acc:.4f}\t{adv_acc:.4f}"
                 f"\t{float(l2_np[b]):.4f}"
-                f"\t{sr_b:.4f}\t{steps_n}\t{dt / B:.2f}"
+                f"\t{sr_b:.4f}\t{int(steps_row[b])}\t{dt / B:.4f}"
             )
             if args.control:
                 rand_acc = float(

@@ -48,14 +48,18 @@ def main(argv=None):
     ap.add_argument("--num_point", type=int, default=4096)
     ap.add_argument("--batch_size", type=int, default=0,
                     help="0 = auto: 8 for untargeted block-family runs, "
-                         "1 for targeted/RandLA (per-cloud protocol "
-                         "gates). Measured end-to-end on a tunneled v5e "
-                         "(BENCH_r04 attack_wall_ms_per_block): 30 "
-                         "ms/block at bs=8 vs 40 at bs=1 — batching "
-                         "amortizes the dispatch+fetch round trips "
-                         "faster than the device program anti-scales; "
-                         "metrics/TSV rows are per block at any batch "
-                         "size, so the protocol is unchanged")
+                         "1 for targeted/RandLA (resgcn targeted skip "
+                         "gates are per-cloud). Measured end-to-end on a "
+                         "tunneled v5e (BENCH attack_wall_ms_per_block): "
+                         "bs=8 beats bs=1 — batching amortizes the "
+                         "dispatch+fetch round trips faster than the "
+                         "device program anti-scales. Per-block outcomes "
+                         "are exact at any batch size: the C&W / "
+                         "early-exit engines track success and exit "
+                         "state PER SAMPLE (each block's steps/L2/acc "
+                         "equal its B=1 run), TSV rows are per block, "
+                         "and origin-free blocks in mixed targeted "
+                         "batches are dropped per row")
     # targeted defaults origin=11 (board) → target=7 (table)
     # (`NB_target_test_semseg.py:48-49`)
     ap.add_argument("--origin", type=int, default=11)
@@ -104,6 +108,25 @@ def main(argv=None):
                          "screening only, never for reported robustness "
                          "numbers (docs/ROUND4_NOTES.md §5; documented "
                          "deviation, PARITY.md)")
+    ap.add_argument("--ensemble", action="append", default=[],
+                    metavar="MODEL:LOG_DIR[:WEIGHT]",
+                    help="attack a weighted ensemble: add this model "
+                         "(block families only) with its checkpoint dir "
+                         "to the victim, repeatable. All metrics "
+                         "evaluate the deployed ensemble (weighted "
+                         "softmax average, ares "
+                         "`model/ensemble.py:9-25`); the attack "
+                         "differentiates through it too (see "
+                         "--ensemble_mode). Primary model weight is 1; "
+                         "weights are normalized")
+    ap.add_argument("--ensemble_mode", default="probs",
+                    choices=["probs", "log_probs"],
+                    help="attacked ensemble objective: 'probs' = CE of "
+                         "the deployed softmax mixture; 'log_probs' = "
+                         "the ares EnsembleCrossEntropyLoss direction "
+                         "(weighted per-model CE sum, "
+                         "`loss/cross_entropy.py:22-38`; plus the "
+                         "mixture normalizer — PARITY.md)")
     ap.add_argument("--defense", default="none",
                     choices=["none", "bit_depth", "jitter", "jpeg",
                              "resample"],
@@ -185,6 +208,10 @@ def main(argv=None):
                          "(per-cloud skip gates, `attacks.py:204-207`)")
 
     if args.model == "randla":
+        if args.ensemble:
+            raise SystemExit("--ensemble is a block-family feature "
+                             "(members share the [B,N,9] block input; "
+                             "RandLA clouds have a different contract)")
         from pointsecguard_tpu.cli._attack_randla import run_randla
 
         return run_randla(args, log)

@@ -107,8 +107,19 @@ def main(argv=None):
                          "a tunneled v5e). Statistically equivalent to "
                          "the host sampler (tests/test_device_sampler.py); "
                          "the host pipeline remains the exact-parity "
-                         "default. Single-device; eval still runs the "
-                         "host whole-scene path")
+                         "default. Composes with --devices N (rooms "
+                         "staged per chip, GSPMD shards the sampling, "
+                         "gradients psum over ICI) but not "
+                         "--shard_points; eval still runs the host "
+                         "whole-scene path")
+    ap.add_argument("--device_sampler_exact", action="store_true",
+                    help="with --device_sampler: draw block points "
+                         "WITHOUT replacement (Gumbel-top-k over the "
+                         "membership mask) — the host sampler's exact "
+                         "semantics for blocks >= npoint points. Costs "
+                         "a per-block [num_max] top-k (~2x sampling "
+                         "cost); the default with-replacement draw is a "
+                         "documented deviation (<2% duplicates)")
     ap.add_argument("--eval_every", type=int, default=1)
     ap.add_argument("--profile", default=None,
                     help="dump a jax.profiler trace of the first epoch here")

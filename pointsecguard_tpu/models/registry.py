@@ -106,3 +106,57 @@ def ensemble_outputs(outputs: list[jnp.ndarray], *, from_log_probs: bool = False
         for o in outputs
     ]
     return jnp.log(jnp.mean(jnp.stack(probs), axis=0) + 1e-12)
+
+
+def ensemble_outputs_fn(
+    fns: list[Callable[[jnp.ndarray], jnp.ndarray]],
+    weights: list[float] | None = None,
+    *,
+    mode: str = "probs",
+) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Combine N model closures into one differentiable ``outputs_fn``
+    the fused attack engines can attack end-to-end (the capability the
+    ares fork ships as `ares/model/ensemble.py:9-25` EnsembleModel +
+    `ares/loss/cross_entropy.py:22-38` EnsembleCrossEntropyLoss but
+    never wires to the point-cloud drivers).
+
+    Each ``fns[i]`` maps points [B,N,C] → per-point outputs [B,N,K]
+    (logits or log-probs). ``weights`` defaults to uniform and is
+    normalized to sum 1.
+
+    ``mode="probs"`` (default): log of the weighted softmax-space mean —
+    exactly the deployed EnsembleModel's decision distribution
+    (`ensemble.py:23-24` reduce_sum of weighted softmaxes). The engines'
+    CE on top attacks the mixture the ensemble actually predicts with.
+
+    ``mode="log_probs"``: weighted mean of per-model log-softmaxes (a
+    geometric mixture). The engines' CE on top equals the reference's
+    EnsembleCrossEntropyLoss Σᵢ wᵢ·CEᵢ (`cross_entropy.py:33-38`) plus
+    the mixture's log-normalizer (a y-independent logsumexp term) —
+    same per-model CE pull, with an extra shared normalizer force;
+    documented deviation (PARITY.md).
+    """
+    import jax
+
+    if weights is None:
+        weights = [1.0] * len(fns)
+    if len(weights) != len(fns):
+        raise ValueError(f"{len(fns)} models but {len(weights)} weights")
+    total = float(sum(weights))
+    ws = [float(w) / total for w in weights]
+
+    def combined(points: jnp.ndarray) -> jnp.ndarray:
+        if mode == "probs":
+            p = sum(
+                w * jax.nn.softmax(fn(points), axis=-1)
+                for fn, w in zip(fns, ws)
+            )
+            return jnp.log(p + 1e-12)
+        elif mode == "log_probs":
+            return sum(
+                w * jax.nn.log_softmax(fn(points), axis=-1)
+                for fn, w in zip(fns, ws)
+            )
+        raise ValueError(f"unknown ensemble mode '{mode}'")
+
+    return combined

@@ -162,6 +162,7 @@ def train_pointnet_family(args):
         sample_fn = make_device_block_sampler(
             batch_size=batch_size, num_point=args.npoint, num_max=num_max,
             min_points=getattr(args, "min_block_points", 1024),
+            replacement=not getattr(args, "device_sampler_exact", False),
         )
         dstep_fn = make_sampled_multi_train_step(
             model, tx, weighted_nll_loss, sample_fn, aux_loss=aux,
@@ -538,6 +539,7 @@ def train_resgcn(args):
             # the resgcn host loop feeds raw sampler blocks with no
             # augmentation (`sem_seg_dense/train.py:50-95`) — match it
             augment_z=False,
+            replacement=not getattr(args, "device_sampler_exact", False),
         )
         dstep_fn = make_sampled_multi_train_step(
             model, tx, ce_loss, sample_fn, output_head=lambda o: o,

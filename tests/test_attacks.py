@@ -210,6 +210,190 @@ class TestCW:
         assert float(res.success_rate) > 0.5
 
 
+class TestPerSampleExit:
+    """Batched runs must reproduce each cloud's B=1 outcome exactly:
+    the engines track early exit and exit-state snapshots PER SAMPLE
+    (the reference's per-cloud protocol, `nontarget.py:95`,
+    `bim.py:508`; ADVICE r4: the old batch-global mean-accuracy exit
+    made per-block nu outcomes at bs>1 deviate from the B=1 protocol)."""
+
+    def test_cw_batch_matches_single_runs(self, surrogate, batch):
+        pts, labels = batch  # B = 2
+        cfg = CWConfig(steps=80, lr=0.05, smooth_coeff=0.0, l2_coeff=0.01,
+                       success_acc=0.5)
+        run = jax.jit(lambda p, y: cw_color_attack(surrogate, p, y, cfg))
+        res_b = run(pts, labels)
+        assert res_b.steps_b is not None
+        for b in range(B):
+            res_1 = run(pts[b : b + 1], labels[b : b + 1])
+            assert int(res_b.steps_b[b]) == int(res_1.steps_b[0])
+            np.testing.assert_allclose(
+                np.asarray(res_b.points_adv[b]),
+                np.asarray(res_1.points_adv[0]), atol=1e-5,
+            )
+            np.testing.assert_allclose(
+                float(res_b.l2_dist[b]), float(res_1.l2_dist[0]), atol=1e-4
+            )
+        # the batch program runs until the slowest sample is done
+        assert int(res_b.steps) == int(np.max(np.asarray(res_b.steps_b)))
+
+    def test_cw_fast_sample_freezes_while_slow_continues(self, surrogate):
+        # sample 0: trivially "successful" labels (never correct → acc 0
+        # at step 1); sample 1: true labels (needs real optimization).
+        # Sample 0's adversarial color must freeze at ITS exit, not drift
+        # for as long as sample 1 keeps the loop alive.
+        rng = np.random.RandomState(3)
+        pts = jnp.array(rng.rand(2, N, 9).astype(np.float32))
+        true = np.asarray(jnp.argmax(surrogate(pts), axis=-1))
+        labels = jnp.array(
+            np.stack([(true[0] + 1) % C, true[1]]).astype(np.int32)
+        )
+        cfg = CWConfig(steps=120, lr=0.05, smooth_coeff=0.0, l2_coeff=0.01,
+                       success_acc=0.5)
+        res = cw_color_attack(surrogate, pts, labels, cfg)
+        steps_b = np.asarray(res.steps_b)
+        assert steps_b[0] == 1  # exited immediately
+        assert steps_b[1] > 1
+        # frozen at the first evaluation = (numerically) the clean color
+        np.testing.assert_allclose(
+            np.asarray(res.points_adv[0, :, 3:6]),
+            np.asarray(pts[0, :, 3:6]), atol=1e-5,
+        )
+        assert float(res.l2_dist[1]) > 1e-3  # the slow sample kept moving
+
+    def test_pgd_targeted_early_exit_per_sample(
+        self, proto_surrogate, proto_batch
+    ):
+        surrogate = proto_surrogate
+        pts, labels = proto_batch
+        origin = int(np.asarray(labels)[0, 0])
+        target = (origin + 3) % C
+        _, mask = make_target_labels(labels, origin, target)
+        cfg = PGDConfig(
+            eps=12.0, alpha=1.0, iters=40, loss="hinge", step_norm="l2",
+            targeted=True, target=target, early_exit_sr=0.9,
+        )
+        run = jax.jit(
+            lambda p, y, m: pgd_color_attack(surrogate, p, y, cfg, mask=m)
+        )
+        res_b = run(pts, labels, mask)
+        assert res_b.steps_b is not None
+        for b in range(B):
+            res_1 = run(pts[b : b + 1], labels[b : b + 1], mask[b : b + 1])
+            assert int(res_b.steps_b[b]) == int(res_1.steps_b[0])
+            np.testing.assert_allclose(
+                np.asarray(res_b.points_adv[b]),
+                np.asarray(res_1.points_adv[0]), atol=1e-5,
+            )
+
+    def test_zero_mask_sample_cannot_stall_batch(
+        self, proto_surrogate, proto_batch
+    ):
+        # a targeted cloud with no origin points can never reach the sr
+        # exit; it must be marked done up front (clean colors, steps 0)
+        # instead of pinning the while_loop at the full budget
+        surrogate = proto_surrogate
+        pts, labels = proto_batch
+        origin = int(np.asarray(labels)[0, 0])
+        target = (origin + 3) % C
+        _, mask = make_target_labels(labels, origin, target)
+        mask_np = np.asarray(mask).copy()
+        mask_np[1] = False  # sample 1 has no origin points
+        mask0 = jnp.array(mask_np)
+        cfg = CWConfig(
+            steps=400, lr=0.1, smooth_coeff=0.0, l2_coeff=0.001,
+            targeted=True, target=target, success_sr=0.9,
+        )
+        res = cw_color_attack(surrogate, pts, labels, cfg, mask=mask0)
+        steps_b = np.asarray(res.steps_b)
+        # the batch ended when the REAL sample was done, not at 400
+        assert int(res.steps) == steps_b[0]
+        np.testing.assert_array_equal(
+            np.asarray(res.points_adv[1]), np.asarray(pts[1])
+        )
+        assert float(res.l2_dist[1]) == 0.0
+
+
+class TestEnsemble:
+    """`models.registry.ensemble_outputs_fn`: the ares EnsembleModel /
+    EnsembleCrossEntropyLoss capability (`model/ensemble.py:9-25`,
+    `loss/cross_entropy.py:22-38`) as a differentiable combinator the
+    fused engines attack end-to-end."""
+
+    @pytest.fixture(scope="class")
+    def two_models(self):
+        k1, k2 = jax.random.split(jax.random.PRNGKey(11))
+        W1 = jax.random.normal(k1, (3, C))
+        W2 = jax.random.normal(k2, (3, C))
+        f1 = lambda pts: pts[..., 3:6] @ W1
+        f2 = lambda pts: pts[..., 3:6] @ W2
+        return f1, f2
+
+    def test_weighted_mixture_prediction(self, two_models):
+        from pointsecguard_tpu.models.registry import ensemble_outputs_fn
+
+        f1, f2 = two_models
+        rng = np.random.RandomState(4)
+        pts = jnp.array(rng.rand(2, 32, 9).astype(np.float32))
+        ens = ensemble_outputs_fn([f1, f2], [2.0, 2.0])  # normalized
+        out = ens(pts)
+        want = jnp.log(
+            0.5 * jax.nn.softmax(f1(pts), -1)
+            + 0.5 * jax.nn.softmax(f2(pts), -1) + 1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(want), atol=1e-6
+        )
+        # degenerate weights → the single model's prediction
+        solo = ensemble_outputs_fn([f1, f2], [1.0, 0.0])(pts)
+        np.testing.assert_array_equal(
+            np.asarray(jnp.argmax(solo, -1)),
+            np.asarray(jnp.argmax(f1(pts), -1)),
+        )
+        with pytest.raises(ValueError):
+            ensemble_outputs_fn([f1, f2], [1.0])
+
+    def test_ensemble_attack_beats_single_model_transfer(self, two_models):
+        # attacking the 2-model ensemble must degrade the PAIR more than
+        # attacking either member alone does (the single-model attack
+        # overfits its member and transfers only partially) — the VERDICT
+        # r4 'done' criterion for the ensemble closer
+        from pointsecguard_tpu.models.registry import ensemble_outputs_fn
+
+        f1, f2 = two_models
+        rng = np.random.RandomState(5)
+        pts = jnp.array(rng.rand(2, 256, 9).astype(np.float32))
+        ens = ensemble_outputs_fn([f1, f2])
+        labels = jnp.argmax(ens(pts), axis=-1)
+        cfg = PGDConfig(eps=0.25, alpha=0.03, iters=30)
+
+        def pair_acc(adv):
+            a1 = float(jnp.mean(jnp.argmax(f1(adv), -1) == labels))
+            a2 = float(jnp.mean(jnp.argmax(f2(adv), -1) == labels))
+            return (a1 + a2) / 2.0
+
+        adv_ens = pgd_color_attack(ens, pts, labels, cfg).points_adv
+        adv_m1 = pgd_color_attack(f1, pts, labels, cfg).points_adv
+        adv_m2 = pgd_color_attack(f2, pts, labels, cfg).points_adv
+        assert pair_acc(adv_ens) < pair_acc(adv_m1)
+        assert pair_acc(adv_ens) < pair_acc(adv_m2)
+
+    def test_log_probs_mode_differentiable_and_effective(self, two_models):
+        from pointsecguard_tpu.models.registry import ensemble_outputs_fn
+
+        f1, f2 = two_models
+        rng = np.random.RandomState(6)
+        pts = jnp.array(rng.rand(2, 64, 9).astype(np.float32))
+        ens = ensemble_outputs_fn([f1, f2], mode="log_probs")
+        labels = jnp.argmax(ens(pts), axis=-1)
+        cfg = PGDConfig(eps=0.5, alpha=0.05, iters=40)
+        res = pgd_color_attack(ens, pts, labels, cfg)
+        # flipping the consensus of two independent members is hard by
+        # construction — assert the objective differentiates and bites,
+        # not a specific depth
+        assert float(res.acc) < 0.9
+
+
 class TestPresets:
     def test_all_presets_exist(self):
         for model in ("pointnet2", "randla", "resgcn"):

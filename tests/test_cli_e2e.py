@@ -181,6 +181,35 @@ class TestAttackCLI:
         assert any(f.endswith("_adv_raw.xyzrgb") for f in vis)
         assert any(f.endswith("_adv.html") for f in vis)
 
+    def test_ensemble_attack_cli(self, trained):
+        """--ensemble wires the ares EnsembleModel capability end to
+        end. A self-ensemble (the same checkpoint twice) is the exact
+        degenerate case: the softmax mixture of identical members
+        predicts exactly like the single model, so the clean metrics
+        must reproduce the plain run's while the attack still bites."""
+        from pointsecguard_tpu.cli import attack
+
+        data, log = trained
+        common = [
+            "--model", "pointnet", "--attack", "nb", "--data_root", data,
+            "--log_dir", log, "--num_point", "128", "--batch_size", "4",
+            "--max_blocks", "8", "--seed", "3",
+        ]
+        clean_s, adv_s = attack.main(common)
+        clean_e, adv_e = attack.main(common + [
+            "--ensemble", f"pointnet:{log}",
+        ])
+        assert float(clean_e.accuracy) == pytest.approx(
+            float(clean_s.accuracy)
+        )
+        # the attacked objective (CE of the renormalized mixture) equals
+        # the single-model CE up to numerics, so the adversarial outcome
+        # must track the plain run closely (the weak fixture model keeps
+        # NB near-inert here, so direction is not assertable)
+        assert float(adv_e.accuracy) == pytest.approx(
+            float(adv_s.accuracy), abs=0.05
+        )
+
     def test_random_with_control_and_visual(self, trained):
         """Block-driver `--attack random`: --control is a logged no-op
         (the 'attack' IS the equal-norm noise — RandLA/object-driver

@@ -108,6 +108,55 @@ class TestInvariants:
         assert ok.all()
 
 
+class TestWithoutReplacement:
+    """``replacement=False``: Gumbel-top-k draws without replacement —
+    the host's exact semantics for blocks ≥ num_point points
+    (`S3DISDataLoader.py:62` np.random.choice(replace=False))."""
+
+    def test_no_duplicates_and_all_in_block(self, staged):
+        st, num_max = staged
+        sample = jax.jit(make_device_block_sampler(
+            batch_size=B, num_point=P, num_max=num_max,
+            min_points=256, replacement=False, augment_z=False,
+        ))
+        feats, labels = sample(st, jax.random.PRNGKey(2))
+        feats = np.asarray(feats)
+        # block geometry still holds
+        assert np.all(np.abs(feats[..., 0]) <= 0.5 + 1e-5)
+        assert np.all(np.abs(feats[..., 1]) <= 0.5 + 1e-5)
+        # no duplicate rows within any cloud (min_points 256 ≥ P=128
+        # guarantees every chosen block can supply P distinct points)
+        for b in range(B):
+            rows = {tuple(r) for r in feats[b].round(6).tolist()}
+            assert len(rows) == P, f"cloud {b}: {P - len(rows)} duplicates"
+
+    def test_small_block_falls_back_to_replacement(self):
+        # a room with fewer points than num_point: the host up-samples
+        # with replacement; the without-replacement path must do the same
+        # instead of picking out-of-block rows
+        rng = np.random.default_rng(7)
+        pts = np.concatenate(
+            [rng.uniform(0, 0.5, (40, 3)), rng.uniform(0, 255, (40, 3))],
+            axis=1,
+        )
+
+        class _R:
+            points = [pts]
+            labels = [rng.integers(0, 13, 40)]
+            coord_max = [pts[:, :3].max(0)]
+
+        st, num_max = stage_rooms(_R)
+        sample = jax.jit(make_device_block_sampler(
+            batch_size=2, num_point=P, num_max=num_max,
+            min_points=8, replacement=False, augment_z=False,
+        ))
+        feats, labels = sample(st, jax.random.PRNGKey(3))
+        feats, labels = np.asarray(feats), np.asarray(labels)
+        assert feats.shape == (2, P, 9)
+        # every sampled label exists in the source room (no garbage rows)
+        assert set(labels.ravel().tolist()) <= set(_R.labels[0].tolist())
+
+
 class TestStatisticalEquivalence:
     """The device sampler must reproduce the host sampler's marginals:
     room choice ∝ size, same label mix, same feature-channel moments

@@ -118,16 +118,21 @@ def main():
                     verdict = "FAIL(sr<0.05)"
                     failed = True
         elif cols["rand_acc"] is not None:
-            # the core gate: gradient ≥ noise at equal norm (0.005
-            # tolerance = the per-run noise floor on small demos)
-            if cols["adv_acc"] > cols["rand_acc"] + 0.005:
-                hinge = atk in HINGE_ATTACKS.get(fam, ())
-                saturated = cols["clean_acc"] >= SATURATION_CLEAN_ACC
-                if hinge and saturated:
-                    verdict = "WAIVED(saturated-hinge)"
-                else:
-                    verdict = "FAIL"
-                    failed = True
+            hinge = atk in HINGE_ATTACKS.get(fam, ())
+            saturated = cols["clean_acc"] >= SATURATION_CLEAN_ACC
+            if hinge and saturated:
+                # on a saturated model the hinge attack and its control
+                # land within per-run noise of each other on EITHER side
+                # (tools/diagnose_randla_nb.py) — always WAIVED, never
+                # PASS or FAIL, so regenerating the table cannot flip
+                # the verdict (VERDICT r4 weak-item 5: r4 shipped a
+                # 0.0007-margin PASS one re-run away from WAIVED)
+                verdict = "WAIVED(saturated-hinge)"
+            elif cols["adv_acc"] > cols["rand_acc"] + 0.005:
+                # the core gate: gradient ≥ noise at equal norm (0.005
+                # tolerance = the per-run noise floor on small demos)
+                verdict = "FAIL"
+                failed = True
         results.append((atk, cols, float(clean_m.miou), float(adv_m.miou),
                         verdict))
         print(
