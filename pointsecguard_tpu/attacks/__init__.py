@@ -18,6 +18,7 @@ from pointsecguard_tpu.attacks.common import (
 from pointsecguard_tpu.attacks.benchmark import (
     ATTACKS,
     AttackBenchmark,
+    cw_coefficient_binsearch,
     distortion_binsearch,
     iteration_curve,
     load_attack,
@@ -146,6 +147,7 @@ __all__ = [
     "bit_depth_reduction",
     "boundary_attack",
     "jpeg_color_compression",
+    "cw_coefficient_binsearch",
     "cw_color_attack",
     "deepfool_attack",
     "distortion_binsearch",

@@ -209,6 +209,82 @@ def distortion_binsearch(
     return hi, details
 
 
+def cw_coefficient_binsearch(
+    outputs_fn: Callable,
+    points: jnp.ndarray,
+    labels: jnp.ndarray,
+    base_cfg,
+    *,
+    mask: jnp.ndarray | None = None,
+    success_sr: float = 0.9,
+    search_steps: int = 5,
+    binsearch_steps: int = 6,
+    coeff_fields: tuple[str, ...] = ("smooth_coeff", "l2_coeff"),
+) -> tuple[float, dict]:
+    """Largest distortion-penalty coefficient c at which a targeted C&W
+    run reaches sr > ``success_sr`` — the C&W analogue of the reference's
+    distortion binsearch (`distortion.py:8-370` searches the magnitude
+    knob of ε-attacks; C&W's budget knob is the c that multiplies the
+    smooth+L2 penalty, `NU_target_test_semseg.py:181` c=1).
+
+    Probes DOWN from the budget's own c (success gets easier as the
+    distortion penalty shrinks — c→0 is unbounded distortion), then
+    bisects in log space for the success/fail threshold. Each probe is
+    one fused C&W program (a fresh compile per distinct c — the
+    coefficients are compile-time constants by design).
+
+    Returns (c_threshold, details); c_threshold = the largest probed c
+    that succeeded (inf budget semantics: nan if even c → 0 fails,
+    base c if the reference budget itself succeeds). ``details`` records
+    every probe's {c, sr, acc, l2_mean}.
+    """
+    details: dict = {"probes": []}
+
+    def probe(c: float) -> bool:
+        cfg = _replace_if_field(
+            base_cfg, **{f: float(c) for f in coeff_fields}
+        )
+        res = cw_color_attack(outputs_fn, points, labels, cfg, mask=mask)
+        sr = float(res.success_rate)
+        details["probes"].append({
+            "c": float(c), "sr": round(sr, 4),
+            "acc": round(float(res.acc), 4),
+            "l2_mean": round(float(jnp.mean(res.l2_dist)), 3),
+            "steps_mean": round(float(jnp.mean(res.steps_b)), 1)
+            if res.steps_b is not None else None,
+        })
+        return sr > success_sr
+
+    c0 = float(getattr(base_cfg, coeff_fields[0]))
+    if probe(c0):
+        details["c_threshold"] = c0
+        return c0, details  # the reference budget already succeeds
+    hi_fail, lo = c0, c0
+    found = False
+    for _ in range(search_steps):
+        hi_fail, lo = lo, lo / 4.0
+        if probe(lo):
+            found = True
+            break
+    if not found:
+        if probe(0.0):  # unbounded distortion as the last resort
+            details["c_threshold"] = 0.0
+            return 0.0, details
+        details["c_threshold"] = float("nan")
+        return float("nan"), details
+    # log-space bisection on [lo (success), hi_fail (fail)]
+    import math
+
+    for _ in range(binsearch_steps):
+        mid = math.exp(0.5 * (math.log(lo) + math.log(hi_fail)))
+        if probe(mid):
+            lo = mid
+        else:
+            hi_fail = mid
+    details["c_threshold"] = lo
+    return lo, details
+
+
 def iteration_curve(
     outputs_fn: Callable,
     points: jnp.ndarray,

@@ -123,7 +123,7 @@ def make_room(
 def make_synthetic_rooms(
     out_dir: str,
     *,
-    points_per_room: int = 6000,
+    points_per_room: int | tuple[int, int] = 6000,
     seed: int = 0,
     train_areas: tuple[int, ...] = (1,),
     test_area: int = 5,
@@ -132,13 +132,29 @@ def make_synthetic_rooms(
     """Write the fixture set under ``out_dir`` in collected-`.npy` layout:
     one room per (area, index) — by default ``Area_1_synth_1.npy`` (train)
     and ``Area_5_synth_1.npy`` (test), the minimal 2-room train/eval split.
-    Returns the written paths."""
+    Returns the written paths.
+
+    ``points_per_room`` may be an ``(lo, hi)`` tuple: per-room counts are
+    then drawn log-uniformly from [lo, hi] (the real S3DIS room-size
+    distribution is heavy-tailed — collected rooms run ~0.1M to ~2.5M
+    points, `data_prepare_s3dis.py:29-72` operates on exactly these), and
+    the room's FLOOR AREA scales with the count at ~25k points/m² so
+    block densities stay realistic (a 1 m² block of a 2.5M-point room
+    holds tens of thousands of points, like real S3DIS)."""
     os.makedirs(out_dir, exist_ok=True)
     rng = np.random.default_rng(seed)
     written = []
     for area in (*train_areas, test_area):
         for i in range(rooms_per_area):
+            if isinstance(points_per_room, tuple):
+                lo, hi = points_per_room
+                n = int(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+                side = float(np.clip(np.sqrt(n / 25_000.0), 4.0, 14.0))
+                size = (side, side, 2.8)
+            else:
+                n = points_per_room
+                size = (4.0, 4.0, 2.8)
             path = os.path.join(out_dir, f"Area_{area}_synth_{i + 1}.npy")
-            np.save(path, make_room(points_per_room, rng=rng))
+            np.save(path, make_room(n, rng=rng, size=size))
             written.append(path)
     return written

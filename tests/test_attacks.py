@@ -441,6 +441,37 @@ class TestPresets:
         assert cfg.target == 7
 
 
+class TestCWCoefficientBinsearch:
+    def test_threshold_found_on_proto_surrogate(
+        self, proto_surrogate, proto_batch
+    ):
+        # large distortion penalty c defeats the targeted C&W, small c
+        # succeeds — the binsearch must bracket the threshold and report
+        # a finite largest-succeeding c strictly below the failing base
+        from pointsecguard_tpu.attacks import cw_coefficient_binsearch
+
+        surrogate = proto_surrogate
+        pts, labels = proto_batch
+        origin = int(np.asarray(labels)[0, 0])
+        target = (origin + 3) % C
+        _, mask = make_target_labels(labels, origin, target)
+        cfg = CWConfig(
+            steps=150, lr=0.05, smooth_coeff=0.0, l2_coeff=500.0,
+            targeted=True, target=target, success_sr=0.9,
+        )
+        c, details = cw_coefficient_binsearch(
+            surrogate, pts, labels, cfg, mask=mask,
+            coeff_fields=("l2_coeff",),
+        )
+        probes = details["probes"]
+        assert probes[0]["sr"] <= 0.9  # the base budget fails
+        assert np.isfinite(c) and 0.0 <= c < 500.0
+        assert max(p["sr"] for p in probes) > 0.9
+        # threshold is consistent: the recorded success at c is real
+        succ = [p for p in probes if p["sr"] > 0.9]
+        assert min(s["c"] for s in succ) <= c <= max(s["c"] for s in succ)
+
+
 class TestNoiseControl:
     def test_equal_norm(self, batch):
         pts, _ = batch

@@ -1,0 +1,124 @@
+"""What budget DOES move origin→target where the reference budget fails?
+
+VERDICT r4 weak-item 6: the demo gate surfaced that PointNet++ `tar_nu`
+at the reference budget (c=1, lr=0.01, `NU_target_test_semseg.py:181`)
+cannot move floor → table on the fixture (sr < 0.05), but never asked
+what budget reaches sr ≥ 0.9. This tool answers it with the C&W
+coefficient binsearch (`attacks/benchmark.py cw_coefficient_binsearch`,
+the C&W analogue of the ares distortion binsearch `distortion.py:8-370`):
+probe c downward from the reference's c=1 until the targeted attack
+succeeds, bisect the threshold, report the c and the distortion it buys.
+
+Run after the docs/EXAMPLE_RUN.md train step (same fixture/checkpoint):
+
+    python tools/tar_nu_threshold.py --data_root data --log_dir log \
+        --origin 1 --target 7 --num_point 1024 --batch_size 8
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--data_root", default="data")
+    ap.add_argument("--log_dir", default="log")
+    ap.add_argument("--test_area", type=int, default=5)
+    ap.add_argument("--origin", type=int, default=1)
+    ap.add_argument("--target", type=int, default=7)
+    ap.add_argument("--num_point", type=int, default=1024)
+    ap.add_argument("--batch_size", type=int, default=8)
+    ap.add_argument("--min_origin_points", type=int, default=32)
+    ap.add_argument("--success_sr", type=float, default=0.9)
+    ap.add_argument("--out", default="")
+    args = ap.parse_args()
+
+    from pointsecguard_tpu.utils.runtime import setup_jax
+
+    setup_jax()
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from pointsecguard_tpu.attacks import (
+        attack_preset,
+        cw_coefficient_binsearch,
+        make_target_labels,
+    )
+    from pointsecguard_tpu.data import RoomSet, WholeSceneBlocks
+    from pointsecguard_tpu.models import PointNet2SemSegSSG, build_geometry
+    from pointsecguard_tpu.train import create_train_state
+    from pointsecguard_tpu.utils.checkpoint import CheckpointManager
+
+    rooms = RoomSet.load(args.data_root, "test", args.test_area)
+    ws = WholeSceneBlocks(rooms, block_points=args.num_point)
+    data, labels, _, _ = ws.room_blocks(0, np.random.default_rng(0))
+    # blocks with enough origin-class points to score sr on
+    counts = (labels == args.origin).sum(axis=1)
+    order = np.argsort(-counts)[: args.batch_size]
+    pts = jnp.asarray(data[order], jnp.float32)
+    labs = jnp.asarray(labels[order].astype(np.int32))
+    print(f"{len(order)} blocks, origin-point counts "
+          f"{counts[order].tolist()}")
+
+    model = PointNet2SemSegSSG()
+    state, _ = create_train_state(
+        model, (pts, None), rng=jax.random.PRNGKey(0)
+    )
+    ckpt = CheckpointManager(f"{args.log_dir}/checkpoints")
+    restored = ckpt.restore_best(state) or ckpt.restore_latest(state)
+    if restored is None:
+        raise SystemExit(f"no checkpoint under {args.log_dir}/checkpoints")
+    state, _ = restored
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+    geo = build_geometry(pts[..., :3])
+    outputs_fn = lambda p: model.apply(variables, p, geometry=geo)[0]
+
+    _, mask = make_target_labels(labs, args.origin, args.target)
+    cfg = attack_preset(
+        "pointnet2", "tar_nu", target=args.target,
+        success_sr=args.success_sr,
+    )
+    t0 = time.time()
+    c_thr, details = cw_coefficient_binsearch(
+        outputs_fn, pts, labs, cfg, mask=mask,
+        success_sr=args.success_sr,
+    )
+    wall = time.time() - t0
+
+    print(f"\nreference budget c={cfg.smooth_coeff:g} (lr={cfg.lr}, "
+          f"{cfg.steps} steps) — probes ({wall:.0f}s):")
+    print(f"{'c':>12} {'sr':>8} {'acc':>8} {'L2':>8} {'steps':>8}")
+    for p in details["probes"]:
+        print(f"{p['c']:>12.5g} {p['sr']:>8.4f} {p['acc']:>8.4f} "
+              f"{p['l2_mean']:>8.3f} {p['steps_mean'] or 0:>8.1f}")
+    succ = [p for p in details["probes"] if p["sr"] > args.success_sr]
+    at_thr = min(succ, key=lambda p: abs(p["c"] - c_thr)) if succ else None
+    print(f"\nc_threshold (largest c with sr>{args.success_sr}): "
+          f"{c_thr:.5g}"
+          + (f" — needs L2 ≈ {at_thr['l2_mean']:.2f} "
+             f"(vs the failing c=1 probe's "
+             f"{details['probes'][0]['l2_mean']:.2f}); that is "
+             f"{cfg.smooth_coeff / c_thr:.0f}× past the reference "
+             f"budget's distortion weighting" if at_thr and c_thr > 0
+             else ""))
+    record = {
+        "origin": args.origin, "target": args.target,
+        "c_threshold": c_thr, "probes": details["probes"],
+        "wall_s": round(wall, 1),
+    }
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump(record, f, indent=1)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
