@@ -209,13 +209,22 @@ def train_pointnet_family(args):
         loss_parts = []
         with maybe_trace(profile_dir):
             if device_sampler:
-                # whole epoch on device: n_batches dispatches of K
-                # sampled+trained steps each, nothing but keys/scalars
-                # crossing the link (epoch length matches the host
-                # sampler's size-proportional draw count)
-                n_batches = max(len(sampler) // batch_size, 1)
-                for _ in range(max(n_batches // spc, 1)):
-                    key, subs = _step_keys(key, spc)
+                # whole epoch on device: dispatches of K sampled+trained
+                # steps each, nothing but keys/scalars crossing the
+                # link. The optimizer-step count matches the host epoch
+                # EXACTLY — ceil(len(sampler)/B) batches (the host's
+                # wraparound tail) with a singleton-dispatch remainder,
+                # same two program shapes as stack_batches. The old
+                # floor//spc truncation dropped up to spc·B−1 draws per
+                # epoch: <1% at real S3DIS scale but 33% on the CPU
+                # fixture — THE entire "5.5-point device-sampler mIoU
+                # deficit" r4 blamed on RNG (ROUND5_NOTES §2,
+                # tools/device_sampler_equivalence.py).
+                n_steps = max(-(-len(sampler) // batch_size), 1)
+                full, rem = divmod(n_steps, spc)
+                for i in range(full + rem):
+                    k = spc if i < full else 1
+                    key, subs = _step_keys(key, k)
                     state, losses = dstep_fn(
                         state, staged, weights, lr, bn_m, subs
                     )
@@ -565,9 +574,14 @@ def train_resgcn(args):
         lr = resgcn_lr(epoch, base=args.learning_rate or cfg.lr)
         t0, loss_parts = time.time(), []
         if device_sampler:
-            n_batches = max(len(sampler) // batch_size, 1)
-            for _ in range(max(n_batches // spc, 1)):
-                key, subs = _step_keys(key, spc)
+            # optimizer-step count matches the host epoch exactly —
+            # ceil + singleton remainder (see train_pointnet_family; the
+            # old floor//spc truncation under-trained at fixture scale)
+            n_steps = max(-(-len(sampler) // batch_size), 1)
+            full, rem = divmod(n_steps, spc)
+            for i in range(full + rem):
+                k = spc if i < full else 1
+                key, subs = _step_keys(key, k)
                 state, losses = dstep_fn(
                     state, staged, jnp.ones(13), lr, 0.1, subs
                 )

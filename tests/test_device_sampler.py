@@ -227,6 +227,43 @@ class TestStatisticalEquivalence:
         assert (frac_cluster > 0.9).mean() >= 7 / 8
 
 
+class TestEpochStepParity:
+    def test_device_epoch_runs_host_step_count(self, tmp_path):
+        """`--device_sampler` must execute EXACTLY the host epoch's
+        optimizer-step count: ceil(len(sampler)/B) (the host wraparound
+        tail) — the r4 floor//spc truncation silently dropped up to
+        spc·B−1 draws per epoch, which at fixture scale was 33% of the
+        training budget and the whole 'device-sampler mIoU deficit'
+        (ROUND5_NOTES §2)."""
+        import json
+        import types
+
+        from pointsecguard_tpu.data.synthetic import make_synthetic_rooms
+        from pointsecguard_tpu.train.loops import train_pointnet_family
+
+        data = str(tmp_path / "data")
+        # 6000-pt room, npoint 128, bs 8 → len(sampler)=46 → ceil = 6
+        # batches with BOTH a batch tail (46 % 8) and a stack tail
+        # (6 % spc with spc=4)
+        make_synthetic_rooms(data, points_per_room=6000, seed=0)
+        counts = {}
+        for sampler in ("host", "device"):
+            log = str(tmp_path / sampler)
+            args = types.SimpleNamespace(
+                data_root=data, log_dir=log, test_area=5,
+                model="pointnet", npoint=128, batch_size=8,
+                learning_rate=1e-3, epochs=1, eval_every=99, seed=0,
+                steps_per_call=4, prefetch=2, devices=1, profile=None,
+                precision="float32",
+                device_sampler=sampler == "device",
+            )
+            train_pointnet_family(args)
+            ev = [json.loads(l) for l in open(f"{log}/events.jsonl")]
+            counts[sampler] = [e["batches"] for e in ev
+                               if e["event"] == "epoch"]
+        assert counts["device"] == counts["host"], counts
+
+
 class TestFusedTrainStep:
     def test_dp_matches_single_device(self, staged):
         """--device_sampler --devices N: the sampled batch is sharded

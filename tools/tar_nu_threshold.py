@@ -114,6 +114,60 @@ def main():
         "c_threshold": c_thr, "probes": details["probes"],
         "wall_s": round(wall, 1),
     }
+
+    if not (c_thr == c_thr) or c_thr == 0.0:  # nan or unbounded-only
+        # The c knob is not the binding constraint — ask the stronger
+        # question: is the target REACHABLE in the color threat model at
+        # all? (a) paint every masked point each class's mean color (the
+        # strongest constant-color adversary, incl. the target class's
+        # own color) and measure sr; (b) one boosted-budget C&W
+        # (c=0, lr x10, 2000 steps). If both stay low, the masked
+        # points' predictions are pinned by geometry: the pair is
+        # color-unreachable on this model, not merely expensive.
+        import dataclasses as _dc
+
+        @jax.jit
+        def paint_sr(color):
+            m3 = mask.astype(pts.dtype)[..., None]
+            painted = pts.at[..., 3:6].set(
+                m3 * color + (1 - m3) * pts[..., 3:6]
+            )
+            pred = jnp.argmax(outputs_fn(painted), axis=-1)
+            mm = mask.astype(jnp.float32)
+            return jnp.sum((pred == args.target) * mm) / jnp.maximum(
+                jnp.sum(mm), 1.0
+            )
+
+        lab_np = np.asarray(labs)
+        col_np = np.asarray(pts[..., 3:6])
+        paint_rows = []
+        for k in range(13):
+            sel = lab_np == k
+            if not sel.any():
+                continue
+            mean_col = jnp.asarray(col_np[sel].mean(axis=0))
+            paint_rows.append(
+                {"class": k, "sr": round(float(paint_sr(mean_col)), 4)}
+            )
+        best = max(paint_rows, key=lambda r: r["sr"])
+        print("\nreachability probe — constant-color paint of the masked "
+              "points (per-class mean colors):")
+        for r in paint_rows:
+            print(f"  class {r['class']:>2}: sr={r['sr']:.4f}"
+                  + ("  <- target's own color" if r["class"] == args.target
+                     else ""))
+        boost = _dc.replace(cfg, smooth_coeff=0.0, l2_coeff=0.0,
+                            lr=cfg.lr * 10, steps=2000)
+        from pointsecguard_tpu.attacks import cw_color_attack
+
+        bres = cw_color_attack(outputs_fn, pts, labs, boost, mask=mask)
+        print(f"boosted C&W (c=0, lr={boost.lr}, {boost.steps} steps): "
+              f"sr={float(bres.success_rate):.4f} "
+              f"l2={float(jnp.mean(bres.l2_dist)):.2f}")
+        record["paint_sr"] = paint_rows
+        record["paint_best"] = best
+        record["boosted_cw_sr"] = round(float(bres.success_rate), 4)
+
     if args.out:
         with open(args.out, "w") as f:
             json.dump(record, f, indent=1)
