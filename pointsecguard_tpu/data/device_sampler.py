@@ -100,6 +100,7 @@ def make_device_block_sampler(
     tries: int = 8,
     augment_z: bool = True,
     replacement: bool = True,
+    stage1_mode: str = "auto",
 ):
     """Build ``sample(staged, key) -> (points [B,P,9], labels [B,P])``,
     a pure jittable function (staged arrays are ARGUMENTS, never closed
@@ -170,14 +171,43 @@ def make_device_block_sampler(
         ) + 1
         m2 = m.reshape(num_max // 128, 128)
         chunk_cum = jnp.cumsum(m2.sum(axis=1).astype(jnp.int32))  # [C]
-        # stage-1 "searchsorted" as a dense fused compare+reduce over
-        # [P, C] — zero gathers (a binary search pays log2(C) gather
-        # steps per draw; gathers are the sampler's cost envelope)
-        below = chunk_cum[None, :] < ranks[:, None]  # [P, C]
-        idx_chunk = below.sum(axis=1).astype(jnp.int32)
-        prev = jnp.max(
-            jnp.where(below, chunk_cum[None, :], 0), axis=1
-        )  # chunk_cum[idx_chunk-1] (0 when idx_chunk == 0)
+        C = num_max // 128
+        dense = stage1_mode == "dense" or (stage1_mode == "auto" and C <= 1024)
+        if dense:
+            # stage-1 "searchsorted" as a dense fused compare+reduce over
+            # [P, C] — zero gathers (a binary search pays log2(C) gather
+            # steps per draw; gathers are the sampler's cost envelope)
+            below = chunk_cum[None, :] < ranks[:, None]  # [P, C]
+            idx_chunk = below.sum(axis=1).astype(jnp.int32)
+            prev = jnp.max(
+                jnp.where(below, chunk_cum[None, :], 0), axis=1
+            )  # chunk_cum[idx_chunk-1] (0 when idx_chunk == 0)
+        else:
+            # 3-level for big rooms: at real S3DIS num_max (2.5M → C ≈
+            # 19.5k) the dense [P, C] compare costs ~80M ops per cloud
+            # and dominated the sampler (~20 ms/batch measured, r5 scale
+            # rehearsal). Group chunks into superchunks of 128: a
+            # [P, C2≈C/128] compare + one [P, 128] row gather + compare
+            # replaces it at ~1/100 the ops. Bit-identical indices
+            # (padded chunk sums are 0, so padded cum entries equal
+            # cnt_in ≥ rank and are never counted).
+            C2 = -(-C // 128)
+            ccp = jnp.pad(chunk_cum, (0, C2 * 128 - C),
+                          mode="edge").reshape(C2, 128)
+            super_cum = ccp[:, -1]  # [C2] cum at each superchunk end
+            below_s = super_cum[None, :] < ranks[:, None]  # [P, C2]
+            idx_super = below_s.sum(axis=1).astype(jnp.int32)
+            prev_super = jnp.max(
+                jnp.where(below_s, super_cum[None, :], 0), axis=1
+            )
+            row = ccp[idx_super]  # [P, 128]
+            below_r = row < ranks[:, None]
+            idx_chunk = idx_super * 128 + below_r.sum(axis=1).astype(
+                jnp.int32
+            )
+            prev = jnp.maximum(
+                jnp.max(jnp.where(below_r, row, 0), axis=1), prev_super
+            )
         rows_m = m2[idx_chunk].astype(jnp.int32)  # [P, 128]
         row_cum = jnp.cumsum(rows_m, axis=1)
         local = jnp.argmax(

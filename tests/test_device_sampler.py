@@ -227,6 +227,24 @@ class TestStatisticalEquivalence:
         assert (frac_cluster > 0.9).mean() >= 7 / 8
 
 
+class TestStage1Modes:
+    def test_super_matches_dense_bit_identical(self, staged):
+        """The 3-level superchunk inverse-CDF (used automatically at
+        num_max > 131072 — real S3DIS rooms) must select bit-identical
+        indices to the dense 2-level path."""
+        st, num_max = staged
+        outs = []
+        for mode in ("dense", "super"):
+            sample = jax.jit(make_device_block_sampler(
+                batch_size=B, num_point=P, num_max=num_max,
+                min_points=256, augment_z=False, stage1_mode=mode,
+            ))
+            outs.append(sample(st, jax.random.PRNGKey(9)))
+        (f1, l1), (f2, l2) = outs
+        np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+        np.testing.assert_array_equal(np.asarray(l1), np.asarray(l2))
+
+
 class TestEpochStepParity:
     def test_device_epoch_runs_host_step_count(self, tmp_path):
         """`--device_sampler` must execute EXACTLY the host epoch's
