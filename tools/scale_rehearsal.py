@@ -316,11 +316,17 @@ def stage_attack(args):
     from pointsecguard_tpu.train import create_train_state
     from pointsecguard_tpu.utils.checkpoint import CheckpointManager
 
-    out = {}
+    if os.path.exists(OUT):  # merge with a prior partial run
+        out = json.load(open(OUT)).get("attack", {})
+    else:
+        out = {}
+    fams = [f.strip() for f in args.families.split(",") if f.strip()]
     for fam, model in (
         ("pointnet2", PointNet2SemSegSSG()),
         ("resgcn", DenseDeepGCN()),
     ):
+        if fam not in fams:
+            continue
         log = tempfile.mkdtemp(prefix=f"psg_scale_atk_{fam}_")
         state, _ = create_train_state(
             model, (jnp.zeros((8, 4096, 9), jnp.float32), None),
@@ -434,6 +440,9 @@ def main():
     ap.add_argument("--lo", type=int, default=150_000)
     ap.add_argument("--hi", type=int, default=2_500_000)
     ap.add_argument("--prep_rooms", type=int, default=2)
+    ap.add_argument("--families", default="pointnet2,resgcn",
+                    help="attack stage: which block families to run "
+                         "(a wedged/killed run can resume per family)")
     ap.add_argument("--attack_blocks", type=int, default=32)
     ap.add_argument("--randla_clouds", type=int, default=6)
     ap.add_argument("--resume", action="store_true")
