@@ -47,9 +47,12 @@ def main(argv=None):
     ap.add_argument("--test_area", type=int, default=5)
     ap.add_argument("--num_point", type=int, default=4096)
     ap.add_argument("--batch_size", type=int, default=0,
-                    help="0 = auto: 8 for untargeted block-family runs, "
-                         "1 for targeted/RandLA (resgcn targeted skip "
-                         "gates are per-cloud). Measured end-to-end on a "
+                    help="0 = auto: 8 for untargeted pointnet-family "
+                         "runs, 1 for targeted/RandLA (resgcn targeted "
+                         "skip gates are per-cloud) and 1 for ALL resgcn "
+                         "runs (the 28-block attack program at 4096 pts "
+                         "only compiles at bs=1 on v5e — XLA scoped-vmem "
+                         "overrun, models/resgcn.py). Measured end-to-end on a "
                          "tunneled v5e (BENCH attack_wall_ms_per_block): "
                          "bs=8 beats bs=1 — batching amortizes the "
                          "dispatch+fetch round trips faster than the "
@@ -195,9 +198,16 @@ def main(argv=None):
 
     # --batch_size 0 = auto (see help): the measured end-to-end winner
     # for untargeted block-family runs, the protocol-mandated 1 for
-    # targeted runs; randla resolves 0 to its config val_batch_size
+    # targeted runs; randla resolves 0 to its config val_batch_size.
+    # resgcn caps at 1: the 28-block attack program at 4096 points
+    # fails to COMPILE on v5e above bs=1 (XLA scoped-vmem overrun in
+    # the fusion-head broadcast at bs=8, opaque compile-helper crashes
+    # at bs=2/4 — probed r5, models/resgcn.py note)
     if args.batch_size == 0 and args.model != "randla":
-        args.batch_size = 1 if args.attack.startswith("tar_") else 8
+        if args.model == "resgcn":
+            args.batch_size = 1
+        else:
+            args.batch_size = 1 if args.attack.startswith("tar_") else 8
 
     # ResGCN targeted protocol gates operate per cloud (`sem_seg_dense/
     # attacks.py:204-207,280-285`) — enforce the reference's batch size

@@ -284,6 +284,13 @@ class DenseDeepGCN(nn.Module):
         fusion = BasicConv((1024,), self.act, self.norm, self.use_bias,
                            dtype=self.dtype)(h, train=train)
         fusion = jnp.max(fusion, axis=1, keepdims=True)  # [B, 1, 1024]
+        # NOTE (measured, r5): at batch 8 × 4096 points the attack-path
+        # compile of this broadcast's fusion FAILS on v5e ("Ran out of
+        # memory in memory space vmem ... scoped allocation 36.94M,
+        # limit 16M" — an XLA scoped-vmem bug by its own message; an
+        # optimization_barrier after the broadcast does not prevent it,
+        # and bs=2/4 crash the compile helper opaquely). Only bs=1
+        # compiles; cli.attack's auto batch size caps resgcn at 1.
         fusion = jnp.broadcast_to(fusion, (h.shape[0], h.shape[1], 1024))
 
         x = jnp.concatenate([fusion, h], axis=-1)

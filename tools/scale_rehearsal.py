@@ -335,7 +335,8 @@ def stage_attack(args):
         CheckpointManager(f"{log}/checkpoints").save(1, state, miou=0.0)
         argv = [
             "--model", fam, "--attack", "nb", "--data_root", DATA,
-            "--log_dir", log, "--batch_size", "8",
+            "--log_dir", log,
+            "--batch_size", "0" if fam == "resgcn" else "8",
             "--max_blocks", str(args.attack_blocks),
         ]
         if fam == "resgcn":
