@@ -377,6 +377,37 @@ class TestBenchmarkCLI:
         np.testing.assert_array_equal(succ, total & ~acc_adv)
         assert acc_adv.mean() <= acc.mean()
 
+    def test_auto_batch_size_caps_resgcn_at_one(self, trained, tmp_path):
+        """--batch_size 0 must resolve resgcn to 1: the 28-block attack
+        program at 4096 points only COMPILES at bs=1 on v5e (XLA
+        scoped-vmem overrun at bs=8, helper crashes at bs=2/4 — probed
+        r5, models/resgcn.py note). Asserted via the driver's jitted
+        batch shape on a tiny depth-3 model."""
+        import jax.numpy as jnp
+
+        from pointsecguard_tpu.cli import attack
+        from pointsecguard_tpu.models import DenseDeepGCN
+        from pointsecguard_tpu.train import create_train_state
+        from pointsecguard_tpu.utils.checkpoint import CheckpointManager
+
+        data, _ = trained
+        log = str(tmp_path / "rg")
+        state, _ = create_train_state(
+            DenseDeepGCN(n_blocks=3, n_filters=8, k=4),
+            (jnp.zeros((1, 128, 9), jnp.float32), None),
+            rng=__import__("jax").random.PRNGKey(0),
+        )
+        CheckpointManager(f"{log}/checkpoints").save(1, state, miou=0.0)
+        clean_m, adv_m = attack.main([
+            "--model", "resgcn", "--attack", "nb", "--data_root", data,
+            "--log_dir", log, "--num_point", "128", "--batch_size", "0",
+            "--max_blocks", "2", "--resgcn_blocks", "3",
+            "--resgcn_filters", "8", "--resgcn_k", "4",
+        ])
+        # two blocks at auto bs → two TSV rows, each a full B=1 program
+        rows = open(f"{log}/resgcn_nb_area5.tsv").read().strip().splitlines()
+        assert len(rows) == 1 + 2
+
     def test_batch_size_exceeding_data_fails_loudly(self, trained):
         """An oversized --batch_size used to make the generator yield
         NOTHING (bare StopIteration crash in distortion/iteration mode,
